@@ -1,0 +1,150 @@
+"""Gopher/C4-style heuristic quality rules as pure Column expressions.
+
+These are the deterministic replacement for the reference's LLM-scored
+quality dimensions (reference ``src/processor.py:148-186`` builds an LLM
+prompt; ``config/quality_metrics.yaml`` defines the five dimensions).
+Here every signal is a JVM-side expression — whole-stage-codegen'd,
+no Python in the loop, so they cost ~nothing at 100 TB.
+
+Rule provenance (public): Gopher (Rae et al. 2021 §A1.1) and C4
+(Raffel et al. 2020 §2.2) heuristic filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Union of high-frequency stopwords for the latin-script languages we
+# classify; used for the stopword-ratio rule (Gopher requires >=2 of a
+# small stopword set; we use a ratio for a graded signal).
+STOPWORDS = sorted(
+    {
+        # en
+        "the", "and", "of", "to", "in", "is", "that", "with", "for", "was",
+        "on", "as", "are", "this", "be", "have", "from", "they", "which",
+        # es
+        "el", "la", "los", "las", "que", "de", "en", "un", "una", "por",
+        "con", "para", "como", "más", "pero", "sus", "fue", "esta",
+        # fr
+        "le", "les", "des", "une", "et", "qui", "dans", "ce", "il", "ne",
+        "sur", "se", "pas", "plus", "par", "je", "avec", "tout", "mais",
+        # de
+        "der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
+        "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+    }
+)
+
+SYMBOL_CLASS = r"[@#$%^&*{}<>|\\~`=+]"
+CJK_CLASS = r"[一-鿿぀-ヿ]"
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def n_chars(text: Column) -> Column:
+    return F.length(F.coalesce(text, F.lit(""))).cast("double")
+
+
+def n_words(words: Column) -> Column:
+    return F.size(words).cast("double")
+
+
+def mean_word_len(words: Column) -> Column:
+    """Mean token length; 0 for empty docs. Gopher keeps mean in [3, 10]."""
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w))
+        / F.size(words)
+    )
+
+
+def stopword_ratio(words: Column) -> Column:
+    """Fraction of lowercased tokens that are stopwords (latin langs)."""
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(
+        F.filter(words, lambda w: F.array_contains(stops, F.lower(F.regexp_replace(w, r"[^\p{L}]", ""))))
+    )
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(words)
+    )
+
+
+def symbol_ratio(text: Column, words: Column) -> Column:
+    """Symbol-to-word ratio (Gopher drops >0.1 for #/ellipsis; we use a
+    wider symbol class suited to web spam)."""
+    syms = F.regexp_count(F.coalesce(text, F.lit("")), F.lit(SYMBOL_CLASS)).cast("double")
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(syms / F.size(words))
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier line
+    (C4/Gopher duplicate-line filter)."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n
+    )
+
+
+def alpha_ratio(words: Column) -> Column:
+    """Fraction of tokens containing at least one letter (any script).
+    Gopher requires >=80% of words to contain an alphabetic character."""
+    hits = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(words)
+    )
+
+
+def n_cjk(text: Column) -> Column:
+    """Absolute CJK character count (length floor for unsegmented scripts,
+    the zh analogue of Gopher's min-word-count rule)."""
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(CJK_CLASS)).cast("double")
+
+
+def cjk_ratio(text: Column) -> Column:
+    """Fraction of characters that are CJK — the zh-aware stand-in for
+    stopword coverage on unsegmented scripts."""
+    t = F.coalesce(text, F.lit(""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(t, F.lit(CJK_CLASS)).cast("double") / F.length(t)
+    )
+
+
+def max_word_repetition_ratio(words: Column) -> Column:
+    """Frequency of the single most repeated token — catches keyword
+    stuffing (Gopher's top-n-gram fraction, n=1 case)."""
+    lowered = F.transform(words, lambda w: F.lower(w))
+    distinct = F.array_distinct(lowered)
+    counts = F.transform(
+        distinct, lambda d: F.size(F.filter(lowered, lambda w: w == d))
+    )
+    mx = F.array_max(counts)
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        mx.cast("double") / F.size(words)
+    )
+
+
+def heuristic_columns(text: Column) -> dict[str, Column]:
+    """All heuristic signals for one text column, sharing the tokenization
+    subexpression (Catalyst CSE collapses the repeated `words`)."""
+    w = words_col(text)
+    return {
+        "n_chars": n_chars(text),
+        "n_words": n_words(w),
+        "mean_word_len": mean_word_len(w),
+        "stopword_ratio": stopword_ratio(w),
+        "symbol_ratio": symbol_ratio(text, w),
+        "dup_line_frac": dup_line_frac(text),
+        "alpha_ratio": alpha_ratio(w),
+        "cjk_ratio": cjk_ratio(text),
+        "n_cjk": n_cjk(text),
+        "max_word_rep": max_word_repetition_ratio(w),
+    }

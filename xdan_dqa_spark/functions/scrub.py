@@ -1,0 +1,65 @@
+"""Regex PII/toxicity scrub as a JVM ``regexp_replace`` chain.
+
+Deterministic replacement for the reference's LLM rewrite step
+(``DataTransformer.refine_output`` reference ``src/data_transformer.py:120-175``).
+All patterns run JVM-side (one whole-stage-codegen span, no Python), in a
+fixed order so output bytes are stable: SSN before phone (an SSN is a
+substring-shaped phone), emails before the profanity word-boundary pass.
+
+Byte-identity contract (SURVEY.md §7): scrub happens ONLY via JVM
+``regexp_replace`` — never Python ``re`` — so one regex engine defines
+the bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Masked-token vocabulary mirrors common web-pipeline conventions.
+PROFANITY_LEXICON = ["damn", "hell", "crap", "bastard", "bollocks", "bugger"]
+
+# Ordered (name, pattern, replacement). Patterns are ANSI-regex compatible
+# (work identically under Java regex and RE2/DuckDB for oracle parity).
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"(\+?[0-9]{1,2}[ ])?(\([0-9]{3}\)[ ]?|[0-9]{3}[- ])[0-9]{3}[- ][0-9]{4}",
+        "<PHONE>",
+    ),
+    (
+        "profanity",
+        r"(?i)\b(" + "|".join(PROFANITY_LEXICON) + r")\b",
+        "<PROFANITY>",
+    ),
+]
+
+
+def scrub_columns(text: Column) -> tuple[Column, Column]:
+    """Return (scrubbed_text, scrub_count) columns.
+
+    Counts are taken on the intermediate text before each replacement so
+    overlapping rule classes are not double-counted.
+    """
+    t = F.coalesce(text, F.lit(""))
+    count = F.lit(0)
+    for _name, pat, repl in SCRUB_RULES:
+        count = count + F.regexp_count(t, F.lit(pat))
+        t = F.regexp_replace(t, pat, repl)
+    return t, count.cast("int")
+
+
+def scrub_sql_expr(col_name: str) -> str:
+    """The same chain as an ANSI SQL expression string (for oracle parity
+    checks — DuckDB applies regexp_replace with the 'g' flag)."""
+    expr = f"coalesce({col_name}, '')"
+    for _name, pat, repl in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        if p.startswith("(?i)"):
+            p = p[4:]
+            expr = f"regexp_replace({expr}, '{p}', '{repl}', 'gi')"
+        else:
+            expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr

@@ -1,0 +1,158 @@
+"""Weighted quality score + keep/drop decision.
+
+Re-implements the reference's scoring contract deterministically:
+  * score normalization (clamp to [0,10]) — ``src/processor.py:302-311``
+  * weighted total ``Σ(score_i·w_i)/Σw_i`` rounded to 2dp —
+    ``src/processor.py:200-221`` with weights 0.2/0.3/0.2/0.15/0.15 from
+    ``config/quality_metrics.yaml``
+  * keep/drop filter ``score >= min_score AND category ∈ allowed`` —
+    ``filter_results`` ``src/processor.py:423-435``
+
+All of it is one Column expression tree — whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    """Frozen scoring parameters. Changing any value re-freezes goldens."""
+
+    # Dimension weights — mirror config/quality_metrics.yaml:5,15,24,33,42.
+    w_lang: float = 0.20      # reference: context_awareness-class weight
+    w_fluency: float = 0.30   # reference: correctness (highest weight)
+    w_clarity: float = 0.20   # reference: clarity
+    w_clean: float = 0.15     # reference: engagement
+    w_structure: float = 0.15  # reference: reasoning_depth
+
+    min_score: float = 6.0          # keep threshold (reference min_score)
+    allowed_langs: tuple[str, ...] = ()  # empty = all (reference categories)
+    require_lang_match: bool = True  # pred_lang must equal declared lang
+
+    # Hard C4/Gopher bounds.
+    min_chars: float = 50.0
+    max_chars: float = 1_000_000.0
+    min_words: float = 25.0      # Gopher: 50-100k words; relaxed for short synth docs
+    min_cjk_chars: float = 30.0  # zh analogue of min_words
+    max_dup_line_frac: float = 0.30
+    max_symbol_ratio: float = 0.10
+    max_word_rep: float = 0.30
+    min_mean_word_len: float = 1.5
+    max_mean_word_len: float = 14.0
+
+    # Perplexity → score calibration (set from the frozen model's range).
+    ppl_good: float = 24.0   # ppl at/below this scores 10
+    ppl_bad: float = 256.0   # ppl at/above this scores 0
+
+
+def _clip01(c: Column) -> Column:
+    return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+
+def dimension_columns(h: dict[str, Column], pred_lang: Column, lang_score: Column,
+                      ppl: Column, declared_lang: Column | None,
+                      cfg: QualityConfig) -> dict[str, Column]:
+    """The five [0,10] quality dimensions from raw signals."""
+    lang_agree = (
+        F.when(pred_lang == declared_lang, F.lit(1.0)).otherwise(F.lit(0.2))
+        if declared_lang is not None and cfg.require_lang_match
+        else F.lit(1.0)
+    )
+    d_lang = F.lit(10.0) * _clip01(lang_score * 2.0) * lang_agree
+
+    # log-linear ppl ramp: ppl_good→10, ppl_bad→0. zh has no per-language
+    # ppl model (CCNet ships one KenLM per language; ours covers the latin
+    # four) — its fluency proxy is CJK-character coverage instead.
+    span = F.lit(float(cfg.ppl_bad)) / F.lit(float(cfg.ppl_good))
+    d_fluency = F.when(
+        pred_lang == "zh", F.lit(10.0) * _clip01(h["cjk_ratio"] / F.lit(0.5))
+    ).otherwise(
+        F.lit(10.0)
+        * _clip01(
+            F.lit(1.0)
+            - F.log2(F.greatest(ppl, F.lit(1.0)) / F.lit(float(cfg.ppl_good))) / F.log2(span)
+        )
+    )
+
+    d_clarity = F.when(
+        pred_lang == "zh", F.lit(10.0) * _clip01(h["cjk_ratio"] / F.lit(0.5))
+    ).otherwise(F.lit(10.0) * _clip01(h["stopword_ratio"] / F.lit(0.25)))
+
+    d_clean = F.lit(5.0) * _clip01(F.lit(1.0) - h["symbol_ratio"] / F.lit(0.10)) + F.lit(
+        5.0
+    ) * _clip01(
+        F.when(pred_lang == "zh", F.lit(1.0)).otherwise(h["alpha_ratio"] / F.lit(0.8))
+    )
+
+    len_ok = (h["n_chars"] >= cfg.min_chars) & (h["n_chars"] <= cfg.max_chars)
+    mwl_ok = F.when(pred_lang == "zh", F.lit(True)).otherwise(
+        (h["mean_word_len"] >= cfg.min_mean_word_len)
+        & (h["mean_word_len"] <= cfg.max_mean_word_len)
+    )
+    d_structure = (
+        F.lit(10.0)
+        * _clip01(F.lit(1.0) - h["dup_line_frac"] / F.lit(float(cfg.max_dup_line_frac)))
+        * _clip01(F.lit(1.0) - (h["max_word_rep"] - F.lit(0.10)) / F.lit(0.40))
+        * F.when(len_ok, F.lit(1.0)).otherwise(F.lit(0.0))
+        * F.when(mwl_ok, F.lit(1.0)).otherwise(F.lit(0.3))
+    )
+
+    return {
+        "d_lang": d_lang,
+        "d_fluency": d_fluency,
+        "d_clarity": d_clarity,
+        "d_clean": d_clean,
+        "d_structure": d_structure,
+    }
+
+
+def normalize_score(c: Column) -> Column:
+    """Reference ``_normalize_scores`` src/processor.py:302-311: clamp >10
+    down to 10, leave low values untouched."""
+    return F.least(c, F.lit(10.0))
+
+
+def weighted_score(dims: dict[str, Column], cfg: QualityConfig) -> Column:
+    """Σ(d_i·w_i)/Σw_i rounded to 2dp (reference src/processor.py:200-221)."""
+    pairs = [
+        (dims["d_lang"], cfg.w_lang),
+        (dims["d_fluency"], cfg.w_fluency),
+        (dims["d_clarity"], cfg.w_clarity),
+        (dims["d_clean"], cfg.w_clean),
+        (dims["d_structure"], cfg.w_structure),
+    ]
+    total_w = sum(w for _, w in pairs)
+    s = None
+    for d, w in pairs:
+        term = normalize_score(d) * F.lit(w)
+        s = term if s is None else s + term
+    return F.round(s / F.lit(total_w), 2)
+
+
+def keep_column(score: Column, pred_lang: Column, h: dict[str, Column],
+                declared_lang: Column | None, cfg: QualityConfig) -> Column:
+    """F1 keep/drop predicate (reference src/processor.py:432) + hard rules."""
+    keep = score >= F.lit(cfg.min_score)
+    if cfg.allowed_langs:
+        keep = keep & pred_lang.isin(*cfg.allowed_langs)
+    if cfg.require_lang_match and declared_lang is not None:
+        keep = keep & (pred_lang == declared_lang)
+    keep = (
+        keep
+        & (h["n_chars"] >= cfg.min_chars)
+        & (h["n_chars"] <= cfg.max_chars)
+        # length floor: word count for segmented scripts, CJK chars for zh
+        & F.when(pred_lang == "zh", h["n_cjk"] >= cfg.min_cjk_chars).otherwise(
+            h["n_words"] >= cfg.min_words
+        )
+        & (h["dup_line_frac"] <= cfg.max_dup_line_frac)
+        & (h["symbol_ratio"] <= cfg.max_symbol_ratio)
+        # word-repetition rule only applies to space-segmented scripts
+        & ((pred_lang == "zh") | (h["max_word_rep"] <= cfg.max_word_rep))
+    )
+    return keep

@@ -1,0 +1,117 @@
+"""The flagship quality pipeline: extract → score → label → scrub → filter.
+
+One lazy DataFrame chain (SURVEY.md §3.1 Spark-native lifecycle):
+
+    read → filter(non-empty)            [P1 validation]
+         → extract_text (pandas UDF)    [input prep]
+         → langid + ppl (pandas UDFs)   [P2 replacement]
+         → heuristic struct (Col exprs) [Gopher/C4]
+         → weighted score (P4) → keep (F1) → scrub (P7 replacement)
+
+Catalyst places both pandas UDFs in adjacent ArrowEvalPython stages with
+only the needed columns projected in; everything else is whole-stage
+codegen. ``html`` is dropped immediately after extraction so the wide
+binary column never reaches a shuffle (SURVEY.md §7 Arrow-memory risk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.extract import extract_text_udf
+from .functions.heuristics import heuristic_columns
+from .functions.langid import langid_udf
+from .functions.perplexity import ppl_udf
+from .functions.scrub import scrub_columns
+from .operators.score import QualityConfig, dimension_columns, keep_column, weighted_score
+
+SALT_BUCKETS = 64  # salt modulus for skewed-host partitioning
+
+
+def with_doc_id(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Deterministic partitionable id (replaces the timestamp-string id of
+    reference src/processor.py:223-227 — resumable across runs)."""
+    return df.withColumn("doc_id", F.xxhash64(F.col(url_col)))
+
+
+def salted_repartition(df: DataFrame, n_partitions: int | None = None,
+                       url_col: str = "url") -> DataFrame:
+    """URL-hash repartition with a salt term so one heavy host (Zipf head)
+    cannot pin a partition (SURVEY.md §2.6). xxhash64 of the full url is
+    already near-uniform; the salt column additionally randomizes rows
+    that share a url (duplicate crawls)."""
+    salt = F.pmod(F.xxhash64(F.col(url_col), F.lit(17)), F.lit(SALT_BUCKETS))
+    if n_partitions:
+        return df.repartition(n_partitions, F.xxhash64(F.col(url_col)), salt)
+    return df.repartition(F.xxhash64(F.col(url_col)), salt)
+
+
+def score_webtext(
+    df: DataFrame,
+    cfg: QualityConfig | None = None,
+    text_col: str | None = None,
+    declared_lang_col: str | None = "lang",
+) -> DataFrame:
+    """Score a webtext-shaped DataFrame; returns input + scored columns.
+
+    If ``text_col`` is None the text is extracted from the ``html`` binary
+    column (the input_hint shape); pass ``text_col='text'`` to score
+    pre-extracted text (e.g. the driver's ``documents`` table).
+    """
+    cfg = cfg or QualityConfig()
+
+    if text_col is None:
+        df = df.withColumn("extracted_text", extract_text_udf(F.col("html")))
+        # Drop the heavy binary immediately — keeps shuffles/Arrow light.
+        df = df.drop("html")
+        text = F.col("extracted_text")
+    else:
+        df = df.withColumn("extracted_text", F.col(text_col))
+        text = F.col("extracted_text")
+
+    # P1 validation: empty docs never reach the UDF stages.
+    df = df.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
+
+    df = with_doc_id(df) if "url" in df.columns else df.withColumn(
+        "doc_id", F.xxhash64(text)
+    )
+
+    # Both pandas UDFs in one projection → one fused ArrowEvalPython stage.
+    df = df.withColumn("_lid", langid_udf(text)).withColumn("ppl", ppl_udf(text))
+    df = (
+        df.withColumn("pred_lang", F.col("_lid.lang"))
+        .withColumn("lang_score", F.col("_lid.lang_score"))
+        .drop("_lid")
+    )
+
+    h = heuristic_columns(text)
+    declared = F.col(declared_lang_col) if declared_lang_col and declared_lang_col in df.columns else None
+    dims = dimension_columns(h, F.col("pred_lang"), F.col("lang_score"), F.col("ppl"), declared, cfg)
+
+    df = df.withColumn(
+        "quality_metrics",
+        F.struct(
+            h["n_chars"].alias("n_chars"),
+            h["n_words"].alias("n_words"),
+            h["mean_word_len"].alias("mean_word_len"),
+            h["stopword_ratio"].alias("stopword_ratio"),
+            h["symbol_ratio"].alias("symbol_ratio"),
+            h["dup_line_frac"].alias("dup_line_frac"),
+            h["alpha_ratio"].alias("alpha_ratio"),
+            F.col("lang_score").alias("lang_score"),
+            F.col("ppl").alias("ppl"),
+        ),
+    )
+    df = df.withColumn("score", weighted_score(dims, cfg))
+    df = df.withColumn("keep", keep_column(F.col("score"), F.col("pred_lang"), h, declared, cfg))
+
+    scrubbed, n_scrubbed = scrub_columns(text)
+    df = df.withColumn("scrubbed_text", scrubbed).withColumn("scrub_count", n_scrubbed)
+    return df
+
+
+def split_keep_drop(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F2 success/failure split (reference src/processor.py:363-402) as two
+    filters over one scored plan — single pass when the input is cached."""
+    return scored.filter(F.col("keep")), scored.filter(~F.col("keep"))
