@@ -1,0 +1,61 @@
+"""Resume semantics: a partially-committed run continues without
+re-scoring, and the resumed result equals the single-run output
+(FIXTURES.md §6; reference checkpoint behavior src/data_transformer.py:320-341)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from xdan_dqa_spark.operators.resume import committed_ids, last_wins_dedup, resume_filter
+from xdan_dqa_spark.pipeline import score_webtext, with_doc_id
+
+
+def test_resume_no_rescore_and_identical_final(spark, webtext, tmp_path):
+    out = str(tmp_path / "scored")
+    inp = with_doc_id(webtext)
+
+    # Partial run: commit roughly half the ids (simulates a killed job that
+    # committed some partitions).
+    part1 = inp.filter(F.pmod(F.col("doc_id"), 2) == 0)
+    score_webtext(part1).write.mode("append").parquet(out)
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < webtext.count()
+
+    # Resumed run: anti-join against committed snapshot.
+    committed = committed_ids(spark, out)
+    remainder = resume_filter(inp, committed)
+    # zero overlap → nothing is re-scored
+    assert remainder.join(committed, "doc_id", "left_semi").count() == 0
+    score_webtext(remainder).write.mode("append").parquet(out)
+
+    # Final table == single-run output, row for row.
+    resumed = (
+        spark.read.parquet(out)
+        .select("url", "keep", "score", "scrubbed_text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    single = (
+        score_webtext(inp)
+        .select("url", "keep", "score", "scrubbed_text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(resumed, single)
+
+
+def test_committed_ids_missing_path(spark, tmp_path):
+    assert committed_ids(spark, str(tmp_path / "nope")) is None
+
+
+def test_last_wins_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", "old"), (1, "2025-01-02 00:00:00", "new"),
+         (2, "2025-01-01 00:00:00", "only")],
+        "doc_id long, warc_ts string, v string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    got = {r["doc_id"]: r["v"] for r in last_wins_dedup(df).collect()}
+    assert got == {1: "new", 2: "only"}

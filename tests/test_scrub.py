@@ -1,0 +1,56 @@
+"""Scrub chain: byte-exact goldens + idempotence property (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xdan_dqa_spark.functions.scrub import scrub_columns
+
+CASES = [
+    # (input, expected_scrubbed, expected_count)
+    ("mail me at john.doe@example.com please", "mail me at <EMAIL> please", 1),
+    ("SSN 123-45-6789 on file.", "SSN <SSN> on file.", 1),
+    ("call (555) 123-4567 or 555-987-6543", "call <PHONE> or <PHONE>", 2),
+    ("call +1 212 555 0199 today", "call <PHONE> today", 1),
+    ("That damn thing. What the HELL.", "That <PROFANITY> thing. What the <PROFANITY>.", 2),
+    ("clean text, nothing here", "clean text, nothing here", 0),
+    ("", "", 0),
+    # SSN must win over phone on the xxx-xx-xxxx shape
+    ("id 123-45-6789 and phone 555-123-4567", "id <SSN> and phone <PHONE>", 2),
+    # profanity as substring must NOT be masked (word boundary)
+    ("hello shellfish scrapper", "hello shellfish scrapper", 0),
+    ("a@b.co x@y.io", "<EMAIL> <EMAIL>", 2),
+]
+
+
+def _scrub(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    s, c = scrub_columns(F.col("text"))
+    return df.select(F.col("text"), s.alias("s"), c.alias("c")).collect()
+
+
+def test_scrub_goldens(spark):
+    rows = _scrub(spark, [t for t, _, _ in CASES])
+    expected = {t: (s, c) for t, s, c in CASES}
+    for r in rows:
+        exp_s, exp_c = expected[r["text"]]
+        assert r["s"] == exp_s, f"scrub({r['text']!r}) = {r['s']!r}"
+        assert r["c"] == exp_c, f"count({r['text']!r}) = {r['c']}"
+
+
+def test_scrub_idempotent(spark, webtext):
+    """scrub(scrub(x)) == scrub(x) on the full fixture table."""
+    s1, _ = scrub_columns(F.col("text"))
+    df1 = webtext.select(F.col("url"), s1.alias("once"))
+    s2, c2 = scrub_columns(F.col("once"))
+    bad = df1.select((s2 != F.col("once")).alias("diff"), c2.alias("c")).filter(
+        F.col("diff") | (F.col("c") > 0)
+    )
+    assert bad.count() == 0
+
+
+def test_scrub_null_safe(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    s, c = scrub_columns(F.col("text"))
+    row = df.select(s.alias("s"), c.alias("c")).collect()[0]
+    assert row["s"] == "" and row["c"] == 0

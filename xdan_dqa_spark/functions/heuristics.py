@@ -40,10 +40,10 @@ CJK_CLASS = r"[一-鿿぀-ヿ]"
 
 
 def words_col(text: Column) -> Column:
-    """Whitespace tokenization; empty string → empty array (not [''])."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+    """Whitespace tokenization; empty tokens from leading/trailing
+    whitespace are dropped (JVM trim only strips ASCII space)."""
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda w: F.length(w) > 0
     )
 
 

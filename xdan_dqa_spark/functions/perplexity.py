@@ -117,10 +117,10 @@ def ppl_batch(s: pd.Series) -> pd.Series:
     starts = np.zeros(len(s), dtype=np.int64)
     if len(s) > 1:
         starts[1:] = np.cumsum(lens + 2)[:-1]
+    # reduceat everywhere (sequential accumulation) — a pairwise .sum()
+    # fallback would round differently and break batch invariance.
     starts = np.minimum(starts, max(len(lp) - 1, 0))
     sums = np.add.reduceat(lp, starts) if len(lp) else np.zeros(len(s))
-    if len(s) == 1:
-        sums = np.array([lp.sum()])
     n_tris = np.maximum(lens - 2, 1)
     entropy = -sums / n_tris
     ppl = np.power(2.0, np.clip(entropy, 0.0, 30.0))
