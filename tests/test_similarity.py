@@ -1,0 +1,65 @@
+"""Similarity search: brute-force exactness, ANN recall, near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xdan_dqa_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_to_query,
+    pairwise_neardup,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_cosine_matches_numpy(emb, query):
+    got = (
+        emb.select("vec_id", cosine_to_query("embedding", query).alias("c"))
+        .orderBy("vec_id").limit(20).toPandas()
+    )
+    pdf = emb.orderBy("vec_id").limit(20).toPandas()
+    q = np.asarray(query)
+    for _, r in pdf.iterrows():
+        v = np.asarray(r["embedding"], dtype="float64")
+        expected = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        got_c = float(got[got["vec_id"] == r["vec_id"]]["c"].iloc[0])
+        assert abs(got_c - expected) < 1e-9
+
+
+def test_brute_force_topk_self_first(emb, query):
+    top = brute_force_topk(emb, query, k=5).collect()
+    assert top[0]["vec_id"] == 0          # the query vector itself
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_recall_vs_brute_force(emb, query):
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=10).collect()]
+    approx = [r["vec_id"] for r in ann_topk(emb, query, k=10, bits=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6, f"ANN recall {recall}"
+    assert approx[0] == 0                 # self always lands in its own bucket
+
+
+def test_pairwise_neardup_blocked(emb):
+    pairs = pairwise_neardup(emb, threshold=0.3, block_col="label")
+    rows = pairs.collect()
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["cosine"] >= 0.3

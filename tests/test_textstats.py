@@ -1,0 +1,62 @@
+"""Text-analysis operators vs hand-computed oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xdan_dqa_spark.operators.textstats import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    langid_heuristic_expr,
+    text_profile,
+    whitespace_token_count,
+    winnowing_fingerprints,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "hello world", whitespace_token_count("text")) == 2
+    assert _one(spark, "  a  b\tc ", whitespace_token_count("text")) == 3
+    assert _one(spark, "", whitespace_token_count("text")) == 0
+    # "don't stop 123!" → don, ', t, stop, 123, ! = 6 bpe-ish tokens
+    assert _one(spark, "don't stop 123!", bpe_ish_token_count("text")) == 6
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", doc_fingerprint("text"))
+    b = _one(spark, "hello world", doc_fingerprint("text"))
+    c = _one(spark, "hello worlds", doc_fingerprint("text"))
+    assert a == b and a != c
+
+
+def test_langid_heuristic(spark):
+    assert _one(spark, "the cat and the dog is here", langid_heuristic_expr("text")) == "en"
+    assert _one(spark, "el perro que vive en los campos por una casa", langid_heuristic_expr("text")) == "es"
+    assert _one(spark, "le chat est dans les jardins je crois", langid_heuristic_expr("text")) == "fr"
+    assert _one(spark, "der hund und das haus nicht mit uns", langid_heuristic_expr("text")) == "de"
+    assert _one(spark, "xyzzy 12345", langid_heuristic_expr("text")) == "und"
+
+
+def test_winnowing_properties(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    fp1 = set(_one(spark, base, winnowing_fingerprints("text")))
+    fp2 = set(_one(spark, base + " extra tail words here", winnowing_fingerprints("text")))
+    overlap = len(fp1 & fp2) / len(fp1)
+    assert overlap > 0.7                      # shared prefix → shared fingerprints
+    fp3 = set(_one(spark, "completely different content about engines", winnowing_fingerprints("text")))
+    assert len(fp1 & fp3) / len(fp1) < 0.2
+
+
+def test_text_profile_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = text_profile(docs)
+    row = prof.agg(
+        F.min("n_ws_tokens"), F.max("quality"), F.count_distinct("fingerprint")
+    ).collect()[0]
+    assert row[0] >= 0 and row[1] <= 1.0
+    assert row[2] > 0

@@ -56,10 +56,6 @@ def scrub_sql_expr(col_name: str) -> str:
     checks — DuckDB applies regexp_replace with the 'g' flag)."""
     expr = f"coalesce({col_name}, '')"
     for _name, pat, repl in SCRUB_RULES:
-        p = pat.replace("'", "''")
-        if p.startswith("(?i)"):
-            p = p[4:]
-            expr = f"regexp_replace({expr}, '{p}', '{repl}', 'gi')"
-        else:
-            expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+        p = pat.replace("'", "''")  # inline (?i) passes through — RE2 honors it
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
     return expr

@@ -1,0 +1,222 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference dedups only by exact id (anti-join ``src/data_transformer.py:458-473``,
+merge ``:303-311``). A 100 TB training-data pipeline needs content dedup —
+these operators add the standard stack (exact hash, word-set, MinHash+LSH,
+SimHash, n-gram Jaccard) as DataFrame compositions.
+
+Design notes for scale:
+  * Exact/word-set dedup is one shuffle on the content key.
+  * MinHash-LSH is the linear-time near-dup path: signature (map-side,
+    pure exprs) → explode bands (×B rows) → self-join per band bucket →
+    verified pairs. No O(n²) anywhere; AQE handles hot buckets.
+  * The hash family is md5(prefix:token) — chosen because it's available
+    and bit-identical in DuckDB too, so every operator here is
+    oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# LSH geometry: K = BANDS * ROWS_PER_BAND min-hashes.
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per distinct text.
+
+    groupBy(md5) + min(id) + rejoin — one shuffle, no window, and the
+    representative choice is deterministic (unlike dropDuplicates)."""
+    keyed = df.withColumn("_k", F.md5(F.col(text_col)))
+    reps = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(reps, ["_k", id_col], "left_semi").drop("_k")
+
+
+def wordset_signature(text_col: str) -> F.Column:
+    """Canonical word-set signature: sorted distinct whitespace tokens.
+    Jaccard=1 duplicates share it exactly."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    return F.array_join(F.array_sort(F.array_distinct(words)), " ")
+
+
+def wordset_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Bag-of-words dedup: docs with identical word SETS collapse to the
+    lowest id (near-dup for shuffled/reordered spam pages)."""
+    keyed = df.withColumn("_k", F.md5(wordset_signature(text_col)))
+    reps = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(reps, ["_k", id_col], "left_semi").drop("_k")
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array column (pure exprs, no UDF)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.when(count <= 0, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: F.Column, k: int = MINHASH_BANDS * MINHASH_ROWS) -> F.Column:
+    """k min-hashes; hash_j(s) = md5('<j>:'+s), min taken lexicographically
+    (a uniform-permutation proxy; identical bytes in any engine with md5)."""
+    def hasher(j: int):
+        # closure factory — a default-arg lambda would change the HOF's
+        # perceived arity (PySpark passes the array index as 2nd arg)
+        prefix = F.lit(f"{j}:")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, hasher(j))) for j in range(k)]
+    )
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n_shingle: int = 3, bands: int = MINHASH_BANDS,
+                  rows: int = MINHASH_ROWS) -> DataFrame:
+    """(id, band_id, band_key) — one row per band per doc."""
+    sig = minhash_signature(shingles(text_col, n_shingle), bands * rows)
+    df = df.select(F.col(id_col), sig.alias("_sig"))
+    band_rows = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col("_sig")[b * rows + r] for r in range(rows)]))
+        band_rows.append(
+            df.select(F.col(id_col), F.lit(b).alias("band_id"), key.alias("band_key"))
+        )
+    out = band_rows[0]
+    for extra in band_rows[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate near-dup pairs (a<b) that collide in ≥1 LSH band.
+
+    The self-join is per (band_id, band_key) bucket — linear in collisions,
+    never all-pairs. Returns columns (a, b)."""
+    bandsdf = minhash_bands(df, text_col, id_col)
+    left = bandsdf.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("a"))
+    right = bandsdf.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs; keeps pairs ≥ threshold.
+    Returns (a, b, jaccard)."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col)).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.7) -> DataFrame:
+    """Drop docs that are verified near-duplicates of a lower-id doc.
+
+    Pair-based (not transitive-closure): b is dropped iff some a<b with
+    J(a,b) ≥ τ — the standard single-pass web-dedup policy; full connected
+    components would need an iterative join (see GraphFrames) and is
+    rarely worth it for dedup."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col)
+    dups = (
+        jaccard_verify(df, pairs, text_col, id_col, threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard via LSH candidates (the scalable route to
+    'n-gram Jaccard dedup'); returns (a, b, jaccard)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col)
+    return jaccard_verify(df, pairs, text_col, id_col, threshold)
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash_column(text_col: str, bits: int = SIMHASH_BITS) -> F.Column:
+    """SimHash fingerprint from word features, pure exprs.
+
+    Each token votes ±1 per bit using bits of xxhash64(token); the
+    fingerprint sets bit i iff the vote sum is positive. Charikar (2002).
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+
+    def bit_vote(i: int):
+        return lambda a, w: a + F.when(
+            F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(words, F.lit(0).cast("long"), bit_vote(i))
+        acc = acc + F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup dedup on SimHash: candidates via 4-way band blocking
+    (docs within hamming distance d ≤ 3 share ≥1 of 4 8-bit bands), then
+    exact popcount verify. Keeps the lowest id per near-dup pair."""
+    fp = df.select(F.col(id_col), simhash_column(text_col).alias("_fp"))
+    band_frames = [
+        fp.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("_fp"), b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+        )
+        for b in range(4)
+    ]
+    bandsdf = band_frames[0]
+    for extra in band_frames[1:]:
+        bandsdf = bandsdf.unionByName(extra)
+    left = bandsdf.select("band_id", "band_key", F.col(id_col).alias("a"))
+    right = bandsdf.select("band_id", "band_key", F.col(id_col).alias("b"))
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("a"), F.col("_fp").alias("_fa"))
+    fb = fp.select(F.col(id_col).alias("b"), F.col("_fp").alias("_fb"))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    dups = (
+        cand.join(fa, "a").join(fb, "b")
+        .filter(ham <= max_hamming)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")

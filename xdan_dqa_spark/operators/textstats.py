@@ -1,0 +1,101 @@
+"""Text-analysis operators over generic document tables.
+
+Everything is a pure Column expression (JVM, codegen) so the same
+definitions serve both the engine and the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish token pattern: words, numbers, or single punctuation marks —
+# the standard cheap proxy for subword token counts.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text_col: str) -> F.Column:
+    return F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    ).cast("long")
+
+
+def bpe_ish_token_count(text_col: str) -> F.Column:
+    return F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def quality_score_expr(text_col: str) -> F.Column:
+    """Cheap [0,1] quality score from length/punctuation/stopword ratios
+    (the heuristic analogue of the reference's weighted LLM score)."""
+    from ..functions.heuristics import heuristic_columns
+
+    h = heuristic_columns(F.col(text_col))
+    length_part = F.least(h["n_words"] / F.lit(100.0), F.lit(1.0))
+    stop_part = F.least(h["stopword_ratio"] / F.lit(0.25), F.lit(1.0))
+    clean_part = F.greatest(F.lit(1.0) - h["symbol_ratio"] / F.lit(0.1), F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * stop_part + F.lit(0.3) * length_part + F.lit(0.3) * clean_part, 4
+    )
+
+
+def doc_fingerprint(text_col: str) -> F.Column:
+    """Stable content fingerprint: md5 of whitespace-normalized lowercase
+    text (identical in any engine with md5 — oracle-friendly)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return F.md5(norm)
+
+
+def winnowing_fingerprints(text_col: str, k: int = 8, w: int = 4) -> F.Column:
+    """Winnowing document fingerprints (Schleimer et al. 2003): k-char
+    shingle hashes, min per sliding window of w, distinct. Used for
+    robust partial-overlap detection; pure array exprs."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_sh = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    )
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.array_distinct(mins)
+
+
+def langid_heuristic_expr(text_col: str) -> F.Column:
+    """Column-expression language ID (literal marker counting — the
+    oracle-parity variant of the pandas-UDF scorer; literal `replace`
+    counting behaves identically in every engine)."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+    def count_of(marker: str) -> F.Column:
+        # occurrences via length delta — engine-portable, no regex
+        return (
+            F.length(t) - F.length(F.replace(t, F.lit(f" {marker} "), F.lit("")))
+        ) / F.lit(len(marker) + 2)
+
+    en = count_of("the") + count_of("and") + count_of("is") + count_of("that") + count_of("of")
+    es = count_of("el") + count_of("que") + count_of("los") + count_of("una") + count_of("por")
+    fr = count_of("le") + count_of("les") + count_of("dans") + count_of("est") + count_of("je")
+    de = count_of("der") + count_of("und") + count_of("das") + count_of("nicht") + count_of("mit")
+    return (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= fr) & (es >= de) & (es > 0), F.lit("es"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc: token counts, quality score, fingerprint, langid."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": whitespace_token_count(text_col),
+            "n_bpe_tokens": bpe_ish_token_count(text_col),
+            "quality": quality_score_expr(text_col),
+            "fingerprint": doc_fingerprint(text_col),
+            "lang_pred": langid_heuristic_expr(text_col),
+        }
+    )

@@ -1,0 +1,649 @@
+"""Driver-contract queries: one per implemented operator (SURVEY.md §2),
+each with a DuckDB-ANSI oracle twin.
+
+Parity discipline (so the driver's value-hash matches bit-for-bit):
+  * only +,-,*,/ arithmetic and engine-portable functions (length, trim,
+    split-on-literal, replace-literal, md5, least/greatest, CASE) in
+    oracle-paired queries — no transcendentals, no engine hash functions;
+  * double sums go through DECIMAL(20,6) (exact arithmetic in both
+    engines) and back to double;
+  * every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------------ helpers
+
+def _words(text_col):
+    """Tokens by single-space split, empties dropped — mirrors DuckDB
+    list_filter(string_split(text,' '), w -> w <> '')."""
+    return F.filter(F.split(text_col, " ", -1), lambda w: w != F.lit(""))
+
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _dec_sum(col, alias):
+    return F.sum(col.cast("decimal(20,6)")).cast("double").alias(alias)
+
+
+# ------------------------------------------------------------------ queries
+# P1 validation filter (reference src/models.py:78-90 empty-field drop)
+
+def q_p1_validation_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_P1 = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE text IS NOT NULL AND length(trim(text)) > 0
+"""
+
+# S7 field mapping (reference src/data_loader.py:109-141)
+
+def q_s7_field_mapping(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("sources"),
+        F.col("text").alias("output"),
+        F.lit("").alias("input"),
+    )
+
+
+SQL_S7 = "SELECT doc_id AS id, source AS sources, text AS output, '' AS input FROM documents"
+
+# P4 weighted score (reference src/processor.py:200-221) — deterministic
+# proxy dims from portable per-row signals.
+
+def _p4_frame(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    n_words = F.size(_words(F.col("text"))).cast("double")
+    d_len = F.least(n_words / F.lit(100.0), F.lit(1.0)) * 10.0
+    d_chars = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)) * 10.0
+    score = F.lit(0.6) * d_len + F.lit(0.4) * d_chars
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        score.alias("score"),
+    )
+
+
+def q_p4_weighted_score(spark, sf_dir):
+    return _p4_frame(spark, sf_dir)
+
+
+SQL_P4 = f"""
+SELECT doc_id,
+       CAST(len({_WORDS_SQL}) AS DOUBLE) AS n_words,
+       0.6 * (least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 100.0, 1.0) * 10.0)
+     + 0.4 * (least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 10.0) AS score
+FROM documents
+"""
+
+# P3 normalization clamp (reference src/processor.py:302-311)
+
+def q_p3_normalization(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.col("n_chars").cast("double") / F.lit(50.0), F.lit(10.0)).alias("norm_score"),
+    )
+
+
+SQL_P3 = "SELECT doc_id, least(CAST(n_chars AS DOUBLE) / 50.0, 10.0) AS norm_score FROM documents"
+
+# F1 score/category filter (reference src/processor.py:423-435)
+
+def q_f1_keep_filter(spark, sf_dir):
+    return (
+        _p4_frame(spark, sf_dir)
+        .join(_t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+        .filter((F.col("score") >= 6.0) & F.col("lang").isin("en", "es", "fr"))
+        .select("doc_id", "lang", "score")
+    )
+
+
+SQL_F1 = f"""
+WITH scored AS ({SQL_P4})
+SELECT s.doc_id, d.lang, s.score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.score >= 6.0 AND d.lang IN ('en','es','fr')
+"""
+
+# F2 keep/drop split — drop lane (reference src/processor.py:363-402)
+
+def q_f2_drop_lane(spark, sf_dir):
+    return (
+        _p4_frame(spark, sf_dir)
+        .join(_t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+        .filter(~((F.col("score") >= 6.0) & F.col("lang").isin("en", "es", "fr")))
+        .select("doc_id", "lang", "score")
+    )
+
+
+SQL_F2 = f"""
+WITH scored AS ({SQL_P4})
+SELECT s.doc_id, d.lang, s.score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE NOT (s.score >= 6.0 AND d.lang IN ('en','es','fr'))
+"""
+
+# A1 batch metrics (reference src/processor.py:404-421)
+
+def q_a1_batch_metrics(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_items"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            _dec_sum(F.col("n_chars"), "sum_chars"),
+        )
+        .withColumn("avg_chars", F.col("sum_chars") / F.col("total_items"))
+    )
+
+
+SQL_A1 = """
+SELECT source,
+       COUNT(*) AS total_items,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(20,6))) AS DOUBLE) AS sum_chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+# A3 group-by-source distribution (reference src/utils/dataset_utils.py:103-133)
+
+def q_a3_source_distribution(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    total = df.count()  # plan-time scalar; deterministic
+    return (
+        df.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .withColumn("pct", F.col("n").cast("double") / F.lit(float(total)))
+    )
+
+
+SQL_A3 = """
+SELECT source, COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS pct
+FROM documents GROUP BY source
+"""
+
+# A4 token statistics (reference scripts/check_tokens.py:10-45)
+
+def q_a4_token_stats(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_words(F.col("text"))).cast("long")
+    return (
+        df.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_A4 = f"""
+SELECT lang,
+       SUM(len({_WORDS_SQL})) AS total_tokens,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_WORDS_SQL})) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+# J1 anti-join resume (reference src/data_transformer.py:458-473)
+
+def q_j1_anti_join_resume(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    committed = df.filter(F.pmod(F.col("doc_id"), 10) < 3).select("doc_id")
+    return df.join(committed, "doc_id", "left_anti").select("doc_id", "source")
+
+
+SQL_J1 = """
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 < 3)
+"""
+
+# J2 last-wins merge dedup (reference src/data_transformer.py:303-311)
+
+def q_j2_last_wins_dedup(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = df.withColumn("ingest_order", F.lit(1)).withColumn("payload", F.col("text"))
+    v2 = (
+        df.filter(F.pmod(F.col("doc_id"), 3) == 0)
+        .withColumn("ingest_order", F.lit(2))
+        .withColumn("payload", F.concat(F.lit("v2:"), F.col("text")))
+    )
+    unioned = v1.unionByName(v2)
+    w = Window.partitionBy("doc_id").orderBy(F.col("ingest_order").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "ingest_order", F.md5(F.col("payload")).alias("payload_md5"))
+    )
+
+
+SQL_J2 = """
+WITH unioned AS (
+  SELECT doc_id, 1 AS ingest_order, text AS payload FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS ingest_order, 'v2:' || text AS payload FROM documents WHERE doc_id % 3 = 0
+), ranked AS (
+  SELECT doc_id, ingest_order, payload,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ingest_order DESC) AS rn
+  FROM unioned
+)
+SELECT doc_id, ingest_order, md5(payload) AS payload_md5 FROM ranked WHERE rn = 1
+"""
+
+# U1 union across datasets (reference src/data_loader.py:56-68)
+
+def q_u1_union(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    en = df.filter(F.col("lang") == "en").withColumn("dataset", F.lit("ds_en"))
+    es = df.filter(F.col("lang") == "es").withColumn("dataset", F.lit("ds_es"))
+    return en.unionByName(es).select("doc_id", "dataset", "lang")
+
+
+SQL_U1 = """
+SELECT doc_id, 'ds_en' AS dataset, lang FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, 'ds_es' AS dataset, lang FROM documents WHERE lang = 'es'
+"""
+
+# O1+L1 sort + limit (reference src/data_transformer.py:311; data_loader.py:100)
+
+def q_o1_sort_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_O1 = "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id LIMIT 100"
+
+# S3 deterministic sampling (reference src/data_loader.py:97-100, seed=42)
+
+def q_s3_sample(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), 20) == 0)
+        .select("doc_id", "lang")
+    )
+
+
+SQL_S3 = "SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0"
+
+# Exact dedup (hash-groupBy)
+
+def q_dedup_exact(spark, sf_dir):
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_md5 FROM documents GROUP BY md5(text)
+"""
+
+# Word-set dedup (n-gram Jaccard = 1 on unigram sets)
+
+def q_dedup_wordset(spark, sf_dir):
+    from ..operators.dedup import wordset_dedup
+
+    return wordset_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+SQL_DEDUP_WORDSET = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_WORDS_SQL})), ' ')) AS k
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k
+"""
+
+# MinHash LSH candidate pairs (shingle→minhash→band→bucket-join)
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    from ..operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+# DuckDB twin of the exact same md5-minhash/band construction
+# (4 bands × 2 rows, word-3-gram shingles).
+_SHINGLES_SQL = f"""
+CASE WHEN len({_WORDS_SQL}) < 3
+     THEN [array_to_string({_WORDS_SQL}, ' ')]
+     ELSE [array_to_string(({_WORDS_SQL})[i:i+2], ' ')
+           FOR i IN range(1, len({_WORDS_SQL}) - 1)]
+END
+"""
+
+
+def _minhash_sql(j: int) -> str:
+    return f"list_min([md5('{j}:' || s) FOR s IN sh])"
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5({_minhash_sql(2 * b)} || '|' || {_minhash_sql(2 * b + 1)}) AS band_key FROM sigs"
+    for b in range(4)
+)
+
+SQL_DEDUP_MINHASH_PAIRS = f"""
+WITH sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS ({_BANDS_SQL})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+"""
+
+# Language-ID heuristic (marker counting — column-expr variant)
+
+def q_lang_id_heuristic(spark, sf_dir):
+    from ..operators.textstats import langid_heuristic_expr
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", langid_heuristic_expr("text").alias("lang_pred")
+    )
+
+
+def _count_sql(marker: str) -> str:
+    pad = f" {marker} "
+    return (
+        f"(length(t) - length(replace(t, '{pad}', ''))) / {len(marker) + 2}"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+scores AS (
+  SELECT doc_id,
+    {_count_sql('the')} + {_count_sql('and')} + {_count_sql('is')} + {_count_sql('that')} + {_count_sql('of')} AS en,
+    {_count_sql('el')} + {_count_sql('que')} + {_count_sql('los')} + {_count_sql('una')} + {_count_sql('por')} AS es,
+    {_count_sql('le')} + {_count_sql('les')} + {_count_sql('dans')} + {_count_sql('est')} + {_count_sql('je')} AS fr,
+    {_count_sql('der')} + {_count_sql('und')} + {_count_sql('das')} + {_count_sql('nicht')} + {_count_sql('mit')} AS de
+  FROM padded
+)
+SELECT doc_id,
+  CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+       WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+       WHEN fr >= de AND fr > 0 THEN 'fr'
+       WHEN de > 0 THEN 'de'
+       ELSE 'und' END AS lang_pred
+FROM scores
+"""
+
+# Document fingerprinting (md5 of normalized text)
+
+def q_doc_fingerprint(spark, sf_dir):
+    from ..operators.textstats import doc_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+# Token counting (whitespace + BPE-ish regex)
+
+def q_token_count(spark, sf_dir):
+    from ..operators.textstats import whitespace_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").alias("n_ws_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = f"SELECT doc_id, len({_WORDS_SQL}) AS n_ws_tokens FROM documents"
+
+# PII/profanity scrub (JVM regexp chain — P7 replacement)
+
+def q_p7_scrub(spark, sf_dir):
+    from ..functions.scrub import scrub_columns
+
+    s, c = scrub_columns(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(s).alias("scrubbed_md5"), c.alias("scrub_count")
+    )
+
+
+def _scrub_sql() -> str:
+    from ..functions.scrub import scrub_sql_expr
+
+    return f"SELECT doc_id, md5({scrub_sql_expr('text')}) AS scrubbed_md5, " \
+           f"{_scrub_count_sql()} AS scrub_count FROM documents"
+
+
+def _scrub_count_sql() -> str:
+    # counts on progressively-scrubbed text, mirroring scrub_columns;
+    # patterns pass through verbatim — RE2 honors inline (?i)
+    from ..functions.scrub import SCRUB_RULES
+
+    exprs = []
+    t = "coalesce(text, '')"
+    for _name, pat, repl in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        exprs.append(f"len(regexp_extract_all({t}, '{p}'))")
+        t = f"regexp_replace({t}, '{p}', '{repl}', 'g')"
+    return "CAST(" + " + ".join(exprs) + " AS INT)"
+
+
+# Embedding brute-force top-k (ANN baseline)
+
+def q_knn_bruteforce(spark, sf_dir):
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0]
+    return brute_force_topk(emb, query, k=10).select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine_r")
+    )
+
+
+SQL_KNN = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+# Embedding near-dup pairs (label-blocked)
+
+def q_embedding_neardup(spark, sf_dir):
+    from ..operators.similarity import pairwise_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pairwise_neardup(emb, threshold=0.35).select("a", "b")
+
+
+SQL_EMB_NEARDUP = """
+SELECT l.vec_id AS a, r.vec_id AS b
+FROM embeddings l JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))) >= 0.35
+"""
+
+# A2-style totals over events (sum of processing time analogue)
+
+def q_a2_event_totals(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+    )
+
+
+SQL_A2 = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+# TPC-H-Q1-style pricing summary (A1 at warehouse scale)
+
+def q_a5_lineitem_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_A5 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------- rows-only queries
+# (non-SQL-expressible: pandas UDFs / engine-specific hashing — the driver
+# records a weaker rows-only check for these.)
+
+def q_pipeline_score_documents(spark, sf_dir):
+    """Flagship: full deterministic scoring pipeline over `documents`."""
+    from ..operators.score import QualityConfig
+    from ..pipeline import score_webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = QualityConfig(require_lang_match=False, min_words=10)
+    scored = score_webtext(docs, cfg, text_col="text", declared_lang_col="lang")
+    return scored.select(
+        "doc_id", "pred_lang", "ppl", "score", "keep", "scrub_count"
+    )
+
+
+def q_dedup_minhash_full(spark, sf_dir):
+    """MinHash dedup end-to-end (candidates → Jaccard verify → anti-join)."""
+    from ..operators.dedup import minhash_dedup
+
+    return minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.7).select("doc_id")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=3).select("doc_id")
+
+
+def q_ann_topk(spark, sf_dir):
+    from ..operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0]
+    return ann_topk(emb, query, k=10, bits=3).select("vec_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_validation_filter": q_p1_validation_filter,
+    "s7_field_mapping": q_s7_field_mapping,
+    "p3_normalization": q_p3_normalization,
+    "p4_weighted_score": q_p4_weighted_score,
+    "f1_keep_filter": q_f1_keep_filter,
+    "f2_drop_lane": q_f2_drop_lane,
+    "a1_batch_metrics": q_a1_batch_metrics,
+    "a2_event_totals": q_a2_event_totals,
+    "a3_source_distribution": q_a3_source_distribution,
+    "a4_token_stats": q_a4_token_stats,
+    "a5_lineitem_summary": q_a5_lineitem_summary,
+    "j1_anti_join_resume": q_j1_anti_join_resume,
+    "j2_last_wins_dedup": q_j2_last_wins_dedup,
+    "u1_union": q_u1_union,
+    "o1_sort_limit": q_o1_sort_limit,
+    "s3_sample": q_s3_sample,
+    "dedup_exact": q_dedup_exact,
+    "dedup_wordset": q_dedup_wordset,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count": q_token_count,
+    "p7_scrub": q_p7_scrub,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_neardup": q_embedding_neardup,
+    # rows-only (non-SQL-expressible)
+    "pipeline_score_documents": q_pipeline_score_documents,
+    "dedup_minhash_full": q_dedup_minhash_full,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+}
+
+
+def oracle_map() -> dict[str, str]:
+    return {
+        "p1_validation_filter": SQL_P1,
+        "s7_field_mapping": SQL_S7,
+        "p3_normalization": SQL_P3,
+        "p4_weighted_score": SQL_P4,
+        "f1_keep_filter": SQL_F1,
+        "f2_drop_lane": SQL_F2,
+        "a1_batch_metrics": SQL_A1,
+        "a2_event_totals": SQL_A2,
+        "a3_source_distribution": SQL_A3,
+        "a4_token_stats": SQL_A4,
+        "a5_lineitem_summary": SQL_A5,
+        "j1_anti_join_resume": SQL_J1,
+        "j2_last_wins_dedup": SQL_J2,
+        "u1_union": SQL_U1,
+        "o1_sort_limit": SQL_O1,
+        "s3_sample": SQL_S3,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_wordset": SQL_DEDUP_WORDSET,
+        "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+        "lang_id_heuristic": SQL_LANG_ID,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "token_count": SQL_TOKEN_COUNT,
+        "p7_scrub": _scrub_sql(),
+        "knn_bruteforce": SQL_KNN,
+        "embedding_neardup": SQL_EMB_NEARDUP,
+    }
