@@ -24,7 +24,7 @@ def test_simple_english(spark):
     assert got["stopword_ratio"] == pytest.approx(0.6)
     assert got["alpha_ratio"] == 1.0
     assert got["dup_line_frac"] == 0.0
-    assert got["max_word_rep"] == pytest.approx(0.4)  # "the" twice / 5
+    assert got["distinct_word_ratio"] == pytest.approx(0.8)  # 4 distinct / 5
 
 
 def test_empty_and_whitespace(spark):
@@ -33,7 +33,7 @@ def test_empty_and_whitespace(spark):
         assert got["n_words"] == 0.0
         assert got["stopword_ratio"] == 0.0
         assert got["mean_word_len"] == 0.0
-        assert got["max_word_rep"] == 0.0
+        assert got["distinct_word_ratio"] == 1.0
 
 
 def test_duplicate_lines(spark):

@@ -53,47 +53,61 @@ def wordset_dedup(df: DataFrame, text_col: str = "text",
 
 
 def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Word n-gram shingles as an array column (pure exprs, no UDF)."""
+    """Word n-gram shingles as an array column (pure exprs, no UDF).
+
+    Built with arrays_zip over n shifted slices so the lambda body is
+    O(1) per element — `transform(sequence(...), i -> slice(words, i, n))`
+    would re-evaluate the tokenization per element (O(words²) per doc)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, i + 1, count) for i in range(n)])
     return F.when(count <= 0, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
+        F.transform(zipped, lambda t: F.concat_ws(" ", *[t[str(i)] for i in range(n)]))
     )
 
 
-def minhash_signature(shingle_col: F.Column, k: int = MINHASH_BANDS * MINHASH_ROWS) -> F.Column:
-    """k min-hashes; hash_j(s) = md5('<j>:'+s), min taken lexicographically
-    (a uniform-permutation proxy; identical bytes in any engine with md5)."""
-    def hasher(j: int):
-        # closure factory — a default-arg lambda would change the HOF's
-        # perceived arity (PySpark passes the array index as 2nd arg)
-        prefix = F.lit(f"{j}:")
-        return lambda s: F.md5(F.concat(prefix, s))
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_shingle: int = 3,
+                       k: int = MINHASH_BANDS * MINHASH_ROWS) -> DataFrame:
+    """(id, h0..h{k-1}) min-hash signature table.
 
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, hasher(j))) for j in range(k)]
-    )
+    hash_j(s) = md5('<j>:'+s), min taken lexicographically (a
+    uniform-permutation proxy; identical bytes in any engine with md5).
+
+    Shape: explode(shingles) → groupBy(id).agg(k mins). The k hashes ride
+    one hash-aggregate with map-side partial combine — shuffle rows out =
+    docs, not shingles — and stay inside whole-stage codegen. (A nested
+    transform/array_min formulation is interpreted per-element and was
+    ~100x slower.)"""
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, n_shingle)).alias("_sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_sh")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n_shingle: int = 3, bands: int = MINHASH_BANDS,
                   rows: int = MINHASH_ROWS) -> DataFrame:
     """(id, band_id, band_key) — one row per band per doc."""
-    sig = minhash_signature(shingles(text_col, n_shingle), bands * rows)
-    df = df.select(F.col(id_col), sig.alias("_sig"))
-    band_rows = []
-    for b in range(bands):
-        key = F.md5(F.concat_ws("|", *[F.col("_sig")[b * rows + r] for r in range(rows)]))
-        band_rows.append(
-            df.select(F.col(id_col), F.lit(b).alias("band_id"), key.alias("band_key"))
-        )
-    out = band_rows[0]
-    for extra in band_rows[1:]:
-        out = out.unionByName(extra)
-    return out
+    sig = minhash_signatures(df, text_col, id_col, n_shingle, bands * rows)
+    # one explode, not a union of per-band selects — a union re-executes
+    # the signature aggregate once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("_b")).select(
+        F.col(id_col), F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+    )
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -163,26 +177,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 SIMHASH_BITS = 32
 
 
-def simhash_column(text_col: str, bits: int = SIMHASH_BITS) -> F.Column:
-    """SimHash fingerprint from word features, pure exprs.
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, _fp) SimHash fingerprint table (Charikar 2002).
 
     Each token votes ±1 per bit using bits of xxhash64(token); the
-    fingerprint sets bit i iff the vote sum is positive. Charikar (2002).
-    """
+    fingerprint sets bit i iff the vote sum is positive. Shaped as
+    explode(words) → one hash-aggregate with `bits` conditional sums —
+    codegen'd with map-side combine (the F.aggregate-HOF formulation is
+    interpreted and far slower)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
-
-    def bit_vote(i: int):
-        return lambda a, w: a + F.when(
-            F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    acc = F.lit(0).cast("long")
+    ex = df.select(F.col(id_col), F.explode(words).alias("_w")).withColumn(
+        "_h", F.xxhash64(F.col("_w"))
+    )
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
     for i in range(bits):
-        vote = F.aggregate(words, F.lit(0).cast("long"), bit_vote(i))
-        acc = acc + F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return acc
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("_fp"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -190,18 +213,19 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup dedup on SimHash: candidates via 4-way band blocking
     (docs within hamming distance d ≤ 3 share ≥1 of 4 8-bit bands), then
     exact popcount verify. Keeps the lowest id per near-dup pair."""
-    fp = df.select(F.col(id_col), simhash_column(text_col).alias("_fp"))
-    band_frames = [
-        fp.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
-            F.shiftright(F.col("_fp"), b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
-        )
-        for b in range(4)
-    ]
-    bandsdf = band_frames[0]
-    for extra in band_frames[1:]:
-        bandsdf = bandsdf.unionByName(extra)
+    fp = simhash_fingerprints(df, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("_fp"), b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    bandsdf = fp.select(F.col(id_col), F.explode(band_structs).alias("_b")).select(
+        F.col(id_col), F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+    )
     left = bandsdf.select("band_id", "band_key", F.col(id_col).alias("a"))
     right = bandsdf.select("band_id", "band_key", F.col(id_col).alias("b"))
     cand = (

@@ -41,7 +41,7 @@ class QualityConfig:
     min_cjk_chars: float = 30.0  # zh analogue of min_words
     max_dup_line_frac: float = 0.30
     max_symbol_ratio: float = 0.10
-    max_word_rep: float = 0.30
+    min_distinct_ratio: float = 0.20  # keyword stuffing: few distinct tokens
     min_mean_word_len: float = 1.5
     max_mean_word_len: float = 14.0
 
@@ -97,7 +97,7 @@ def dimension_columns(h: dict[str, Column], pred_lang: Column, lang_score: Colum
     d_structure = (
         F.lit(10.0)
         * _clip01(F.lit(1.0) - h["dup_line_frac"] / F.lit(float(cfg.max_dup_line_frac)))
-        * _clip01(F.lit(1.0) - (h["max_word_rep"] - F.lit(0.10)) / F.lit(0.40))
+        * _clip01(h["distinct_word_ratio"] / F.lit(0.25))
         * F.when(len_ok, F.lit(1.0)).otherwise(F.lit(0.0))
         * F.when(mwl_ok, F.lit(1.0)).otherwise(F.lit(0.3))
     )
@@ -152,7 +152,6 @@ def keep_column(score: Column, pred_lang: Column, h: dict[str, Column],
         )
         & (h["dup_line_frac"] <= cfg.max_dup_line_frac)
         & (h["symbol_ratio"] <= cfg.max_symbol_ratio)
-        # word-repetition rule only applies to space-segmented scripts
-        & ((pred_lang == "zh") | (h["max_word_rep"] <= cfg.max_word_rep))
+        & (h["distinct_word_ratio"] >= cfg.min_distinct_ratio)
     )
     return keep
