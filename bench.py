@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -25,11 +26,72 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WEBTEXT_ROWS = int(os.environ.get("BENCH_WEBTEXT_ROWS", "40000"))
 WEBTEXT_PARQUET = f"/tmp/bench_webtext_{WEBTEXT_ROWS}.parquet"
+# Scaling-efficiency evidence (BASELINE.json north_rule): identical job at
+# two parallelism levels in separate JVMs. Larger input than the operator
+# suite so per-task fixed overhead amortizes, as it would at cluster scale.
+SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
+SCALING_ROWS = int(os.environ.get("BENCH_SCALING_ROWS", "240000"))
+SCALING_CPUS = (8, 32)
+SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
 
 
 def force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def ensure_webtext(spark, rows: int) -> str:
+    path = f"/tmp/bench_webtext_{rows}.parquet"
+    if not os.path.exists(path):
+        from xdan_dqa_spark.schemas import WEBTEXT_SCHEMA
+        from xdan_dqa_spark.synth import make_webtext
+
+        pdf = make_webtext(rows).drop(columns=["_kind"])
+        spark.createDataFrame(pdf, schema=WEBTEXT_SCHEMA).repartition(
+            64
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def pipeline_once(cpus: int, rows: int) -> None:
+    """Subprocess mode: run the flagship pipeline once on local[cpus] and
+    print {"secs": ...}. A fresh JVM per parallelism level keeps the two
+    scaling measurements independent (stand-in for N vs 4N executors)."""
+    from xdan_dqa_spark.pipeline import salted_repartition, score_webtext, with_doc_id
+    from xdan_dqa_spark.session import get_spark
+
+    spark = get_spark(f"bench_scaling_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    path = ensure_webtext(spark, rows)
+    webtext = spark.read.parquet(path)
+    run = lambda df: force(score_webtext(salted_repartition(df, cpus * 2)))
+    # warmup: JVM codegen + one python worker per core
+    run(with_doc_id(webtext).limit(cpus * 4096))
+    secs = []
+    for _ in range(SCALING_TRIALS):  # min-of-N: the box shows bursty
+        t0 = time.time()             # hypervisor steal under full load
+        run(with_doc_id(webtext))
+        secs.append(round(time.time() - t0, 3))
+    print(json.dumps({"secs": min(secs), "trials": secs}))
+    spark.stop()
+
+
+def measure_scaling(rows: int) -> dict:
+    out: dict = {"rows": rows}
+    for cpus in SCALING_CPUS:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-once",
+             str(cpus), str(rows)],
+            capture_output=True, text=True, timeout=900, check=True,
+        )
+        secs = json.loads(r.stdout.strip().splitlines()[-1])["secs"]
+        out[f"local{cpus}_sec"] = secs
+        out[f"local{cpus}_docs_per_sec"] = round(rows / secs, 1)
+    lo, hi = SCALING_CPUS
+    speedup = out[f"local{hi}_docs_per_sec"] / out[f"local{lo}_docs_per_sec"]
+    out["speedup"] = round(speedup, 3)
+    out["efficiency"] = round(speedup / (hi / lo), 3)
+    return out
 
 
 def main() -> None:
@@ -38,18 +100,11 @@ def main() -> None:
     from xdan_dqa_spark.pipeline import score_webtext, salted_repartition, with_doc_id
     from xdan_dqa_spark.plans import entry_queries as eq
     from xdan_dqa_spark.session import get_spark
-    from xdan_dqa_spark.synth import make_webtext
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
 
     # Materialize the webtext input once (generation excluded from timing).
-    if not os.path.exists(WEBTEXT_PARQUET):
-        pdf = make_webtext(WEBTEXT_ROWS).drop(columns=["_kind"])
-        from xdan_dqa_spark.schemas import WEBTEXT_SCHEMA
-
-        spark.createDataFrame(pdf, schema=WEBTEXT_SCHEMA).repartition(
-            CPUS * 2
-        ).write.mode("overwrite").parquet(WEBTEXT_PARQUET)
+    ensure_webtext(spark, WEBTEXT_ROWS)
 
     timings: dict[str, float] = {}
 
@@ -92,24 +147,29 @@ def main() -> None:
         fn = eq.QUERIES[name]
         bench(name, lambda fn=fn: force(fn(spark, SF_DIR)))
 
+    spark.stop()
+
+    scaling = measure_scaling(SCALING_ROWS) if SCALING else None
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "keep-drop+scrub docs/sec + operator suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "docs_per_sec": docs_per_sec,
-                "webtext_rows": WEBTEXT_ROWS,
-                "cpus": CPUS,
-            }
-        )
-    )
-    spark.stop()
+    payload = {
+        "metric": "keep-drop+scrub docs/sec + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "webtext_rows": WEBTEXT_ROWS,
+        "cpus": CPUS,
+    }
+    if scaling:
+        payload["scaling"] = scaling
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--pipeline-once":
+        pipeline_once(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else SCALING_ROWS)
+    else:
+        main()

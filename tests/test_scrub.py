@@ -49,6 +49,26 @@ def test_scrub_idempotent(spark, webtext):
     assert bad.count() == 0
 
 
+def test_scrub_count_cheap_equals_regex_count(spark, webtext):
+    """The pipeline's literal mask-token count must equal the per-rule
+    regexp_count sum on every fixture doc (incl. docs that already contain
+    literal mask tokens)."""
+    from xdan_dqa_spark.functions.scrub import scrub_count_cheap, scrub_expr
+
+    extra = spark.createDataFrame(
+        [("u1", "has a literal <EMAIL> token and real a@b.co",),
+         ("u2", "<PHONE> <SSN> <PROFANITY> only literals",)],
+        "url string, text string",
+    )
+    df = webtext.select("url", "text").unionByName(extra)
+    s_ref, c_ref = scrub_columns(F.col("text"))
+    cheap = scrub_count_cheap(F.col("text"), scrub_expr(F.col("text")))
+    bad = df.select(c_ref.alias("ref"), cheap.alias("cheap")).filter(
+        F.col("ref") != F.col("cheap")
+    )
+    assert bad.count() == 0
+
+
 def test_scrub_null_safe(spark):
     df = spark.createDataFrame([(None,)], "text string")
     s, c = scrub_columns(F.col("text"))

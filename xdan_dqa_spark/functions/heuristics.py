@@ -136,10 +136,14 @@ def distinct_word_ratio(words: Column) -> Column:
     )
 
 
-def heuristic_columns(text: Column) -> dict[str, Column]:
-    """All heuristic signals for one text column, sharing the tokenization
-    subexpression (Catalyst CSE collapses the repeated `words`)."""
-    w = words_col(text)
+def heuristic_columns(text: Column, words: Column | None = None) -> dict[str, Column]:
+    """All heuristic signals for one text column.
+
+    Pass ``words`` as a materialized column reference when computing many
+    signals over the same text (the pipeline does): a bare attribute is
+    "cheap" to Catalyst, so CollapseProject dedups it, whereas an inline
+    ``words_col`` subtree is re-evaluated per referencing signal."""
+    w = words if words is not None else words_col(text)
     return {
         "n_chars": n_chars(text),
         "n_words": n_words(w),

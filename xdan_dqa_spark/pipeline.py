@@ -19,11 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.extract import extract_text_udf
-from .functions.heuristics import heuristic_columns
-from .functions.langid import langid_udf
-from .functions.perplexity import ppl_udf
-from .functions.scrub import scrub_columns
+from .functions.fused import extract_score_udf, score_text_udf
+from .functions.heuristics import heuristic_columns, words_col
+from .functions.scrub import scrub_count_cheap, scrub_expr
 from .operators.score import QualityConfig, dimension_columns, keep_column, weighted_score
 
 SALT_BUCKETS = 64  # salt modulus for skewed-host partitioning
@@ -61,31 +59,47 @@ def score_webtext(
     """
     cfg = cfg or QualityConfig()
 
+    # Extraction + langid + ppl fused into ONE ArrowEvalPython stage — one
+    # Python round trip per batch (see functions/fused.py).
     if text_col is None:
-        df = df.withColumn("extracted_text", extract_text_udf(F.col("html")))
+        df = df.withColumn("_scored", extract_score_udf(F.col("html")))
         # Drop the heavy binary immediately — keeps shuffles/Arrow light.
         df = df.drop("html")
-        text = F.col("extracted_text")
+        df = df.withColumn("extracted_text", F.col("_scored.extracted_text"))
     else:
+        # P1 validation runs pre-UDF here (pure JVM predicate on input text).
         df = df.withColumn("extracted_text", F.col(text_col))
-        text = F.col("extracted_text")
+        df = df.filter(
+            F.col("extracted_text").isNotNull()
+            & (F.length(F.trim(F.col("extracted_text"))) > 0)
+        )
+        df = df.withColumn("_scored", score_text_udf(F.col("extracted_text")))
+    text = F.col("extracted_text")
 
-    # P1 validation: empty docs never reach the UDF stages.
+    df = (
+        df.withColumn("pred_lang", F.col("_scored.lang"))
+        .withColumn("lang_score", F.col("_scored.lang_score"))
+        .withColumn("ppl", F.col("_scored.ppl"))
+        .drop("_scored")
+    )
+
+    # P1 validation: empty extractions are dropped before scoring columns.
     df = df.filter(text.isNotNull() & (F.length(F.trim(text)) > 0))
 
     df = with_doc_id(df) if "url" in df.columns else df.withColumn(
         "doc_id", F.xxhash64(text)
     )
 
-    # Both pandas UDFs in one projection → one fused ArrowEvalPython stage.
-    df = df.withColumn("_lid", langid_udf(text)).withColumn("ppl", ppl_udf(text))
-    df = (
-        df.withColumn("pred_lang", F.col("_lid.lang"))
-        .withColumn("lang_score", F.col("_lid.lang_score"))
-        .drop("_lid")
-    )
+    # Materialize the tokenization and every heuristic signal ONCE as real
+    # columns. Downstream consumers (quality_metrics struct, the five
+    # dimensions, the keep predicate) then reference plain attributes —
+    # cheap to Catalyst, so CollapseProject dedups instead of inlining the
+    # regex/array subtrees 2-3x (measured: -9s/240k docs at local[32]).
+    df = df.withColumn("_words", words_col(text))
+    h_exprs = heuristic_columns(text, words=F.col("_words"))
+    df = df.select("*", *[v.alias(f"_h_{k}") for k, v in h_exprs.items()])
+    h = {k: F.col(f"_h_{k}") for k in h_exprs}
 
-    h = heuristic_columns(text)
     declared = F.col(declared_lang_col) if declared_lang_col and declared_lang_col in df.columns else None
     dims = dimension_columns(h, F.col("pred_lang"), F.col("lang_score"), F.col("ppl"), declared, cfg)
 
@@ -106,9 +120,11 @@ def score_webtext(
     df = df.withColumn("score", weighted_score(dims, cfg))
     df = df.withColumn("keep", keep_column(F.col("score"), F.col("pred_lang"), h, declared, cfg))
 
-    scrubbed, n_scrubbed = scrub_columns(text)
-    df = df.withColumn("scrubbed_text", scrubbed).withColumn("scrub_count", n_scrubbed)
-    return df
+    # Scrub: materialize the replacement chain once, then derive the count
+    # by literal mask-token counting — no second run of the regex chain.
+    df = df.withColumn("scrubbed_text", scrub_expr(text))
+    df = df.withColumn("scrub_count", scrub_count_cheap(text, F.col("scrubbed_text")))
+    return df.drop("_words", *[f"_h_{k}" for k in h_exprs])
 
 
 def split_keep_drop(scored: DataFrame) -> tuple[DataFrame, DataFrame]:

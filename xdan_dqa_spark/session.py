@@ -26,6 +26,20 @@ def get_spark(
     Arrow batch size so large ``html`` blobs don't blow executor memory
     (SURVEY.md §7 risk list).
     """
+    # glibc malloc tuning for the Arrow/pandas workers: without these, each
+    # worker mmap/munmaps its multi-MB batch buffers on every batch, and the
+    # resulting page-zeroing + cross-core TLB shootdowns show up as 80%
+    # kernel time at 32 workers (measured: full pipeline 27.7s → 16.3s at
+    # local[32] with these set). Python workers inherit the driver env in
+    # local mode; spark.executorEnv.* below covers real clusters.
+    _MALLOC_ENV = {
+        "MALLOC_MMAP_THRESHOLD_": "134217728",
+        "MALLOC_TRIM_THRESHOLD_": "134217728",
+        "MALLOC_ARENA_MAX": "4",
+    }
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -42,13 +56,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html:binary rows can be large — cap Arrow batch row count so a
-        # batch of raw pages stays well under executor memory at 100 TB.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing: measured on this box, 2048-row batches make
+        # the UDF stages round-trip-bound (ppl UDF 2.1s → 0.8s for 120k
+        # docs at 32 cores when raised to 8192). 8192 rows × ~5 KB html
+        # ≈ 40 MB/batch/worker — still memory-safe for 4 GB executors.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
