@@ -63,3 +63,22 @@ def test_pairwise_neardup_blocked(emb):
     for r in rows:
         assert r["a"] < r["b"]
         assert r["cosine"] >= 0.3
+
+
+def test_ivf_topk_recall_and_determinism(emb, query):
+    from xdan_dqa_spark.operators.similarity import ivf_assign, ivf_centroids, ivf_topk
+
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, query, k=10, n_lists=8, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # full probe == exact search
+    allprobe = [r["vec_id"] for r in ivf_topk(emb, query, k=10, n_lists=8, n_probe=8).collect()]
+    assert allprobe == exact
+    # centroid seeds + assignment are partition-invariant
+    c1 = ivf_centroids(emb, 8)
+    c2 = ivf_centroids(emb.repartition(7), 8)
+    assert c1 == c2
+    a1 = {r["vec_id"]: r["_list"] for r in ivf_assign(emb, c1).select("vec_id", "_list").collect()}
+    a2 = {r["vec_id"]: r["_list"] for r in ivf_assign(emb.repartition(5), c1).select("vec_id", "_list").collect()}
+    assert a1 == a2

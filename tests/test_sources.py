@@ -1,0 +1,87 @@
+"""Source connectors: field mapping, deterministic sampling, union, sinks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdan_dqa_spark.sources.readers import (
+    SourceConfig,
+    apply_field_mapping,
+    deterministic_sample,
+    read_many,
+    read_source,
+)
+from xdan_dqa_spark.sources.sinks import output_name, write_keep_drop, write_scored
+
+
+@pytest.fixture(scope="module")
+def webtext_parquet(spark, webtext, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("src") / "webtext.parquet")
+    webtext.drop("_kind", "html").withColumn("html", F.lit(None).cast("binary")).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).write.parquet(p)
+    return p
+
+
+def test_field_mapping_renames(spark):
+    df = spark.createDataFrame([("u", "body", "extra")], "page_url string, content string, x string")
+    out = apply_field_mapping(df, {"url": "page_url", "text": "content"})
+    assert out.columns == ["url", "text", "x"]
+    row = out.collect()[0]
+    assert row["url"] == "u" and row["text"] == "body"
+
+
+def test_field_mapping_missing_source_raises(spark):
+    df = spark.createDataFrame([("u",)], "a string")
+    with pytest.raises(ValueError, match="not in input"):
+        apply_field_mapping(df, {"url": "nope"})
+
+
+def test_deterministic_sample_stable_across_partitioning(spark, webtext):
+    base = webtext.select("url", "text")
+    s1 = {r["url"] for r in deterministic_sample(base, 50).collect()}
+    s2 = {r["url"] for r in deterministic_sample(base.repartition(13), 50).collect()}
+    assert s1 == s2 and len(s1) == 50
+
+
+def test_read_source_enforces_schema(spark, webtext_parquet):
+    df = read_source(spark, SourceConfig(path=webtext_parquet), enforce_webtext=True)
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 800
+
+
+def test_read_many_union_and_sample(spark, webtext_parquet):
+    cfgs = [
+        SourceConfig(path=webtext_parquet, num_samples=30),
+        SourceConfig(path=webtext_parquet, num_samples=20),
+    ]
+    df = read_many(spark, cfgs)
+    assert df.count() == 50  # 30 + 20 (same rows may repeat across sources)
+
+
+def test_write_keep_drop_lanes(spark, scored, tmp_path):
+    out = str(tmp_path / "lanes")
+    sc = scored.select("url", "keep", "score").cache()
+    write_keep_drop(sc, out)
+    keep = spark.read.parquet(f"{out}/keep")
+    drop = spark.read.parquet(f"{out}/drop")
+    assert keep.filter(~F.col("keep")).count() == 0
+    assert drop.filter(F.col("keep")).count() == 0
+    assert keep.count() + drop.count() == sc.count()
+
+
+def test_write_scored_partitioned_segments(spark, scored, tmp_path):
+    out = str(tmp_path / "seg")
+    write_scored(scored.select("url", "pred_lang", "score"), out,
+                 partition_by=("pred_lang",))
+    langs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("pred_lang=")}
+    assert "en" in langs and len(langs) >= 3
+    assert spark.read.parquet(out).count() == scored.count()
+
+
+def test_output_name_parts():
+    assert output_name("assess", "cc/web 01", 42) == "assess_cc-web-01_42"
+    assert output_name("t", "d", 1, ts=0.0) == "t_d_1_19700101_000000"

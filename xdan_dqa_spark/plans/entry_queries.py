@@ -585,6 +585,36 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(emb, query, k=10, bits=3).select("vec_id")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate top-k over the embeddings table (coarse
+    quantizer + n_probe inverted lists; exact when n_probe = n_lists)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0]
+    return ivf_topk(emb, query, k=10, n_lists=8, n_probe=4).select("vec_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing demo: documents' text bytes as an opaque binary
+    payload → mapInPandas decode-stub → per-doc features + stub embedding."""
+    from ..operators.multimodal import media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/html").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    return media_features(media).select("doc_id", "n_bytes", "byte_entropy")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -616,6 +646,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_full": q_dedup_minhash_full,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 

@@ -1,0 +1,113 @@
+"""Input connectors: scan, field mapping, sampling, multi-source union.
+
+Spark-native re-expression of the reference's data-loading surface
+(SURVEY.md §2.1):
+
+  S1  dataset scan            reference ``src/data_loader.py:70-107``
+  S2  bounded streaming take  reference ``src/utils/dataset_utils.py:214-259``
+  S3  deterministic sampling  reference ``src/data_loader.py:97-100`` (seed 42)
+  S7  config-driven mapping   reference ``src/data_loader.py:109-141``
+  U1  multi-dataset union     reference ``src/data_loader.py:56-68``
+
+Every connector returns a lazy DataFrame — scans stream per-partition,
+filters/projections push into the parquet reader (the reference's
+"streaming=True" early-stop is Catalyst's LocalLimit pushdown here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import WEBTEXT_SCHEMA
+
+
+@dataclass(frozen=True)
+class SourceConfig:
+    """One input dataset (analogue of a ``datasets:`` YAML entry in the
+    reference's ``config/default_config.yaml:30-41``)."""
+
+    path: str
+    fmt: str = "parquet"              # parquet | json (jsonl) | csv
+    # Rename arbitrary source columns onto the engine schema, e.g.
+    # {"url": "page_url", "text": "content"} maps page_url -> url.
+    field_mapping: dict[str, str] = field(default_factory=dict)
+    num_samples: int = 0              # 0 = all rows (reference semantics)
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """S7: pure projection/rename — target column <- source column.
+
+    Unmapped target columns pass through if present; extra source columns
+    are dropped only when a mapping is given (mirrors the reference's
+    ``metadata`` absorption being explicit, ``src/data_loader.py:116-125``).
+    """
+    if not mapping:
+        return df
+    cols = []
+    for target, source in mapping.items():
+        if source not in df.columns:
+            raise ValueError(f"field_mapping: source column {source!r} not in input")
+        cols.append(F.col(source).alias(target))
+    passthrough = [c for c in df.columns
+                   if c not in mapping.values() and c not in mapping]
+    return df.select(*cols, *[F.col(c) for c in passthrough])
+
+
+def deterministic_sample(df: DataFrame, n: int, key_col: str = "url") -> DataFrame:
+    """S3: take-N that is stable across runs AND cluster layouts.
+
+    The reference shuffles with seed=42 then takes range(n) — positional,
+    so any input reorder changes the sample. Ours orders by a hash of a
+    stable key: same rows selected no matter the partitioning. The sort
+    is a top-N (Spark TakeOrderedAndProject), not a full global sort.
+    """
+    if n <= 0:
+        return df
+    return df.orderBy(F.xxhash64(F.col(key_col)), F.col(key_col)).limit(n)
+
+
+def read_source(spark: SparkSession, cfg: SourceConfig,
+                enforce_webtext: bool = False) -> DataFrame:
+    """S1/S2: one lazy scan. ``enforce_webtext`` pins the input_hint schema
+    (url, warc_ts, html, text, lang) so bad upstream types fail at plan
+    time, not mid-job."""
+    reader = spark.read
+    for k, v in cfg.options.items():
+        reader = reader.option(k, v)
+    if cfg.fmt == "parquet":
+        df = reader.parquet(cfg.path)
+    elif cfg.fmt == "json":
+        df = (reader.schema(WEBTEXT_SCHEMA) if enforce_webtext and not cfg.field_mapping
+              else reader).json(cfg.path)
+    elif cfg.fmt == "csv":
+        df = reader.option("header", "true").csv(cfg.path)
+    else:
+        raise ValueError(f"unsupported format {cfg.fmt!r}")
+
+    df = apply_field_mapping(df, cfg.field_mapping)
+    if enforce_webtext:
+        missing = [f.name for f in WEBTEXT_SCHEMA.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"input at {cfg.path} missing columns {missing}")
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in WEBTEXT_SCHEMA.fields]
+        )
+    if cfg.num_samples:
+        df = deterministic_sample(df, cfg.num_samples)
+    return df
+
+
+def read_many(spark: SparkSession, cfgs: list[SourceConfig],
+              enforce_webtext: bool = True) -> DataFrame:
+    """U1: union across configured datasets by column NAME (the reference
+    extends a list per dataset; positional union would silently mismatch
+    reordered columns)."""
+    dfs = [read_source(spark, c, enforce_webtext) for c in cfgs]
+    if not dfs:
+        raise ValueError("no sources configured")
+    return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,65 @@
+"""Output connectors: dual-lane writes, partitioned segments, naming.
+
+Spark-native re-expression of the reference's output surface
+(SURVEY.md §2.1):
+
+  S4  JSON/JSONL/Parquet sink      reference ``src/data_loader.py:173-199``
+  S5  segment + accumulated sink   reference ``src/data_transformer.py:376-407``
+  S6  incremental hub-style sink   reference ``src/data_transformer.py:420-489``
+  S8  output filename templating   reference ``src/data_loader.py:143-171``
+  F2  success/failure dual lanes   reference ``src/cli.py:110-117``
+
+The reference re-writes an ever-growing "accumulated" file every
+``save_interval`` rows — O(n²) bytes over a run. Spark's unit of
+incremental output is the committed partition/snapshot: each ``append``
+adds files atomically (rename-on-commit), so the accumulated view IS the
+directory and segments need no merge step. S6's anti-dedup push is the
+``left_anti`` resume join in ``operators/resume.py``.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def output_name(task: str, dataset: str, count: int | None = None,
+                ts: float | None = None) -> str:
+    """S8: ``task_dataset[_count][_ts]`` — same parts as the reference's
+    generate_output_filename, as a table/dir naming convention."""
+    safe = lambda s: re.sub(r"[^A-Za-z0-9_.-]+", "-", s)
+    parts = [safe(task), safe(dataset)]
+    if count is not None:
+        parts.append(str(count))
+    if ts is not None:
+        parts.append(time.strftime("%Y%m%d_%H%M%S", time.gmtime(ts)))
+    return "_".join(parts)
+
+
+def write_scored(scored: DataFrame, path: str, fmt: str = "parquet",
+                 mode: str = "append", partition_by: tuple[str, ...] = ()) -> None:
+    """S4/S5: one sink for the scored table. ``partition_by`` gives
+    hive-style segment dirs (e.g. ('pred_lang',) or a date bucket) —
+    the scalable analogue of the reference's per-interval segment files."""
+    w = scored.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "json":  # JSONL: one JSON object per line, per part file
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+
+
+def write_keep_drop(scored: DataFrame, out_dir: str, fmt: str = "parquet") -> None:
+    """F2 dual lanes from ONE scored plan: keep/ and drop/ subdirs
+    (reference writes successful.jsonl / failed.jsonl). Caller should
+    cache ``scored`` if both lanes are materialized in the same action
+    window; at scale prefer the single-table write with the ``keep``
+    column and let readers filter (zero extra pass)."""
+    write_scored(scored.filter(F.col("keep")), f"{out_dir}/keep", fmt)
+    write_scored(scored.filter(~F.col("keep")), f"{out_dir}/drop", fmt)
