@@ -58,6 +58,18 @@ def test_cjk(spark):
     assert got["cjk_ratio"] == pytest.approx(0.5)
 
 
+def test_nbsp_token_counts_once(spark):
+    # 'ab\xa0cd' is ONE Java-\s token (NBSP is not ASCII whitespace); the
+    # alpha regex must count it once — with (?U) it counted twice and the
+    # ratio exceeded 1.0 (ADVICE r1).
+    got = _signals(spark, "ab\xa0cd")
+    assert got["n_words"] == 1.0
+    assert got["alpha_ratio"] == 1.0
+    got = _signals(spark, "ok ab\xa0cd 123")
+    assert got["n_words"] == 3.0
+    assert got["alpha_ratio"] == pytest.approx(2.0 / 3.0)
+
+
 def test_stopword_punctuation_stripped(spark):
     # punctuation must not block stopword matches: "The," → "the"
     got = _signals(spark, "The, cat.")

@@ -109,7 +109,13 @@ def dup_line_frac(text: Column) -> Column:
     blank lines already merged into the separator (consecutive newlines
     collapse), so the per-line trim/filter lambdas (interpreted HOFs,
     measured +6.7s/240k docs at local[16]) reduce to a native
-    ``array_remove`` of the at-most-two boundary empties."""
+    ``array_remove`` of the at-most-two boundary empties.
+
+    Line-equality semantics (intentional, frozen in the goldens): lines
+    compare after a FULL Java-\\s trim at line boundaries — '  foo' and
+    '\\tfoo' are duplicates of 'foo'. This differs from an ASCII-space-only
+    trim() formulation and is the better duplicate definition for web text
+    (indentation noise shouldn't defeat the filter)."""
     lines = F.array_remove(
         F.split(F.coalesce(text, F.lit("")), r"\s*\n\s*"), ""
     )
@@ -127,9 +133,15 @@ def alpha_ratio(text: Column, words: Column) -> Column:
     ``[^\\p{L}\\s]*\\p{L}\\S*`` (first letter of a token, then the rest)
     matches exactly once per letter-bearing token — a single JVM regex
     scan instead of a per-token interpreted rlike lambda (measured
-    +4.1s → +0.9s /240k docs at local[16])."""
+    +4.1s → +0.9s /240k docs at local[16]).
+
+    Deliberately NO (?U) flag: \\s/\\S must stay the ASCII Java class so a
+    "token" here is exactly one words_col token (split on Java \\s+); with
+    (?U) a token containing U+00A0 (extract.py emits it for &nbsp;) counts
+    twice and the ratio can exceed 1.0. \\p{L} is Unicode-letter-aware
+    regardless of the flag."""
     hits = F.regexp_count(
-        F.coalesce(text, F.lit("")), F.lit(r"(?U)[^\p{L}\s]*\p{L}\S*")
+        F.coalesce(text, F.lit("")), F.lit(r"[^\p{L}\s]*\p{L}\S*")
     )
     return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / F.size(words)

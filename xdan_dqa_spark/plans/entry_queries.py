@@ -26,11 +26,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _words(text_col):
     """Tokens by single-space split, empties dropped — mirrors DuckDB
-    list_filter(string_split(text,' '), w -> w <> '')."""
-    return F.filter(F.split(text_col, " ", -1), lambda w: w != F.lit(""))
+    list_filter(string_split(coalesce(text,''),' '), w -> w <> '').
+    The coalesce matters: Spark size(split(NULL)) is -1 (legacy
+    sizeOfNull) while DuckDB len(NULL) is NULL — null text must mean
+    zero tokens in BOTH engines."""
+    return F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), " ", -1), lambda w: w != F.lit("")
+    )
 
 
-_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+_WORDS_SQL = "list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')"
 
 
 def _dec_sum(col, alias):
@@ -170,13 +175,13 @@ FROM documents GROUP BY source
 # A3 group-by-source distribution (reference src/utils/dataset_utils.py:103-133)
 
 def q_a3_source_distribution(spark, sf_dir):
+    # One scan: the denominator is a window sum over the ~20-row grouped
+    # result (an unpartitioned window over the AGGREGATE, not the table —
+    # a plan-build-time df.count() here would scan the table twice).
     df = _t(spark, sf_dir, "documents")
-    total = df.count()  # plan-time scalar; deterministic
-    return (
-        df.groupBy("source")
-        .agg(F.count("*").alias("n"))
-        .withColumn("pct", F.col("n").cast("double") / F.lit(float(total)))
-    )
+    grouped = df.groupBy("source").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return grouped.withColumn("pct", F.col("n").cast("double") / total.cast("double"))
 
 
 SQL_A3 = """
@@ -188,24 +193,27 @@ FROM documents GROUP BY source
 # A4 token statistics (reference scripts/check_tokens.py:10-45)
 
 def q_a4_token_stats(spark, sf_dir):
+    # DECIMAL(20,6) parity discipline exactly as a1_batch_metrics: the sum
+    # is exact decimal in both engines, avg derives from it — no
+    # long-vs-int128→double divergence in the value hash.
     df = _t(spark, sf_dir, "documents")
     n_tokens = F.size(_words(F.col("text"))).cast("long")
     return (
         df.select("lang", n_tokens.alias("n_tokens"))
         .groupBy("lang")
         .agg(
-            F.sum("n_tokens").alias("total_tokens"),
+            _dec_sum(F.col("n_tokens"), "total_tokens"),
             F.count("*").alias("n_docs"),
-            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
         )
+        .withColumn("avg_tokens", F.col("total_tokens") / F.col("n_docs"))
     )
 
 
 SQL_A4 = f"""
 SELECT lang,
-       SUM(len({_WORDS_SQL})) AS total_tokens,
+       CAST(SUM(CAST(len({_WORDS_SQL}) AS DECIMAL(20,6))) AS DOUBLE) AS total_tokens,
        COUNT(*) AS n_docs,
-       CAST(SUM(len({_WORDS_SQL})) AS DOUBLE) / COUNT(*) AS avg_tokens
+       CAST(SUM(CAST(len({_WORDS_SQL}) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS avg_tokens
 FROM documents GROUP BY lang
 """
 
@@ -602,6 +610,18 @@ FROM documents
 # P9 format conversion (reference src/models.py:100-124 ProcessedItem →
 # EnhancedAlpacaItem flattening): reshape + flatten into the publish envelope.
 
+def _json_str(c: F.Column) -> F.Column:
+    """JSON string-escape (backslash then quote) — literal replaces, so the
+    oracle twin is the identical replace chain, not an engine JSON codec."""
+    return F.replace(
+        F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+
+
+def _json_str_sql(expr: str) -> str:
+    return f"replace(replace({expr}, '\\', '\\\\'), '\"', '\\\"')"
+
+
 def q_p9_format_conversion(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -612,17 +632,17 @@ def q_p9_format_conversion(spark, sf_dir):
         F.col("lang").alias("category"),
         F.least(F.col("n_chars").cast("double") / 50.0, F.lit(10.0)).alias("score"),
         F.concat(
-            F.lit('{"source":"'), F.col("source"), F.lit('","lang":"'),
-            F.col("lang"), F.lit('"}'),
+            F.lit('{"source":"'), _json_str(F.col("source")), F.lit('","lang":"'),
+            _json_str(F.col("lang")), F.lit('"}'),
         ).alias("metadata_json"),
     )
 
 
-SQL_P9 = """
+SQL_P9 = f"""
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
        text AS output, '' AS input, source AS sources, lang AS category,
        least(CAST(n_chars AS DOUBLE) / 50.0, 10.0) AS score,
-       '{"source":"' || source || '","lang":"' || lang || '"}' AS metadata_json
+       '{{"source":"' || {_json_str_sql('source')} || '","lang":"' || {_json_str_sql('lang')} || '"}}' AS metadata_json
 FROM documents
 """
 
