@@ -31,8 +31,17 @@ class QualityConfig:
     w_structure: float = 0.15  # reference: reasoning_depth
 
     min_score: float = 6.0          # keep threshold (reference min_score)
-    allowed_langs: tuple[str, ...] = ()  # empty = all (reference categories)
+    allowed_langs: tuple[str, ...] = ()  # empty = all
+    # DataCategory allowlist (reference src/processor.py:432 filters on
+    # `item.category in categories`); empty = all 8 labels pass.
+    allowed_categories: tuple[str, ...] = ()
     require_lang_match: bool = True  # pred_lang must equal declared lang
+
+    # Token-cost accounting (reference TokenInfo src/data_types.py:6-12,
+    # pricing defaults config/default_config.yaml openai.pricing).
+    price_in_per_million: float = 1.0
+    price_out_per_million: float = 2.0
+    currency: str = "CNY"
 
     # Hard C4/Gopher bounds.
     min_chars: float = 50.0
@@ -135,11 +144,14 @@ def weighted_score(dims: dict[str, Column], cfg: QualityConfig) -> Column:
 
 
 def keep_column(score: Column, pred_lang: Column, h: dict[str, Column],
-                declared_lang: Column | None, cfg: QualityConfig) -> Column:
+                declared_lang: Column | None, cfg: QualityConfig,
+                category: Column | None = None) -> Column:
     """F1 keep/drop predicate (reference src/processor.py:432) + hard rules."""
     keep = score >= F.lit(cfg.min_score)
     if cfg.allowed_langs:
         keep = keep & pred_lang.isin(*cfg.allowed_langs)
+    if cfg.allowed_categories and category is not None:
+        keep = keep & category.isin(*cfg.allowed_categories)
     if cfg.require_lang_match and declared_lang is not None:
         keep = keep & (pred_lang == declared_lang)
     keep = (

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .functions.category import category_expr
 from .functions.fused import extract_score_udf, score_text_udf
 from .functions.heuristics import heuristic_columns, words_col
 from .functions.scrub import scrub_count_cheap, scrub_expr
@@ -117,13 +118,40 @@ def score_webtext(
             F.col("ppl").alias("ppl"),
         ),
     )
+    # P2's topical label (8-way DataCategory, reference src/models.py:6-15)
+    # — pure replace/length arithmetic, rides the same codegen stage.
+    df = df.withColumn("category", category_expr(text))
+
     df = df.withColumn("score", weighted_score(dims, cfg))
-    df = df.withColumn("keep", keep_column(F.col("score"), F.col("pred_lang"), h, declared, cfg))
+    df = df.withColumn(
+        "keep",
+        keep_column(F.col("score"), F.col("pred_lang"), h, declared, cfg,
+                    category=F.col("category")),
+    )
 
     # Scrub: materialize the replacement chain once, then derive the count
     # by literal mask-token counting — no second run of the regex chain.
     df = df.withColumn("scrubbed_text", scrub_expr(text))
     df = df.withColumn("scrub_count", scrub_count_cheap(text, F.col("scrubbed_text")))
+
+    # Token-accounting envelope (reference TokenInfo src/data_types.py:6-12,
+    # cost formula src/data_transformer.py:181-192): input = tokens of the
+    # extracted text, output = tokens of the scrubbed text we publish.
+    in_tok = F.col("_h_n_words").cast("long")
+    out_tok = F.size(words_col(F.col("scrubbed_text"))).cast("long")
+    df = df.withColumn(
+        "token_info",
+        F.struct(
+            in_tok.alias("input_tokens"),
+            out_tok.alias("output_tokens"),
+            (in_tok + out_tok).alias("total_tokens"),
+            (
+                in_tok.cast("double") * F.lit(cfg.price_in_per_million / 1e6)
+                + out_tok.cast("double") * F.lit(cfg.price_out_per_million / 1e6)
+            ).alias("estimated_cost"),
+            F.lit(cfg.currency).alias("currency"),
+        ),
+    )
     return df.drop("_words", *[f"_h_{k}" for k in h_exprs])
 
 

@@ -217,6 +217,82 @@ SELECT lang,
 FROM documents GROUP BY lang
 """
 
+# P2 topical category classification (reference DataCategory
+# src/models.py:6-15, config/category.yaml:2-41) — deterministic 8-way
+# marker-scoring replacement for the LLM's category pick.
+
+def _category_cte_sql(from_table: str = "documents") -> str:
+    """WITH-clauses computing s_<cat> scores + the final CASE, reusable by
+    every category-bearing oracle query."""
+    from ..functions.category import category_scores_sql
+
+    score_exprs = ",\n    ".join(
+        f"{sql} AS s_{cat.lower()}" for cat, sql in category_scores_sql().items()
+    )
+    return (
+        f"cat_padded AS (SELECT *, ' ' || lower(coalesce(text, '')) || ' ' AS t FROM {from_table}),\n"
+        f"cat_scores AS (SELECT *, {score_exprs} FROM cat_padded)"
+    )
+
+
+def _category_case() -> str:
+    from ..functions.category import category_case_sql
+
+    return category_case_sql()
+
+
+def q_p2_category(spark, sf_dir):
+    from ..functions.category import category_expr
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", category_expr(F.col("text")).alias("category")
+    )
+
+
+def _sql_p2() -> str:
+    return f"""
+WITH {_category_cte_sql()}
+SELECT doc_id, {_category_case()} AS category FROM cat_scores
+"""
+
+
+# F1 variant on the classified category (reference src/processor.py:432:
+# score >= min_score AND category IN allowed_categories)
+
+_F1_ALLOWED_CATS = ("KNOWLEDGE_QA", "CODE_GENERATION", "REASONING", "ANALYSIS_SUMMARY")
+
+
+def q_f1_category_filter(spark, sf_dir):
+    from ..functions.category import category_expr
+
+    df = _t(spark, sf_dir, "documents")
+    n_words = F.size(_words(F.col("text"))).cast("double")
+    score = (
+        F.lit(0.6) * (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 10.0)
+        + F.lit(0.4) * (F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)) * 10.0)
+    )
+    return (
+        df.select(
+            "doc_id",
+            category_expr(F.col("text")).alias("category"),
+            score.alias("score"),
+        )
+        .filter((F.col("score") >= 5.0) & F.col("category").isin(*_F1_ALLOWED_CATS))
+    )
+
+
+def _sql_f1_category() -> str:
+    cats = ", ".join(f"'{c}'" for c in _F1_ALLOWED_CATS)
+    return f"""
+WITH {_category_cte_sql()}
+SELECT doc_id, {_category_case()} AS category,
+       0.6 * (least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 100.0, 1.0) * 10.0)
+     + 0.4 * (least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 10.0) AS score
+FROM cat_scores
+WHERE score >= 5.0 AND category IN ({cats})
+"""
+
+
 # J1 anti-join resume (reference src/data_transformer.py:458-473)
 
 def q_j1_anti_join_resume(spark, sf_dir):
@@ -562,6 +638,8 @@ GROUP BY l_returnflag, l_linestatus
 # validation get zeroed scores + category 'ERROR' instead of being dropped.
 
 def q_p6_error_default(spark, sf_dir):
+    from ..functions.category import category_expr
+
     docs = _t(spark, sf_dir, "documents")
     ok = F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0) & (
         F.size(_words(F.col("text"))) >= 3
@@ -571,19 +649,23 @@ def q_p6_error_default(spark, sf_dir):
         F.when(ok, F.least(F.col("n_chars").cast("double") / 50.0, F.lit(10.0)))
         .otherwise(F.lit(0.0))
         .alias("score"),
-        F.when(ok, F.col("lang")).otherwise(F.lit("ERROR")).alias("category"),
+        # valid rows get the real 8-way DataCategory label; invalid rows get
+        # the reference's error lane (src/processor.py:138 category='ERROR')
+        F.when(ok, category_expr(F.col("text"))).otherwise(F.lit("ERROR")).alias("category"),
     )
 
 
-SQL_P6 = f"""
+def _sql_p6() -> str:
+    return f"""
+WITH {_category_cte_sql()}
 SELECT doc_id,
        CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
                  AND len({_WORDS_SQL}) >= 3
             THEN least(CAST(n_chars AS DOUBLE) / 50.0, 10.0) ELSE 0.0 END AS score,
        CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
                  AND len({_WORDS_SQL}) >= 3
-            THEN lang ELSE 'ERROR' END AS category
-FROM documents
+            THEN {_category_case()} ELSE 'ERROR' END AS category
+FROM cat_scores
 """
 
 # P8 cost arithmetic (reference src/data_transformer.py:181-192 tokens*price/1e6)
@@ -623,14 +705,24 @@ def _json_str_sql(expr: str) -> str:
 
 
 def q_p9_format_conversion(spark, sf_dir):
+    from ..functions.category import category_expr
+
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
         F.col("text").alias("output"),
         F.lit("").alias("input"),
         F.col("source").alias("sources"),
-        F.col("lang").alias("category"),
+        # the publish envelope's category is the classified DataCategory
+        # (reference src/models.py:100-124), not the input language
+        category_expr(F.col("text")).alias("category"),
         F.least(F.col("n_chars").cast("double") / 50.0, F.lit(10.0)).alias("score"),
+        # TokenInfo envelope (reference src/data_types.py:6-12): token
+        # count + estimated cost ride the published record.
+        F.size(_words(F.col("text"))).cast("long").alias("total_tokens"),
+        F.round(
+            F.size(_words(F.col("text"))).cast("double") * F.lit(1.0) / F.lit(1e6), 10
+        ).alias("estimated_cost"),
         F.concat(
             F.lit('{"source":"'), _json_str(F.col("source")), F.lit('","lang":"'),
             _json_str(F.col("lang")), F.lit('"}'),
@@ -638,12 +730,17 @@ def q_p9_format_conversion(spark, sf_dir):
     )
 
 
-SQL_P9 = f"""
+def _sql_p9() -> str:
+    return f"""
+WITH {_category_cte_sql()}
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
-       text AS output, '' AS input, source AS sources, lang AS category,
+       text AS output, '' AS input, source AS sources,
+       {_category_case()} AS category,
        least(CAST(n_chars AS DOUBLE) / 50.0, 10.0) AS score,
+       CAST(len({_WORDS_SQL}) AS BIGINT) AS total_tokens,
+       round(CAST(len({_WORDS_SQL}) AS DOUBLE) * 1.0 / 1000000.0, 10) AS estimated_cost,
        '{{"source":"' || {_json_str_sql('source')} || '","lang":"' || {_json_str_sql('lang')} || '"}}' AS metadata_json
-FROM documents
+FROM cat_scores
 """
 
 
@@ -656,7 +753,7 @@ def q_pipeline_score_documents(spark, sf_dir):
     cfg = QualityConfig(require_lang_match=False, min_words=10)
     scored = score_webtext(docs, cfg, text_col="text", declared_lang_col="lang")
     return scored.select(
-        "doc_id", "pred_lang", "ppl", "score", "keep", "scrub_count"
+        "doc_id", "pred_lang", "category", "ppl", "score", "keep", "scrub_count"
     )
 
 
@@ -722,6 +819,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p6_error_default": q_p6_error_default,
     "p8_cost": q_p8_cost,
     "p9_format_conversion": q_p9_format_conversion,
+    "p2_category": q_p2_category,
+    "f1_category_filter": q_f1_category_filter,
     "a1_batch_metrics": q_a1_batch_metrics,
     "a2_event_totals": q_a2_event_totals,
     "a3_source_distribution": q_a3_source_distribution,
@@ -759,9 +858,11 @@ def oracle_map() -> dict[str, str]:
         "p4_weighted_score": SQL_P4,
         "f1_keep_filter": SQL_F1,
         "f2_drop_lane": SQL_F2,
-        "p6_error_default": SQL_P6,
+        "p6_error_default": _sql_p6(),
         "p8_cost": SQL_P8,
-        "p9_format_conversion": SQL_P9,
+        "p9_format_conversion": _sql_p9(),
+        "p2_category": _sql_p2(),
+        "f1_category_filter": _sql_f1_category(),
         "a1_batch_metrics": SQL_A1,
         "a2_event_totals": SQL_A2,
         "a3_source_distribution": SQL_A3,

@@ -45,6 +45,17 @@ LANGID_RESULT_SCHEMA = T.StructType(
     ]
 )
 
+# Token-accounting envelope (TokenInfo, reference src/data_types.py:6-12).
+TOKEN_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("input_tokens", T.LongType(), True),
+        T.StructField("output_tokens", T.LongType(), True),
+        T.StructField("total_tokens", T.LongType(), True),
+        T.StructField("estimated_cost", T.DoubleType(), True),
+        T.StructField("currency", T.StringType(), True),
+    ]
+)
+
 # Scored output row = input + these (ProcessedItem analogue,
 # reference src/models.py:147-158).
 SCORED_EXTRA_FIELDS = [
@@ -52,10 +63,12 @@ SCORED_EXTRA_FIELDS = [
     ("extracted_text", T.StringType()),
     ("pred_lang", T.StringType()),
     ("quality_metrics", QUALITY_METRICS_SCHEMA),
+    ("category", T.StringType()),       # 8-way DataCategory label (src/models.py:6-15)
     ("score", T.DoubleType()),
     ("keep", T.BooleanType()),
     ("scrubbed_text", T.StringType()),  # processed_output analogue
     ("scrub_count", T.IntegerType()),
+    ("token_info", TOKEN_INFO_SCHEMA),  # TokenInfo envelope (src/data_types.py:6-12)
 ]
 
 # Per-partition lineage/metrics table (FIXTURES.md §5; mirrors batch
