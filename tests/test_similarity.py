@@ -82,3 +82,54 @@ def test_ivf_topk_recall_and_determinism(emb, query):
     a1 = {r["vec_id"]: r["_list"] for r in ivf_assign(emb, c1).select("vec_id", "_list").collect()}
     a2 = {r["vec_id"]: r["_list"] for r in ivf_assign(emb.repartition(5), c1).select("vec_id", "_list").collect()}
     assert a1 == a2
+
+
+def test_ivf_kmeans_refinement(emb, query):
+    from xdan_dqa_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_refine_centroids,
+        ivf_topk,
+    )
+
+    # Mean recall over several queries (single-query recall@10 is noisy on
+    # the weakly-clustered synthetic embeddings; refined k-means centroids
+    # must beat the raw seeds and clear 0.7 at n_probe=4 of n_lists=8).
+    seeds = ivf_centroids(emb, 8)
+    refined = ivf_refine_centroids(emb, seeds, iters=3)
+    qids = [0, 7, 23, 41, 77]
+    queries = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+
+    def mean_recall(cents):
+        total = 0.0
+        for qid, q in queries.items():
+            exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+            approx = {
+                r["vec_id"]
+                for r in ivf_topk(emb, q, k=10, n_lists=8, n_probe=4,
+                                  centroids=cents).collect()
+            }
+            total += len(exact & approx) / 10
+        return total / len(queries)
+
+    seed_recall, refined_recall = mean_recall(seeds), mean_recall(refined)
+    assert refined_recall >= seed_recall, (seed_recall, refined_recall)
+    assert refined_recall >= 0.7, f"refined IVF mean recall@10 {refined_recall}"
+
+    # decimal-sum refinement is bit-deterministic across partitionings
+    r2 = ivf_refine_centroids(emb.repartition(7), seeds, iters=3)
+    assert refined == r2
+    # refinement moves centroids (they stop being raw data vectors)
+    assert refined != seeds
+
+
+def test_pairwise_neardup_cartesian_guard(emb):
+    with pytest.raises(ValueError):
+        pairwise_neardup(emb, block_col=None)
+    # explicit opt-in works
+    n = pairwise_neardup(emb.limit(20), threshold=0.3, block_col=None,
+                         allow_cartesian=True).count()
+    assert n >= 0

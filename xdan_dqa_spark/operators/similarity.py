@@ -4,41 +4,66 @@ Not present in the reference (its similarity notion is the LLM's category
 label); required for a training-data pipeline at scale. Three paths:
 
   * brute-force cosine top-k — exact baseline; one pass over the table,
-    JVM-side arithmetic (zip_with/aggregate), broadcast query vector.
-  * LSH-bucketed ANN — the 100 TB path: random-hyperplane signatures
-    (sign of dot with frozen seed planes) bucket the table; the scan
-    touches only the query's bucket (± multiprobe neighbors at 1 bit
-    flipped). Recall tunable by bits/probes.
-  * IVF-Flat ANN — coarse quantizer over deterministic seed centroids;
-    probes the n_probe nearest inverted lists. The list id is the
-    storage partition key at scale, so probing prunes I/O, not just CPU.
+    TakeOrdered top-k (no full sort shuffle).
+  * LSH-bucketed ANN — random-hyperplane signatures (sign of dot with
+    frozen seed planes) bucket the table; the scan touches only the
+    query's bucket (± multiprobe neighbors at 1 bit flipped).
+  * IVF-Flat ANN — coarse quantizer over deterministic seed centroids
+    (optionally k-means-refined); probes the n_probe nearest inverted
+    lists. The list id is the storage partition key at scale, so probing
+    prunes I/O, not just CPU.
+
+All per-row vector math here is Arrow-vectorized: ONE numpy matmul per
+batch against a closure-held query/plane/centroid matrix (float64). The
+round-1 formulation used interpreted higher-order functions
+(F.aggregate/zip_with) with the matrices inlined as plan literals — HOF
+lambdas are not whole-stage-codegen'd and the plan itself exploded at
+real dims (768) × real list counts (1024); a pandas UDF moves the same
+arithmetic into one BLAS call per Arrow batch and keeps the plan O(1).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a, b) -> F.Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def _matrix(s: pd.Series) -> np.ndarray:
+    """Arrow array column batch → (n, dim) float64 matrix."""
+    return np.vstack(s.to_numpy()).astype("float64", copy=False)
 
 
-def _norm(a) -> F.Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+def cosine_to_query(vec_col: str | Column, query: list[float]) -> Column:
+    """Cosine similarity of an array column vs a constant query vector.
+    One matmul per Arrow batch; the query rides the UDF closure (broadcast
+    with the serialized task, not inlined into the plan)."""
+    q = np.asarray(query, dtype="float64")
+    qn = float(np.linalg.norm(q)) or 1.0
+
+    @pandas_udf("double")
+    def _cos(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        m = _matrix(v)
+        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+    return _cos(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
-def cosine_to_query(vec_col: str, query: list[float]) -> F.Column:
-    """Cosine similarity of an array column vs a literal query vector —
-    all JVM higher-order functions; the query is a plan-time literal
-    (broadcast by the plan itself)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    a = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qn = float(np.sqrt(np.sum(np.asarray(query, dtype="float64") ** 2))) or 1.0
-    return _dot(a, q) / (_norm(a) * F.lit(qn))
+def _pair_cosine_udf():
+    # built lazily — pandas_udf schema parsing needs an active session
+    @pandas_udf("double")
+    def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma, mb = _matrix(a), _matrix(b)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)))
+
+    return _pair_cosine
 
 
 def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
@@ -54,24 +79,27 @@ def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
 
 def pairwise_neardup(df: DataFrame, threshold: float = 0.95,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     block_col: str | None = "label") -> DataFrame:
+                     block_col: str | None = "label",
+                     allow_cartesian: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, cosine ≥ τ).
 
-    A blocking column bounds the join (same-label pairs only); with no
-    natural block, callers should LSH-bucket first (`hyperplane_bucket`).
-    """
+    A blocking column bounds the join (same-label pairs only). With no
+    natural block, LSH-bucket first (`hyperplane_bucket`) — the unblocked
+    path is a cartesian product and must be requested explicitly with
+    ``allow_cartesian=True`` (a silent crossJoin is a scale-killer)."""
+    if block_col is None and not allow_cartesian:
+        raise ValueError(
+            "pairwise_neardup without block_col is O(n^2); pass a blocking "
+            "column (e.g. hyperplane_bucket) or allow_cartesian=True"
+        )
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
-                  *( [F.col(block_col)] if block_col else [] ))
+                  *([F.col(block_col)] if block_col else []))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
-                  *( [F.col(block_col)] if block_col else [] ))
-    on = [block_col] if block_col else []
-    joined = a.join(b, on) if on else a.crossJoin(b)
+                  *([F.col(block_col)] if block_col else []))
+    joined = a.join(b, [block_col]) if block_col else a.crossJoin(b)
     joined = joined.filter(F.col("a") < F.col("b"))
-    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
     return (
-        joined.withColumn("cosine", cos)
+        joined.withColumn("cosine", _pair_cosine_udf()(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
@@ -83,27 +111,34 @@ def hyperplane_planes(dim: int, bits: int = 8, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def hyperplane_bucket(vec_col: str, planes: np.ndarray) -> F.Column:
-    """Sign-of-dot LSH bucket id (int) for an embedding column."""
-    a = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    acc = F.lit(0)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        acc = acc + F.when(_dot(a, p) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-    return acc
+def hyperplane_bucket(vec_col: str | Column, planes: np.ndarray) -> Column:
+    """Sign-of-dot LSH bucket id (int): one (batch × planes) matmul."""
+    p = np.asarray(planes, dtype="float64")
+    weights = (1 << np.arange(p.shape[0])).astype("int64")
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        signs = _matrix(v) @ p.T > 0
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return _bucket(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def ivf_centroids(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
                   id_col: str = "vec_id") -> list[list[float]]:
-    """Deterministic IVF coarse quantizer: the centroid seeds are the
-    vectors with the n_lists smallest id-hashes (a fixed pseudo-random
-    sample — stable across runs/partitionings, no iterative k-means so
-    the index spec is reproducible from the data alone).
+    """Deterministic IVF seed centroids: the vectors with the n_lists
+    smallest md5(id) digests — a fixed pseudo-random sample, stable across
+    runs/partitionings and reproducible in ANY engine with md5 (the
+    round-1 xxhash64 ordering was Spark-only, so the IVF query could not
+    be oracle-checked).
 
     At 100 TB this is a driver-side collect of n_lists rows (tiny); the
-    assignment pass below is the heavy, fully-distributed part."""
+    assignment pass is the heavy, fully-distributed part."""
     rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        df.select(F.col(vec_col).alias("v"),
+                  F.md5(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h")
         .limit(n_lists)
         .collect()
@@ -111,30 +146,76 @@ def ivf_centroids(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def _assign_udf(centroids: list[list[float]]):
+    c = np.asarray(centroids, dtype="float64")
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        m = _matrix(v)
+        cos = (m @ c.T) / (np.linalg.norm(m, axis=1)[:, None] * cn[None, :])
+        # argmax returns the FIRST max index — same tie-break as a strict
+        # `>` scan, and the same rule the SQL oracle expresses
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    return _assign
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine) — one
-    map-side pass, centroids inlined as plan literals (broadcast-by-plan).
-    Adds ``_list`` (inverted-list id). At scale, write partitioned by
-    ``_list`` so probes prune to n_probe/n_lists of the data."""
-    best_id, best_cos = F.lit(0), F.lit(-2.0)
-    for i, c in enumerate(centroids):
-        cos = cosine_to_query(vec_col, c)
-        better = cos > best_cos
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_cos = F.when(better, cos).otherwise(best_cos)
-    return df.withColumn("_list", best_id)
+    """Assign each vector to its nearest centroid (max cosine, first-max
+    tie-break) — one matmul per batch against the closure-held centroid
+    matrix. Adds ``_list`` (inverted-list id). At scale, write partitioned
+    by ``_list`` so probes prune to n_probe/n_lists of the data."""
+    return df.withColumn("_list", _assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_refine_centroids(df: DataFrame, centroids: list[list[float]],
+                         iters: int = 2, vec_col: str = "embedding") -> list[list[float]]:
+    """Distributed Lloyd iterations over the seed centroids (mini k-means).
+
+    Each iteration: assign (matmul UDF) → per-list mean via posexplode +
+    DECIMAL sums. Decimal accumulation is exact, so the refined centroids
+    are bit-deterministic regardless of partitioning/row order — the index
+    spec stays reproducible from the data alone. Cost per iter: one
+    shuffle of rows×dim exploded (id, pos, value) triples with map-side
+    partial aggregation; empty lists keep their previous centroid."""
+    cents = [list(map(float, c)) for c in centroids]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col)
+        sums = (
+            assigned.select(F.col("_list"), F.posexplode(F.col(vec_col)).alias("_p", "_x"))
+            .groupBy("_list", "_p")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(28,12)")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .collect()
+        )
+        by_list: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_list.setdefault(r["_list"], {})[r["_p"]] = (float(r["_s"]), r["_n"])
+        for li, dims in by_list.items():
+            cents[li] = [dims[p][0] / dims[p][1] for p in sorted(dims)]
+    return cents
 
 
 def ivf_topk(df: DataFrame, query: list[float], k: int = 10, n_lists: int = 16,
              n_probe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id",
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             refine_iters: int = 0) -> DataFrame:
     """IVF approximate top-k: exact-score only the n_probe inverted lists
     whose centroids are closest to the query (classic IVF-Flat). With
     ``_list`` as the storage partition key the scan reads n_probe/n_lists
-    of the table; recall is tuned by n_probe (n_probe=n_lists → exact)."""
+    of the table; recall is tuned by n_probe (n_probe=n_lists → exact)
+    and by refine_iters (k-means passes over the seed centroids)."""
     cents = centroids if centroids is not None else ivf_centroids(df, n_lists, vec_col, id_col)
+    if refine_iters > 0:
+        cents = ivf_refine_centroids(df, cents, refine_iters, vec_col)
     qv = np.asarray(query, dtype="float64")
     qn = np.linalg.norm(qv) or 1.0
     sims = []
