@@ -744,6 +744,135 @@ FROM cat_scores
 """
 
 
+# MinHash dedup end-to-end: candidate pairs (construction above) + exact
+# shingle-Jaccard verify + anti-join of verified higher-id duplicates.
+
+SQL_DEDUP_MINHASH_FULL = f"""
+WITH sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sigs),
+dups AS (
+  SELECT DISTINCT c.b
+  FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
+  WHERE CASE WHEN len(list_distinct(list_cat(sa.s, sb.s))) > 0
+             THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE)
+             ELSE 0.0 END >= 0.7
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM dups)
+"""
+
+
+# Hyperplane-LSH ANN top-k: the 3 frozen seed planes (hyperplane_planes
+# dim=64, bits=3, seed=42) inlined as SQL literals; bucket membership +
+# 1-bit multiprobe + exact rescore, all in DuckDB double arithmetic.
+
+def _sql_ann_topk(dim: int = 64, bits: int = 3, k: int = 10) -> str:
+    from ..operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, bits)
+    plane_lits = ",\n       ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[] AS p%d" % i
+        for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, p.p{i}) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    qbucket = " + ".join(
+        f"CASE WHEN list_dot_product(q.qv, p.p{i}) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    probes = ", ".join(["qb.qbucket"] + [f"xor(qb.qbucket, {1 << i})" for i in range(bits)])
+    return f"""
+WITH p AS (SELECT {plane_lits}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bk AS (SELECT b.vec_id, b.v, {bucket} AS bucket FROM b, p),
+qb AS (SELECT {qbucket} AS qbucket FROM q, p)
+SELECT bk.vec_id
+FROM bk, qb, q
+WHERE bk.bucket IN ({probes})
+ORDER BY list_dot_product(bk.v, q.qv)
+         / (sqrt(list_dot_product(bk.v, bk.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         bk.vec_id
+LIMIT {k}
+"""
+
+
+# IVF-Flat top-k: md5-ordered seed centroids, argmax-cosine assignment
+# (first-max tie-break = ROW_NUMBER over cos DESC, list ASC), probe the
+# n_probe closest lists, exact rescore.
+
+def _sql_ivf_topk(n_lists: int = 8, n_probe: int = 4, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))) - 1 AS li,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_lists}
+),
+scored AS (
+  SELECT e.vec_id, c.li,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.li) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, li FROM scored WHERE rn = 1),
+probes AS (
+  SELECT li FROM (
+    SELECT c.li,
+           ROW_NUMBER() OVER (ORDER BY
+             list_dot_product(c.cv, q.qv)
+             / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             c.li) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {n_probe}
+)
+SELECT e.vec_id
+FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+WHERE a.li IN (SELECT li FROM probes)
+ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         e.vec_id
+LIMIT {k}
+"""
+
+
+# Multimodal features: byte entropy over the UTF-8 payload, DuckDB twin
+# via hex-string byte extraction (2 hex chars per byte), entropy rounded
+# to 6dp on both sides to absorb summation-order ulps.
+
+SQL_MULTIMODAL = """
+WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h FROM documents),
+ex AS (SELECT doc_id, h, unnest(range(len(h) // 2)) AS i FROM b),
+bytes AS (SELECT doc_id, substr(h, CAST(2 * i + 1 AS INT), 2) AS byte, len(h) // 2 AS n FROM ex),
+cnt AS (SELECT doc_id, any_value(n) AS n, byte, count(*) AS c FROM bytes GROUP BY doc_id, byte),
+ent AS (
+  SELECT doc_id, any_value(n) AS n_bytes,
+         abs(round(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6)) AS byte_entropy
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(e.n_bytes, 1) AS n_bytes,
+       coalesce(e.byte_entropy, 0.0) AS byte_entropy
+FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+"""
+
+
 def q_pipeline_score_documents(spark, sf_dir):
     """Flagship: full deterministic scoring pipeline over `documents`."""
     from ..operators.score import QualityConfig
@@ -806,7 +935,10 @@ def q_multimodal_features(spark, sf_dir):
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("media_meta"),
     )
-    return media_features(media).select("doc_id", "n_bytes", "byte_entropy")
+    # abs() absorbs the -0.0 a single-distinct-byte payload produces
+    return media_features(media).select(
+        "doc_id", "n_bytes", F.abs(F.round(F.col("byte_entropy"), 6)).alias("byte_entropy")
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -882,4 +1014,8 @@ def oracle_map() -> dict[str, str]:
         "p7_scrub": _scrub_sql(),
         "knn_bruteforce": SQL_KNN,
         "embedding_neardup": SQL_EMB_NEARDUP,
+        "dedup_minhash_full": SQL_DEDUP_MINHASH_FULL,
+        "ann_topk": _sql_ann_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        "multimodal_features": SQL_MULTIMODAL,
     }
