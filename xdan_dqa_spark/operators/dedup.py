@@ -172,36 +172,110 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     return jaccard_verify(df, pairs, text_col, id_col, threshold)
 
 
+# ------------------------------------------------- connected components
+
+def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                         max_iters: int = 25) -> DataFrame:
+    """(node, comp) labels: comp = min doc id reachable through the pair
+    graph — the transitive-closure upgrade over pair-based dedup policy.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — a chain A~B~C is
+    diameter 2). Each round is one shuffle join + aggregate; lineage is
+    cut per round with localCheckpoint so the plan stays O(1) deep. For
+    adversarially long chains the alternating large-star/small-star
+    variant (Kiveris et al. 2014) drops rounds to O(log²n); not needed
+    for dedup-shaped graphs."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "_old"), "u")
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), "comp")
+
+
+def cc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             threshold: float = 0.7) -> DataFrame:
+    """Transitive near-dup dedup: verified MinHash pairs become edges, each
+    connected component collapses to its minimum doc id. Unlike the
+    pair-based policy (minhash_dedup), a chain A~B~C with J(A,C) < τ still
+    collapses to {A} — B links the cluster."""
+    pairs = jaccard_verify(df, minhash_candidate_pairs(df, text_col, id_col),
+                           text_col, id_col, threshold)
+    labels = connected_components(pairs.select("a", "b"))
+    drop = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- SimHash
 
-SIMHASH_BITS = 32
+# 60-bit fingerprints: hash_j(word) = int(md5(word)[:15 hex], 16) — fits a
+# signed long in any engine (DuckDB: CAST('0x'||substr(md5(w),1,15) AS
+# BIGINT)), so the whole construction is oracle-checkable, unlike the
+# round-1 xxhash64 variant. 4 bands × 15 bits: hamming ≤ 3 ⇒ ≥1 shared
+# band (pigeonhole). Round 1 used 32-bit fp / 8-bit bands — only 256
+# buckets per band, i.e. giant candidate buckets at web scale.
+SIMHASH_BITS = 60
+_SIMHASH_LANES = 15          # 4 bit-counters per long at 16-bit offsets
+_SIMHASH_MAX_TOKENS = 65535  # counter headroom: a 16-bit lane never overflows
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         bits: int = SIMHASH_BITS) -> DataFrame:
+                         id_col: str = "doc_id") -> DataFrame:
     """(id, _fp) SimHash fingerprint table (Charikar 2002).
 
-    Each token votes ±1 per bit using bits of xxhash64(token); the
-    fingerprint sets bit i iff the vote sum is positive. Shaped as
-    explode(words) → one hash-aggregate with `bits` conditional sums —
-    codegen'd with map-side combine (the F.aggregate-HOF formulation is
-    interpreted and far slower)."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    Each token votes ±1 per bit using bits of its 60-bit md5 hash; the
+    fingerprint sets bit i iff the vote sum is positive (ones-count
+    strictly > half the tokens). Shaped as explode(words) → ONE
+    hash-aggregate of 15 packed lanes — each lane sums 4 bit-counters at
+    16-bit offsets of one long, so the aggregation buffer is 15 longs
+    + a count (the round-1 shape needed 32 separate conditional sums for
+    half the fingerprint width). Map-side combine keeps shuffle rows =
+    docs. Tokens beyond 65535 are ignored (counter headroom)."""
+    words = F.slice(
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                 lambda w: F.length(w) > 0),
+        1, _SIMHASH_MAX_TOKENS,
+    )
     ex = df.select(F.col(id_col), F.explode(words).alias("_w")).withColumn(
-        "_h", F.xxhash64(F.col("_w"))
+        "_h", F.conv(F.substring(F.md5(F.col("_w")), 1, 15), 16, 10).cast("long")
     )
-    votes = ex.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
-    )
+    lanes = []
+    for j in range(_SIMHASH_LANES):
+        lane = None
+        for r in range(4):
+            bit = F.shiftright(F.col("_h"), 4 * j + r).bitwiseAND(F.lit(1))
+            term = bit.cast("long") * F.lit(1 << (16 * r)).cast("long")
+            lane = term if lane is None else lane + term
+        lanes.append(F.sum(lane).alias(f"l{j}"))
+    votes = ex.groupBy(id_col).agg(*lanes, F.count("*").alias("_n"))
     fp = None
-    for i in range(bits):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
+    for i in range(SIMHASH_BITS):
+        j, r = divmod(i, 4)
+        c = F.shiftright(F.col(f"l{j}"), 16 * r).bitwiseAND(F.lit(0xFFFF))
+        term = F.when(c * 2 > F.col("_n"), F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         fp = term if fp is None else fp + term
@@ -211,14 +285,14 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup dedup on SimHash: candidates via 4-way band blocking
-    (docs within hamming distance d ≤ 3 share ≥1 of 4 8-bit bands), then
+    (docs within hamming distance d ≤ 3 share ≥1 of 4 15-bit bands), then
     exact popcount verify. Keeps the lowest id per near-dup pair."""
     fp = simhash_fingerprints(df, text_col, id_col)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftright(F.col("_fp"), b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+                F.shiftright(F.col("_fp"), b * 15).bitwiseAND(F.lit(0x7FFF)).alias("band_key"),
             )
             for b in range(4)
         ]

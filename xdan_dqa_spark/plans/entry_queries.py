@@ -768,6 +768,90 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM dups)
 """
 
 
+# Connected-components dedup: verified MinHash pairs as edges, each
+# component collapses to its min id. Oracle twin: recursive-CTE label
+# spread (min reachable id per node) — fixture components are tiny, so
+# the closure enumeration is bounded.
+
+def q_dedup_cc(spark, sf_dir):
+    from ..operators.dedup import cc_dedup
+
+    return cc_dedup(_t(spark, sf_dir, "documents"), threshold=0.7).select("doc_id")
+
+
+SQL_DEDUP_CC = f"""
+WITH RECURSIVE sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sigs),
+verified AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
+  WHERE CASE WHEN len(list_distinct(list_cat(sa.s, sb.s))) > 0
+             THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE)
+             ELSE 0.0 END >= 0.7
+),
+edges AS (SELECT a AS u, b AS v FROM verified UNION SELECT b, a FROM verified),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.u = e.u
+),
+comp AS (SELECT u AS node, min(r) AS comp FROM reach GROUP BY u)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+"""
+
+
+# SimHash dedup end-to-end: 60-bit md5-derived fingerprints with packed
+# 16-bit vote lanes, 4×15-bit band candidates, popcount verify, anti-join
+# — the DuckDB twin mirrors the packed-lane construction bit for bit.
+
+def _sql_dedup_simhash(max_hamming: int = 3) -> str:
+    lanes = []
+    for j in range(15):
+        terms = " + ".join(
+            f"((h >> {4 * j + r}) & 1) * {1 << (16 * r)}" for r in range(4)
+        )
+        lanes.append(f"SUM({terms}) AS l{j}")
+    fp_terms = []
+    for i in range(60):
+        j, r = divmod(i, 4)
+        fp_terms.append(
+            f"CASE WHEN ((l{j} >> {16 * r}) & 65535) * 2 > n THEN {1 << i} ELSE 0 END"
+        )
+    fp_expr = "\n       + ".join(fp_terms)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, (fp >> {15 * b}) & 32767 AS band_key FROM fp"
+        for b in range(4)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(({_WORDS_SQL})[1:65535]) AS w FROM documents
+),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM ex),
+votes AS (SELECT doc_id, count(*) AS n, {', '.join(lanes)} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp_expr} AS fp FROM votes),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+dups AS (
+  SELECT DISTINCT c.b
+  FROM cand c JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
+  WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM dups)
+"""
+
+
 # Hyperplane-LSH ANN top-k: the 3 frozen seed planes (hyperplane_planes
 # dim=64, bits=3, seed=42) inlined as SQL literals; bucket membership +
 # 1-bit multiprobe + exact rescore, all in DuckDB double arithmetic.
@@ -966,6 +1050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_wordset": q_dedup_wordset,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_cc": q_dedup_cc,
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
@@ -1015,6 +1100,8 @@ def oracle_map() -> dict[str, str]:
         "knn_bruteforce": SQL_KNN,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "dedup_minhash_full": SQL_DEDUP_MINHASH_FULL,
+        "dedup_simhash": _sql_dedup_simhash(),
+        "dedup_cc": SQL_DEDUP_CC,
         "ann_topk": _sql_ann_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "multimodal_features": SQL_MULTIMODAL,
