@@ -21,11 +21,15 @@ import time
 
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True,
-                   help="webtext parquet path, or synth:N for the fixture table")
-    p.add_argument("--output", required=True, help="output root dir")
+    p.add_argument("--config", default=None,
+                   help="YAML config file (reference default_config.yaml shape); "
+                        "CLI flags override config values")
+    p.add_argument("--input", default=None,
+                   help="webtext parquet path, or synth:N for the fixture table "
+                        "(overrides the config's datasets list)")
+    p.add_argument("--output", default=None, help="output root dir")
     p.add_argument("--run-id", default="run-001")
-    p.add_argument("--min-score", type=float, default=6.0)
+    p.add_argument("--min-score", type=float, default=None)
     p.add_argument("--langs", default="", help="comma list of allowed langs (empty=all)")
     p.add_argument("--resume", action="store_true",
                    help="anti-join against committed output; score only new ids")
@@ -36,20 +40,33 @@ def main(argv: list[str]) -> int:
 
     from xdan_dqa_spark.session import get_spark
     from xdan_dqa_spark.pipeline import score_webtext, salted_repartition
-    from xdan_dqa_spark.operators.score import QualityConfig
     from xdan_dqa_spark.operators.metrics import partition_metrics
     from xdan_dqa_spark.operators.resume import committed_ids, resume_filter
     from xdan_dqa_spark.pipeline import with_doc_id
 
+    from xdan_dqa_spark.config import JobConfig, load_config
+
+    job_cfg = load_config(args.config) if args.config else JobConfig()
+    if args.output is None:
+        args.output = job_cfg.output_dir
+    if args.input is None and not job_cfg.sources:
+        p.error("either --input or a --config with a datasets list is required")
+
     spark = get_spark("quality_filter_job", master=args.master)
     t0 = time.time()
 
-    if args.input.startswith("synth:"):
+    if args.input and args.input.startswith("synth:"):
         from xdan_dqa_spark.synth import webtext_df
 
         df = webtext_df(spark, int(args.input.split(":", 1)[1]))
-    else:
+    elif args.input:
         df = spark.read.parquet(args.input)
+    else:
+        # config-driven multi-source load (reference datasets: list;
+        # field mapping + sampling + union handled by the connectors)
+        from xdan_dqa_spark.sources.readers import read_many
+
+        df = read_many(spark, list(job_cfg.sources))
 
     if args.partitions:
         df = salted_repartition(df, args.partitions)
@@ -62,10 +79,14 @@ def main(argv: list[str]) -> int:
         committed = committed_ids(spark, out_scored)
         df = resume_filter(df, committed)
 
-    cfg = QualityConfig(
-        min_score=args.min_score,
-        allowed_langs=tuple(x for x in args.langs.split(",") if x),
-    )
+    # config file first, CLI overrides
+    from dataclasses import replace
+
+    cfg = job_cfg.quality
+    if args.min_score is not None:
+        cfg = replace(cfg, min_score=args.min_score)
+    if args.langs:
+        cfg = replace(cfg, allowed_langs=tuple(x for x in args.langs.split(",") if x))
     scored = score_webtext(df, cfg)
 
     scored.write.mode("append").parquet(out_scored)
