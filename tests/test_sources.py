@@ -85,3 +85,22 @@ def test_write_scored_partitioned_segments(spark, scored, tmp_path):
 def test_output_name_parts():
     assert output_name("assess", "cc/web 01", 42) == "assess_cc-web-01_42"
     assert output_name("t", "d", 1, ts=0.0) == "t_d_1_19700101_000000"
+
+
+def test_publish_table_create_then_append(spark, scored):
+    from xdan_dqa_spark.sources.sinks import publish_table
+
+    small = scored.select("doc_id", "pred_lang", "score", "keep").limit(50)
+    try:
+        name = publish_table(small, "pub_test_tbl")
+        assert name == "pub_test_tbl"
+        n1 = spark.table(name).count()
+        publish_table(small, "pub_test_tbl")          # append
+        assert spark.table(name).count() == 2 * n1
+        # checkpoint variant publishes to a suffixed table
+        cname = publish_table(small, "pub_test_tbl", checkpoint_variant=3)
+        assert cname == "pub_test_tbl_checkpoint_3"
+        assert spark.table("pub_test_tbl_checkpoint_3").count() == n1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pub_test_tbl")
+        spark.sql("DROP TABLE IF EXISTS pub_test_tbl_checkpoint_3")

@@ -55,6 +55,46 @@ def write_scored(scored: DataFrame, path: str, fmt: str = "parquet",
         raise ValueError(f"unsupported sink format {fmt!r}")
 
 
+def publish_table(scored: DataFrame, table: str, fmt: str = "parquet",
+                  checkpoint_variant: str | int | None = None,
+                  partition_by: tuple[str, ...] = ()) -> str:
+    """S6: publish to a governed catalog table — the external-push
+    analogue of the reference's Hub upload (``src/data_transformer.py:
+    420-489``, repo naming ``src/utils/dataset_utils.py:80-179``).
+
+    Uses the V2 writer (``writeTo``): on a cluster with an Iceberg/Delta
+    catalog the SAME call gives atomic snapshot commits; on the session
+    catalog it creates/appends a managed table. First publish creates the
+    table (with optional partitioning), later publishes append — the
+    incremental semantics the reference approximates by re-uploading an
+    ever-growing dataset. ``checkpoint_variant`` mirrors the reference's
+    ``<repo>_checkpoint-<n>`` naming as a suffixed table. Returns the
+    table name written."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    # the reference names Hub checkpoints '<repo>_checkpoint-<n>'; SQL
+    # catalogs only allow [A-Za-z0-9_] in identifiers, so the suffix maps
+    # to '_checkpoint_<n>'
+    name = f"{table}_checkpoint_{checkpoint_variant}" if checkpoint_variant is not None else table
+    ident = ".".join(
+        p if re.fullmatch(r"\w+", p) else f"`{p}`" for p in name.split(".")
+    )
+    spark = scored.sparkSession
+    if spark.catalog.tableExists(ident):
+        try:
+            scored.writeTo(ident).append()         # atomic on a v2 catalog
+        except AnalysisException:
+            # session-catalog (v1) tables reject the v2 writer — same
+            # append semantics through the v1 path
+            scored.write.mode("append").saveAsTable(ident)
+    else:
+        writer = scored.writeTo(ident).using(fmt)
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.create()
+    return name
+
+
 def write_keep_drop(scored: DataFrame, out_dir: str, fmt: str = "parquet") -> None:
     """F2 dual lanes from ONE scored plan: keep/ and drop/ subdirs
     (reference writes successful.jsonl / failed.jsonl). Caller should
