@@ -152,6 +152,8 @@ def main() -> None:
     ops = [
         "p4_weighted_score",
         "f1_keep_filter",
+        "p2_category",
+        "f1_category_filter",
         "a1_batch_metrics",
         "a5_lineitem_summary",
         "j1_anti_join_resume",
@@ -160,6 +162,7 @@ def main() -> None:
         "dedup_wordset",
         "dedup_minhash_pairs",
         "dedup_simhash",
+        "dedup_cc",
         "lang_id_heuristic",
         "p7_scrub",
         "token_count",

@@ -45,9 +45,9 @@ def test_tie_break_priority(spark):
 def test_case_insensitive_and_counting(spark):
     # 2 CONVERSATION hits vs 1 CODE hit
     assert _label(spark, "Hello THANKS def") == "CONVERSATION"
-    # non-adjacent repeats count individually; adjacent repeats share the
-    # delimiter space under non-overlapping replace ("you you you" = 2)
+    # every token occurrence counts (exact token-equality semantics)
     assert _label(spark, "you a you a you def import") == "CONVERSATION"
+    assert _label(spark, "you you you def import") == "CONVERSATION"
 
 
 def test_every_category_reachable_and_enum_closed(spark):

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.category import category_expr
+from .functions.category import (
+    category_label_from_scores,
+    category_scores_from_lower,
+    lower_col,
+)
 from .functions.fused import extract_score_udf, score_text_udf
 from .functions.heuristics import heuristic_columns, words_col
 from .functions.scrub import scrub_count_cheap, scrub_expr
@@ -119,8 +123,17 @@ def score_webtext(
         ),
     )
     # P2's topical label (8-way DataCategory, reference src/models.py:6-15)
-    # — pure replace/length arithmetic, rides the same codegen stage.
-    df = df.withColumn("category", category_expr(text))
+    # — one regexp_count pass per category over one materialized lowered
+    # text column. Scores are materialized as real columns too (same trick
+    # as the heuristics above): the argmax CASE references each score ~9×,
+    # and attributes are free to duplicate.
+    df = df.withColumn("_cat_t", lower_col(text))
+    cat_scores = category_scores_from_lower(F.col("_cat_t"))
+    df = df.select("*", *[v.alias(f"_cat_{c}") for c, v in cat_scores.items()])
+    df = df.withColumn(
+        "category",
+        category_label_from_scores({c: F.col(f"_cat_{c}") for c in cat_scores}),
+    )
 
     df = df.withColumn("score", weighted_score(dims, cfg))
     df = df.withColumn(
@@ -152,7 +165,11 @@ def score_webtext(
             F.lit(cfg.currency).alias("currency"),
         ),
     )
-    return df.drop("_words", *[f"_h_{k}" for k in h_exprs])
+    return df.drop(
+        "_words", "_cat_t",
+        *[f"_h_{k}" for k in h_exprs],
+        *[f"_cat_{c}" for c in cat_scores],
+    )
 
 
 def split_keep_drop(scored: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -224,14 +224,14 @@ FROM documents GROUP BY lang
 def _category_cte_sql(from_table: str = "documents") -> str:
     """WITH-clauses computing s_<cat> scores + the final CASE, reusable by
     every category-bearing oracle query."""
-    from ..functions.category import category_scores_sql
+    from ..functions.category import category_scores_sql, category_tokens_sql
 
     score_exprs = ",\n    ".join(
         f"{sql} AS s_{cat.lower()}" for cat, sql in category_scores_sql().items()
     )
     return (
-        f"cat_padded AS (SELECT *, ' ' || lower(coalesce(text, '')) || ' ' AS t FROM {from_table}),\n"
-        f"cat_scores AS (SELECT *, {score_exprs} FROM cat_padded)"
+        f"cat_tokens AS (SELECT *, {category_tokens_sql()} AS t FROM {from_table}),\n"
+        f"cat_scores AS (SELECT *, {score_exprs} FROM cat_tokens)"
     )
 
 
@@ -241,11 +241,28 @@ def _category_case() -> str:
     return category_case_sql()
 
 
-def q_p2_category(spark, sf_dir):
-    from ..functions.category import category_expr
+def _with_category(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``_category`` with the lowered text and the 8 scores
+    materialized as real columns first — the argmax CASE references every
+    score ~9× and each score is one regex pass over the lowered text."""
+    from ..functions.category import (
+        category_label_from_scores,
+        category_scores_from_lower,
+        lower_col,
+    )
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", category_expr(F.col("text")).alias("category")
+    df = df.withColumn("_cat_t", lower_col(F.col(text_col)))
+    scores = category_scores_from_lower(F.col("_cat_t"))
+    df = df.select("*", *[v.alias(f"_cs_{c}") for c, v in scores.items()])
+    return df.withColumn(
+        "_category",
+        category_label_from_scores({c: F.col(f"_cs_{c}") for c in scores}),
+    )
+
+
+def q_p2_category(spark, sf_dir):
+    return _with_category(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("_category").alias("category")
     )
 
 
@@ -263,9 +280,7 @@ _F1_ALLOWED_CATS = ("KNOWLEDGE_QA", "CODE_GENERATION", "REASONING", "ANALYSIS_SU
 
 
 def q_f1_category_filter(spark, sf_dir):
-    from ..functions.category import category_expr
-
-    df = _t(spark, sf_dir, "documents")
+    df = _with_category(_t(spark, sf_dir, "documents"))
     n_words = F.size(_words(F.col("text"))).cast("double")
     score = (
         F.lit(0.6) * (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 10.0)
@@ -274,7 +289,7 @@ def q_f1_category_filter(spark, sf_dir):
     return (
         df.select(
             "doc_id",
-            category_expr(F.col("text")).alias("category"),
+            F.col("_category").alias("category"),
             score.alias("score"),
         )
         .filter((F.col("score") >= 5.0) & F.col("category").isin(*_F1_ALLOWED_CATS))
@@ -638,9 +653,7 @@ GROUP BY l_returnflag, l_linestatus
 # validation get zeroed scores + category 'ERROR' instead of being dropped.
 
 def q_p6_error_default(spark, sf_dir):
-    from ..functions.category import category_expr
-
-    docs = _t(spark, sf_dir, "documents")
+    docs = _with_category(_t(spark, sf_dir, "documents"))
     ok = F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0) & (
         F.size(_words(F.col("text"))) >= 3
     )
@@ -651,7 +664,7 @@ def q_p6_error_default(spark, sf_dir):
         .alias("score"),
         # valid rows get the real 8-way DataCategory label; invalid rows get
         # the reference's error lane (src/processor.py:138 category='ERROR')
-        F.when(ok, category_expr(F.col("text"))).otherwise(F.lit("ERROR")).alias("category"),
+        F.when(ok, F.col("_category")).otherwise(F.lit("ERROR")).alias("category"),
     )
 
 
@@ -705,9 +718,7 @@ def _json_str_sql(expr: str) -> str:
 
 
 def q_p9_format_conversion(spark, sf_dir):
-    from ..functions.category import category_expr
-
-    docs = _t(spark, sf_dir, "documents")
+    docs = _with_category(_t(spark, sf_dir, "documents"))
     return docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
         F.col("text").alias("output"),
@@ -715,7 +726,7 @@ def q_p9_format_conversion(spark, sf_dir):
         F.col("source").alias("sources"),
         # the publish envelope's category is the classified DataCategory
         # (reference src/models.py:100-124), not the input language
-        category_expr(F.col("text")).alias("category"),
+        F.col("_category").alias("category"),
         F.least(F.col("n_chars").cast("double") / 50.0, F.lit(10.0)).alias("score"),
         # TokenInfo envelope (reference src/data_types.py:6-12): token
         # count + estimated cost ride the published record.
