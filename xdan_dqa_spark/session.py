@@ -32,10 +32,18 @@ def get_spark(
     # kernel time at 32 workers (measured: full pipeline 27.7s → 16.3s at
     # local[32] with these set). Python workers inherit the driver env in
     # local mode; spark.executorEnv.* below covers real clusters.
+    # Single-thread BLAS in every Python worker: task parallelism comes
+    # from Spark (one worker per core); an unpinned OpenBLAS/OMP pool
+    # spawns ncpu threads PER WORKER, and N workers × N threads
+    # oversubscribe the box quadratically — which also corrupts N-vs-4N
+    # scaling measurements (the N-core level borrows idle cores).
     _MALLOC_ENV = {
         "MALLOC_MMAP_THRESHOLD_": "134217728",
         "MALLOC_TRIM_THRESHOLD_": "134217728",
         "MALLOC_ARENA_MAX": "4",
+        "OPENBLAS_NUM_THREADS": "1",
+        "OMP_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
     }
     for k, v in _MALLOC_ENV.items():
         os.environ.setdefault(k, v)
