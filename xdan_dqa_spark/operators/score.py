@@ -143,6 +143,50 @@ def weighted_score(dims: dict[str, Column], cfg: QualityConfig) -> Column:
     return F.round(s / F.lit(total_w), 2)
 
 
+# Deterministic ImprovementSuggestion rules (reference src/models.py:165-169
+# {aspect, suggestion, priority 1..3}; priorities config/quality_metrics.yaml
+# improvement_priority high=1/medium=2/low=3). Each rule fires when its
+# signal is below par; priority escalates with severity.
+_SUGGESTION_RULES = (
+    # (aspect, fire_signal, severe_signal, suggestion)
+    ("length", "n_words", 100.0, 20.0, "expand the document body"),
+    ("chars", "n_chars", 500.0, 100.0, "add substantive content"),
+)
+
+
+def suggestion_structs(h: dict[str, Column]) -> Column:
+    """array<struct<aspect,suggestion,priority>> of fired improvement rules
+    — the deterministic stand-in for the LLM's improvement_suggestions
+    (reference src/models.py:165-175). Pure Column exprs."""
+    entries = []
+    for aspect, sig, fire_below, severe_below, text in _SUGGESTION_RULES:
+        entries.append(
+            F.when(
+                h[sig] < F.lit(fire_below),
+                F.struct(
+                    F.lit(aspect).alias("aspect"),
+                    F.lit(text).alias("suggestion"),
+                    F.when(h[sig] < F.lit(severe_below), F.lit(1))
+                    .otherwise(F.lit(2))
+                    .alias("priority"),
+                ),
+            ).otherwise(F.lit(None))
+        )
+    entries.append(
+        F.when(
+            h["distinct_word_ratio"] < F.lit(0.5),
+            F.struct(
+                F.lit("diversity").alias("aspect"),
+                F.lit("reduce repetition").alias("suggestion"),
+                F.when(h["distinct_word_ratio"] < F.lit(0.2), F.lit(1))
+                .otherwise(F.lit(3))
+                .alias("priority"),
+            ),
+        ).otherwise(F.lit(None))
+    )
+    return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+
 def keep_column(score: Column, pred_lang: Column, h: dict[str, Column],
                 declared_lang: Column | None, cfg: QualityConfig,
                 category: Column | None = None) -> Column:

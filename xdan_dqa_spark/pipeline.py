@@ -27,7 +27,13 @@ from .functions.category import (
 from .functions.fused import extract_score_udf, score_text_udf
 from .functions.heuristics import heuristic_columns, words_col
 from .functions.scrub import scrub_count_cheap, scrub_expr
-from .operators.score import QualityConfig, dimension_columns, keep_column, weighted_score
+from .operators.score import (
+    QualityConfig,
+    dimension_columns,
+    keep_column,
+    suggestion_structs,
+    weighted_score,
+)
 
 SALT_BUCKETS = 64  # salt modulus for skewed-host partitioning
 
@@ -134,6 +140,11 @@ def score_webtext(
         "category",
         category_label_from_scores({c: F.col(f"_cat_{c}") for c in cat_scores}),
     )
+
+    # ProcessingMetadata.improvement_suggestions analogue (reference
+    # src/models.py:165-175) — fired-rule structs, pure exprs over the
+    # already-materialized heuristics.
+    df = df.withColumn("improvement_suggestions", suggestion_structs(h))
 
     df = df.withColumn("score", weighted_score(dims, cfg))
     df = df.withColumn(

@@ -308,6 +308,70 @@ WHERE score >= 5.0 AND category IN ({cats})
 """
 
 
+# P10 improvement suggestions (reference ImprovementSuggestion
+# src/models.py:165-169; priorities config/quality_metrics.yaml
+# improvement_priority) — deterministic fired-rule rows, one row per
+# (doc, fired aspect). Mirrors operators/score.py suggestion_structs
+# flattened for scalar-only oracle comparison.
+
+def q_p10_improvement_suggestions(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n_words = F.size(w).cast("double")
+    dwr = F.when(
+        F.size(w) == 0, F.lit(1.0)
+    ).otherwise(F.size(F.array_distinct(w)).cast("double") / F.size(w))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("nw"),
+        F.col("n_chars").cast("double").alias("nc"),
+        dwr.alias("dwr"),
+    )
+    s_len = base.filter(F.col("nw") < 100).select(
+        "doc_id",
+        F.lit("length").alias("aspect"),
+        F.lit("expand the document body").alias("suggestion"),
+        F.when(F.col("nw") < 20, F.lit(1)).otherwise(F.lit(2)).alias("priority"),
+    )
+    s_chars = base.filter(F.col("nc") < 500).select(
+        "doc_id",
+        F.lit("chars").alias("aspect"),
+        F.lit("add substantive content").alias("suggestion"),
+        F.when(F.col("nc") < 100, F.lit(1)).otherwise(F.lit(2)).alias("priority"),
+    )
+    s_div = base.filter(F.col("dwr") < 0.5).select(
+        "doc_id",
+        F.lit("diversity").alias("aspect"),
+        F.lit("reduce repetition").alias("suggestion"),
+        F.when(F.col("dwr") < 0.2, F.lit(1)).otherwise(F.lit(3)).alias("priority"),
+    )
+    return s_len.unionByName(s_chars).unionByName(s_div)
+
+
+SQL_P10 = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_WORDS_SQL}) AS DOUBLE) AS nw,
+         CAST(n_chars AS DOUBLE) AS nc,
+         CASE WHEN len({_WORDS_SQL}) = 0 THEN 1.0
+              ELSE CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                   / CAST(len({_WORDS_SQL}) AS DOUBLE) END AS dwr
+  FROM documents
+)
+SELECT doc_id, 'length' AS aspect, 'expand the document body' AS suggestion,
+       CASE WHEN nw < 20 THEN 1 ELSE 2 END AS priority
+FROM base WHERE nw < 100
+UNION ALL
+SELECT doc_id, 'chars', 'add substantive content',
+       CASE WHEN nc < 100 THEN 1 ELSE 2 END
+FROM base WHERE nc < 500
+UNION ALL
+SELECT doc_id, 'diversity', 'reduce repetition',
+       CASE WHEN dwr < 0.2 THEN 1 ELSE 3 END
+FROM base WHERE dwr < 0.5
+"""
+
+
 # J1 anti-join resume (reference src/data_transformer.py:458-473)
 
 def q_j1_anti_join_resume(spark, sf_dir):
@@ -1048,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p9_format_conversion": q_p9_format_conversion,
     "p2_category": q_p2_category,
     "f1_category_filter": q_f1_category_filter,
+    "p10_improvement_suggestions": q_p10_improvement_suggestions,
     "a1_batch_metrics": q_a1_batch_metrics,
     "a2_event_totals": q_a2_event_totals,
     "a3_source_distribution": q_a3_source_distribution,
@@ -1091,6 +1156,7 @@ def oracle_map() -> dict[str, str]:
         "p9_format_conversion": _sql_p9(),
         "p2_category": _sql_p2(),
         "f1_category_filter": _sql_f1_category(),
+        "p10_improvement_suggestions": SQL_P10,
         "a1_batch_metrics": SQL_A1,
         "a2_event_totals": SQL_A2,
         "a3_source_distribution": SQL_A3,

@@ -56,6 +56,18 @@ TOKEN_INFO_SCHEMA = T.StructType(
     ]
 )
 
+# Fired improvement rules (ImprovementSuggestion, reference
+# src/models.py:165-169).
+SUGGESTION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("aspect", T.StringType(), False),
+            T.StructField("suggestion", T.StringType(), False),
+            T.StructField("priority", T.IntegerType(), False),
+        ]
+    )
+)
+
 # Scored output row = input + these (ProcessedItem analogue,
 # reference src/models.py:147-158).
 SCORED_EXTRA_FIELDS = [
@@ -64,6 +76,7 @@ SCORED_EXTRA_FIELDS = [
     ("pred_lang", T.StringType()),
     ("quality_metrics", QUALITY_METRICS_SCHEMA),
     ("category", T.StringType()),       # 8-way DataCategory label (src/models.py:6-15)
+    ("improvement_suggestions", SUGGESTION_SCHEMA),
     ("score", T.DoubleType()),
     ("keep", T.BooleanType()),
     ("scrubbed_text", T.StringType()),  # processed_output analogue
