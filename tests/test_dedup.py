@@ -96,6 +96,27 @@ def test_simhash_band_recall_vs_explicit_hamming(spark):
     assert explicit <= cand, f"missed pairs: {explicit - cand}"
 
 
+def test_simhash_giant_doc_no_ansi_overflow(spark):
+    """Regression: a 40k-token doc used to abort the whole job with
+    SparkArithmeticException ARITHMETIC_OVERFLOW under PySpark 4's
+    default ANSI mode — the r=3 counter occupies bits 48-63 of the
+    packed lane INCLUDING the sign bit, so the token cap must keep the
+    lane sum < 2^63 (hence _SIMHASH_MAX_TOKENS = 32767, not 65535)."""
+    from xdan_dqa_spark.operators.dedup import (
+        _SIMHASH_MAX_TOKENS,
+        simhash_fingerprints,
+    )
+
+    assert _SIMHASH_MAX_TOKENS * ((1 << 48) + (1 << 32) + (1 << 16) + 1) < 2**63
+    giant = "lorem " * 40_000          # one token repeated: every set bit of
+    df = spark.createDataFrame(        # its hash votes in ALL capped tokens
+        [(1, giant), (2, "short doc")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["_fp"] for r in simhash_fingerprints(df).collect()}
+    assert set(fps) == {1, 2}
+    assert 0 <= fps[1] < 2**60 and 0 <= fps[2] < 2**60
+
+
 def test_connected_components_chain(spark):
     """A~B~C collapses to one representative even when A and C are not
     directly connected (the pair-based policy's known gap)."""

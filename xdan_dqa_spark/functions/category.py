@@ -13,7 +13,7 @@ Semantics:
     lower(text), empties dropped) equal to any marker word — every
     occurrence counts. Computed as ONE ``regexp_count`` per category over
     the lowered text with zero-width token delimiters
-    ``(?<=^| )(?:m1|m2|…)(?=$| )`` — 8 JVM regex passes per row total.
+    ``(?<=\\A| )(?:m1|m2|…)(?=\\z| )`` — 8 JVM regex passes per row total.
     (Two rejected formulations, both measured ~4 s/40k docs at sf0.1 vs
     ~0.5 s for this one: per-marker padded-replace counting re-scanned
     and copied the text 61×; per-marker ``array_remove`` counting
@@ -31,29 +31,44 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Marker lexicons per reference category (config/category.yaml). English
-# web-text markers; space-delimited word forms only so the padded-count
-# trick applies. Order inside a lexicon is irrelevant. Each lexicon also
-# carries a few data/compute-domain aliases so technical corpora (and the
-# fixed-vocabulary test tables) spread across labels instead of collapsing
-# into the fallback.
+# Marker lexicons per reference category (config/category.yaml:2-41
+# semantics: KNOWLEDGE_QA=factual Q&A / concept explanation, REASONING=
+# logical derivation / problem solving, CODE_GENERATION=code writing /
+# debugging, CREATIVE_WRITING=story / copy / content creation,
+# CONVERSATION=daily + customer-service dialog, INSTRUCTION_FOLLOWING=
+# task execution / step guidance, ANALYSIS_SUMMARY=summarization / data
+# analysis / insight extraction, MULTIMODAL_UNDERSTANDING=image / video
+# description and cross-modal tasks). Natural-language English web-text
+# markers ONLY — no corpus-fitted aliases (the round-2 lexicon leaked
+# data/compute tokens like "spark"/"window"/"merge" that mislabeled real
+# text, e.g. any SQL tutorial became MULTIMODAL; realistic-snippet
+# goldens in tests/test_category.py now pin label quality instead).
+# Space-delimited lowercase word forms only, no regex metacharacters,
+# disjoint across categories, so the token-count trick applies.
 CATEGORY_MARKERS: dict[str, tuple[str, ...]] = {
     "CODE_GENERATION": ("def", "function", "import", "return", "class",
-                        "println", "spark", "hash", "vector"),
+                        "println", "code", "compile", "debug", "variable",
+                        "syntax", "python", "javascript", "api"),
     "REASONING": ("therefore", "because", "hence", "thus", "proof",
-                  "theorem", "order", "filter"),
+                  "theorem", "logic", "premise", "implies", "deduce",
+                  "conclude", "solve"),
     "INSTRUCTION_FOLLOWING": ("step", "first", "next", "follow", "click",
-                              "install", "merge", "join", "sort"),
+                              "install", "instructions", "guide",
+                              "tutorial", "press", "select", "procedure"),
     "ANALYSIS_SUMMARY": ("summary", "analysis", "conclusion", "overall",
-                         "report", "trend", "agg", "group", "data"),
+                         "report", "trend", "insight", "findings",
+                         "percent", "statistics", "compared"),
     "CREATIVE_WRITING": ("story", "once", "poem", "novel", "character",
-                         "dream", "stream", "line"),
-    "CONVERSATION": ("hello", "thanks", "please", "you", "me", "yeah",
-                     "customer"),
+                         "dream", "tale", "fiction", "chapter", "verse",
+                         "wrote"),
+    "CONVERSATION": ("hello", "hi", "thanks", "please", "you", "me",
+                     "yeah", "customer", "chat", "sorry", "okay"),
     "MULTIMODAL_UNDERSTANDING": ("image", "video", "photo", "picture",
-                                 "audio", "frame", "window", "scan"),
-    "KNOWLEDGE_QA": ("what", "who", "why", "answer", "question",
-                     "definition", "query", "key"),
+                                 "audio", "pixel", "caption", "camera",
+                                 "visual", "depicts", "shown"),
+    "KNOWLEDGE_QA": ("what", "who", "why", "when", "where", "answer",
+                     "question", "definition", "fact", "explain",
+                     "meaning", "known"),
 }
 
 # Argmax tie-break order (most-specific topical signal wins ties; the
@@ -81,24 +96,34 @@ def lower_col(text: Column) -> Column:
 def _category_pattern(markers: tuple[str, ...]) -> str:
     """Zero-width token delimiters: counts every single-space token equal
     to a marker, one non-consuming match per occurrence (consuming ' m '
-    delimiters would miss adjacent markers sharing a space)."""
-    return r"(?<=^| )(?:" + "|".join(markers) + r")(?=$| )"
+    delimiters would miss adjacent markers sharing a space).
+
+    Anchors are ``\\A``/``\\z`` (absolute input edges), NOT ``^``/``$``:
+    Java ``$`` without MULTILINE matches before a FINAL line terminator,
+    so text ending "marker\\n" would count the marker while the
+    single-space-split token semantics (and the DuckDB oracle twin) yield
+    zero — and trailing newlines are ubiquitous in web text."""
+    return r"(?<=\A| )(?:" + "|".join(markers) + r")(?=\z| )"
 
 
-def category_scores_from_lower(t: Column) -> dict[str, Column]:
+def category_scores_from_lower(
+    t: Column, markers: dict[str, tuple[str, ...]] | None = None
+) -> dict[str, Column]:
     """Per-category marker-count scores over an ALREADY lowered column —
     one regexp_count pass per category. Pass a materialized attribute so
-    lower() runs once, not 8×."""
+    lower() runs once, not 8×. ``markers`` overrides the default lexicon
+    (same 8 keys) for domain-tuned deployments and tests."""
     return {
-        cat: F.regexp_count(t, F.lit(_category_pattern(markers))).cast("double")
-        for cat, markers in CATEGORY_MARKERS.items()
+        cat: F.regexp_count(t, F.lit(_category_pattern(m))).cast("double")
+        for cat, m in (markers or CATEGORY_MARKERS).items()
     }
 
 
-def category_scores(text: Column) -> dict[str, Column]:
+def category_scores(text: Column,
+                    markers: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
     """Per-category marker-count scores (inline lowered subtree — prefer
     materializing lower_col + category_scores_from_lower in hot paths)."""
-    return category_scores_from_lower(lower_col(text))
+    return category_scores_from_lower(lower_col(text), markers)
 
 
 def category_label_from_scores(scores: dict[str, Column]) -> Column:
@@ -116,9 +141,10 @@ def category_label_from_scores(scores: dict[str, Column]) -> Column:
     return label
 
 
-def category_expr(text: Column) -> Column:
+def category_expr(text: Column,
+                  markers: dict[str, tuple[str, ...]] | None = None) -> Column:
     """The 8-way label as a single Column expression."""
-    return category_label_from_scores(category_scores(text))
+    return category_label_from_scores(category_scores(text, markers))
 
 
 # ------------------------------------------------------------------ oracle
@@ -135,10 +161,12 @@ def category_tokens_sql(text_expr: str = "text") -> str:
     )
 
 
-def category_scores_sql(tvar: str = "t") -> dict[str, str]:
+def category_scores_sql(
+    tvar: str = "t", markers: dict[str, tuple[str, ...]] | None = None
+) -> dict[str, str]:
     return {
-        cat: " + ".join(_marker_count_sql(m, tvar) for m in markers)
-        for cat, markers in CATEGORY_MARKERS.items()
+        cat: " + ".join(_marker_count_sql(m, tvar) for m in ms)
+        for cat, ms in (markers or CATEGORY_MARKERS).items()
     }
 
 

@@ -192,25 +192,36 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
+    changed = 1
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # Carry the previous label through the checkpoint so the
+        # convergence probe below is a scan of already-materialized
+        # partitions — no shuffle join, no recompute (a probe-side join
+        # back to `labels` used to cost one full extra job per round).
         new_labels = labels.join(nbr_min, "u", "left").select(
             "u",
+            F.col("comp").alias("_old"),
             F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "_old"), "u")
-            .filter(F.col("comp") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        labels = new_labels.select("u", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} rounds; "
+            "labels may split long chains — raise max_iters or switch to the "
+            "large-star/small-star variant",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("node"), "comp")
 
 
@@ -239,7 +250,12 @@ def cc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # buckets per band, i.e. giant candidate buckets at web scale.
 SIMHASH_BITS = 60
 _SIMHASH_LANES = 15          # 4 bit-counters per long at 16-bit offsets
-_SIMHASH_MAX_TOKENS = 65535  # counter headroom: a 16-bit lane never overflows
+# Counter headroom bound: the top (r=3) counter occupies bits 48-63 of the
+# packed long INCLUDING the sign bit, so the lane sum must stay < 2^63.
+# With <= 32767 tokens, max packed value = 32767 * (2^48 + 2^32 + 2^16 + 1)
+# < 2^63 — safe under ANSI mode (which PySpark 4 enables by default and
+# would abort the job with ARITHMETIC_OVERFLOW at 65535).
+_SIMHASH_MAX_TOKENS = 32767
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
@@ -253,7 +269,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     16-bit offsets of one long, so the aggregation buffer is 15 longs
     + a count (the round-1 shape needed 32 separate conditional sums for
     half the fingerprint width). Map-side combine keeps shuffle rows =
-    docs. Tokens beyond 65535 are ignored (counter headroom)."""
+    docs. Tokens beyond 32767 are ignored (sign-bit headroom on the top
+    packed counter — see _SIMHASH_MAX_TOKENS)."""
     words = F.slice(
         F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
                  lambda w: F.length(w) > 0),

@@ -311,8 +311,12 @@ WHERE score >= 5.0 AND category IN ({cats})
 # P10 improvement suggestions (reference ImprovementSuggestion
 # src/models.py:165-169; priorities config/quality_metrics.yaml
 # improvement_priority) — deterministic fired-rule rows, one row per
-# (doc, fired aspect). Mirrors operators/score.py suggestion_structs
-# flattened for scalar-only oracle comparison.
+# (doc, fired aspect). Checks the RULE SHAPE of operators/score.py
+# suggestion_structs (threshold → aspect/suggestion/priority row), not
+# its exact token stats: this twin uses the oracle-portable single-space
+# split while the pipeline tokenizes with \s+ and lowercases for the
+# distinct ratio — the suggestion semantics themselves are covered by
+# the pipeline goldens (tests/test_pipeline_golden.py).
 
 def q_p10_improvement_suggestions(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -907,7 +911,7 @@ def _sql_dedup_simhash(max_hamming: int = 3) -> str:
     )
     return f"""
 WITH ex AS (
-  SELECT doc_id, unnest(({_WORDS_SQL})[1:65535]) AS w FROM documents
+  SELECT doc_id, unnest(({_WORDS_SQL})[1:32767]) AS w FROM documents
 ),
 h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM ex),
 votes AS (SELECT doc_id, count(*) AS n, {', '.join(lanes)} FROM h GROUP BY doc_id),
