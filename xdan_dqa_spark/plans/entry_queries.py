@@ -1104,6 +1104,205 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# score_core: oracle coverage for the flagship's scoring expression tree
+# (operators/score.py:66-213 — dimension ramps, weighted score, keep
+# predicate). pipeline_score_documents stays rows-only because langid/ppl
+# are frozen models, but everything DOWNSTREAM of those signals is pure
+# arithmetic — so this query feeds deterministic FIXTURE signals (derived
+# from doc_id/n_chars with oracle-portable arithmetic, spanning every
+# ramp's clip points and every keep bound) through the real shipped
+# functions, leaving only the two models themselves golden-only.
+
+def _score_core_fixtures():
+    """(name, spark Column, duckdb SQL) triples — each signal sweeps
+    across its ramp/bound so clip floors, ceilings, and both keep
+    branches are all exercised."""
+    d = F.col("doc_id")
+    return [
+        # pred_lang: 20% forced-mismatch lane exercises lang_agree=0.2
+        ("pred", F.when(d % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+         "CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END"),
+        # NB every SQL literal below carries ::DOUBLE — DuckDB parses bare
+        # decimal literals as exact DECIMAL and would do exact-rational
+        # fixture arithmetic where Spark does IEEE double, a 1-ULP
+        # divergence that flips 2dp rounding on boundary rows.
+        ("ls", F.lit(0.25) + (d % 7) * F.lit(0.08),
+         "0.25::DOUBLE + (doc_id % 7) * 0.08::DOUBLE"),        # crosses 0.5 clip
+        ("ppl", F.lit(12.0) + (d % 40) * F.lit(12.0),
+         "12.0::DOUBLE + (doc_id % 40) * 12.0::DOUBLE"),       # 12..480 spans good..bad
+        ("nc", F.col("n_chars").cast("double"), "CAST(n_chars AS DOUBLE)"),
+        ("nw", (d % 150 + 10).cast("double"),
+         "CAST(doc_id % 150 + 10 AS DOUBLE)"),                 # crosses min_words 25
+        ("mwl", F.lit(1.0) + (d % 16), "1.0::DOUBLE + (doc_id % 16)"),  # crosses [1.5,14]
+        ("swr", (d % 11) / F.lit(40.0), "(doc_id % 11) / 40.0::DOUBLE"),
+        ("symr", (d % 13) / F.lit(80.0), "(doc_id % 13) / 80.0::DOUBLE"),  # crosses 0.10
+        ("dlf", (d % 9) / F.lit(20.0), "(doc_id % 9) / 20.0::DOUBLE"),     # crosses 0.30
+        ("ar", F.lit(0.5) + (d % 6) / F.lit(10.0),
+         "0.5::DOUBLE + (doc_id % 6) / 10.0::DOUBLE"),         # crosses 0.8
+        ("cjkr", (d % 4) / F.lit(5.0), "(doc_id % 4) / 5.0::DOUBLE"),  # crosses 0.5 clip
+        ("ncjk", ((d % 12) * 5).cast("double"),
+         "CAST((doc_id % 12) * 5 AS DOUBLE)"),                 # crosses 30
+        ("dwr", (d % 10) / F.lit(10.0), "(doc_id % 10) / 10.0::DOUBLE"),  # crosses 0.2/0.25
+    ]
+
+
+def q_score_core(spark, sf_dir):
+    from ..operators.score import (
+        QualityConfig,
+        dimension_columns,
+        keep_column,
+        weighted_score,
+    )
+
+    cfg = QualityConfig()
+    docs = _t(spark, sf_dir, "documents")
+    fx = docs.select(
+        "doc_id", "lang", *[c.alias(n) for n, c, _ in _score_core_fixtures()]
+    )
+    h = {
+        "n_chars": F.col("nc"), "n_words": F.col("nw"),
+        "mean_word_len": F.col("mwl"), "stopword_ratio": F.col("swr"),
+        "symbol_ratio": F.col("symr"), "dup_line_frac": F.col("dlf"),
+        "alpha_ratio": F.col("ar"), "cjk_ratio": F.col("cjkr"),
+        "n_cjk": F.col("ncjk"), "distinct_word_ratio": F.col("dwr"),
+    }
+    dims = dimension_columns(h, F.col("pred"), F.col("ls"), F.col("ppl"),
+                             F.col("lang"), cfg)
+    with_dims = fx.withColumns({k: v for k, v in dims.items()})
+    score = weighted_score({k: F.col(k) for k in dims}, cfg)
+    scored = with_dims.withColumn("score", score)
+    keep = keep_column(F.col("score"), F.col("pred"), h, F.col("lang"), cfg)
+    return scored.select(
+        "doc_id",
+        # dims rounded to 4dp: kills cross-engine log2 ULP noise while
+        # still pinning every ramp value; score keeps the shipped 2dp
+        *[F.round(F.col(k), 4).alias(k) for k in dims],
+        "score",
+        keep.cast("int").alias("keep"),
+    )
+
+
+def _sql_score_core() -> str:
+    from ..operators.score import QualityConfig
+
+    cfg = QualityConfig()
+    fx_cols = ",\n    ".join(f"{sql} AS {n}" for n, _, sql in _score_core_fixtures())
+    total_w = cfg.w_lang + cfg.w_fluency + cfg.w_clarity + cfg.w_clean + cfg.w_structure
+    clip = lambda e: f"least(greatest({e}, 0.0), 1.0)"
+    d_fluency_ramp = clip(
+        f"1.0 - log2(greatest(ppl, 1.0) / {cfg.ppl_good!r}) / log2({cfg.ppl_bad!r} / {cfg.ppl_good!r})"
+    )
+    return f"""
+WITH fx AS (
+  SELECT doc_id, lang,
+    {fx_cols}
+  FROM documents
+), dims AS (
+  SELECT *,
+    10.0 * {clip("ls * 2.0")} * (CASE WHEN pred = lang THEN 1.0 ELSE 0.2 END) AS d_lang,
+    CASE WHEN pred = 'zh' THEN 10.0 * {clip("cjkr / 0.5")}
+         ELSE 10.0 * {d_fluency_ramp} END AS d_fluency,
+    CASE WHEN pred = 'zh' THEN 10.0 * {clip("cjkr / 0.5")}
+         ELSE 10.0 * {clip("swr / 0.25")} END AS d_clarity,
+    5.0 * {clip(f"1.0 - symr / {cfg.max_symbol_ratio!r}")}
+      + 5.0 * {clip("CASE WHEN pred = 'zh' THEN 1.0 ELSE ar / 0.8 END")} AS d_clean,
+    10.0 * {clip(f"1.0 - dlf / {cfg.max_dup_line_frac!r}")}
+         * {clip("dwr / 0.25")}
+         * (CASE WHEN nc >= {cfg.min_chars!r} AND nc <= {cfg.max_chars!r} THEN 1.0 ELSE 0.0 END)
+         * (CASE WHEN pred = 'zh' OR (mwl >= {cfg.min_mean_word_len!r} AND mwl <= {cfg.max_mean_word_len!r})
+                 THEN 1.0 ELSE 0.3 END) AS d_structure
+  FROM fx
+), scored AS (
+  SELECT *,
+    round((least(d_lang, 10.0) * {cfg.w_lang!r} + least(d_fluency, 10.0) * {cfg.w_fluency!r}
+         + least(d_clarity, 10.0) * {cfg.w_clarity!r} + least(d_clean, 10.0) * {cfg.w_clean!r}
+         + least(d_structure, 10.0) * {cfg.w_structure!r}) / {total_w!r}, 2) AS score
+  FROM dims
+)
+SELECT doc_id,
+  round(d_lang, 4) AS d_lang, round(d_fluency, 4) AS d_fluency,
+  round(d_clarity, 4) AS d_clarity, round(d_clean, 4) AS d_clean,
+  round(d_structure, 4) AS d_structure, score,
+  CAST(score >= {cfg.min_score!r} AND pred = lang
+   AND nc >= {cfg.min_chars!r} AND nc <= {cfg.max_chars!r}
+   AND (CASE WHEN pred = 'zh' THEN ncjk >= {cfg.min_cjk_chars!r}
+             ELSE nw >= {cfg.min_words!r} END)
+   AND dlf <= {cfg.max_dup_line_frac!r} AND symr <= {cfg.max_symbol_ratio!r}
+   AND dwr >= {cfg.min_distinct_ratio!r} AS INT) AS keep
+FROM scored
+"""
+
+
+# ------------------------------------------------------------------
+# cot_envelope: StructuredPromptItem reshape (reference src/models.py:
+# 222-257) flattened for scalar oracle comparison. The envelope itself is
+# nested structs (operators/cot.py); flattening here because the driver
+# hash compares scalar columns.
+
+def q_cot_envelope(spark, sf_dir):
+    from ..operators.cot import to_structured_prompt
+
+    docs = _t(spark, sf_dir, "documents")
+    shaped = to_structured_prompt(
+        docs,
+        instruction=F.concat(F.lit("Assess the quality of this "),
+                             F.col("source"), F.lit(" document")),
+        input_=F.col("text"),
+        output=F.col("text"),
+    )
+    return shaped.select(
+        "doc_id",
+        "question",
+        F.col("components.analyze").alias("c_analyze"),
+        F.col("components.solution").alias("c_solution"),
+        F.col("cot_metadata.original_format").alias("m_format"),
+        F.col("cot_metadata.original_instruction").alias("m_instruction"),
+    )
+
+
+def _sql_cot_envelope() -> str:
+    from ..operators.cot import ANALYZE_BODY
+
+    analyze = ANALYZE_BODY.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         'Assess the quality of this ' || source || ' document' AS instr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN text IS NOT NULL AND text <> ''
+       THEN instr || chr(10) || 'Context: ' || text ELSE instr END AS question,
+  '{analyze}' AS c_analyze,
+  text AS c_solution,
+  'webtext' AS m_format,
+  instr AS m_instruction
+FROM base
+"""
+
+
+# ------------------------------------------------------------------
+# gen_fanout: multi-generation explode (reference distillable/pipeline.py
+# :33-37 num_generations=4) — N candidate rows per doc with deterministic
+# per-candidate seeds.
+
+def q_gen_fanout(spark, sf_dir):
+    from ..operators.cot import fan_out_generations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return fan_out_generations(docs, n_generations=4).select(
+        "doc_id", "source", "gen_idx", "gen_seed"
+    )
+
+
+SQL_GEN_FANOUT = """
+SELECT doc_id, source, gen_idx, doc_id * 4 + gen_idx AS gen_seed
+FROM documents
+CROSS JOIN (SELECT unnest(range(4)) AS gen_idx) g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -1137,6 +1336,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p7_scrub": q_p7_scrub,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_neardup": q_embedding_neardup,
+    "score_core": q_score_core,
+    "cot_envelope": q_cot_envelope,
+    "gen_fanout": q_gen_fanout,
     # rows-only (non-SQL-expressible)
     "pipeline_score_documents": q_pipeline_score_documents,
     "dedup_minhash_full": q_dedup_minhash_full,
@@ -1180,6 +1382,9 @@ def oracle_map() -> dict[str, str]:
         "p7_scrub": _scrub_sql(),
         "knn_bruteforce": SQL_KNN,
         "embedding_neardup": SQL_EMB_NEARDUP,
+        "score_core": _sql_score_core(),
+        "cot_envelope": _sql_cot_envelope(),
+        "gen_fanout": SQL_GEN_FANOUT,
         "dedup_minhash_full": SQL_DEDUP_MINHASH_FULL,
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_cc": SQL_DEDUP_CC,
