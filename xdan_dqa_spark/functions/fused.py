@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from .extract import extract_text
 from .langid import score_encoded
 from .ngram_core import MAX_CHARS, encode_batch
-from .perplexity import ppl_encoded
+from .perplexity import ppl_encoded_by_lang
 
 EXTRACT_SCORE_SCHEMA = T.StructType(
     [
@@ -45,6 +45,8 @@ SCORE_ONLY_SCHEMA = T.StructType(
 def _score_texts(txt: pd.Series) -> pd.DataFrame:
     # One normalization + one codepoint/trigram encoding feeds BOTH models
     # (identical to what each UDF would compute alone — see ngram_core).
+    # Perplexity follows the CCNet shape: LID first, then each doc scored
+    # by its PREDICTED language's frozen model (und → pooled fallback).
     norm = txt.fillna("").str.lower().str.slice(0, MAX_CHARS)
     enc = encode_batch(norm)
     lid = score_encoded(enc)
@@ -52,7 +54,7 @@ def _score_texts(txt: pd.Series) -> pd.DataFrame:
         {
             "lang": lid["lang"],
             "lang_score": lid["lang_score"],
-            "ppl": ppl_encoded(enc),
+            "ppl": ppl_encoded_by_lang(enc, lid["lang"].to_numpy()),
         },
         index=txt.index,
     )

@@ -54,9 +54,14 @@ class QualityConfig:
     min_mean_word_len: float = 1.5
     max_mean_word_len: float = 14.0
 
-    # Perplexity → score calibration (set from the frozen model's range).
+    # Perplexity → score calibration for UNKNOWN languages (fallback).
+    # Known languages use the per-language frozen calibration measured on
+    # held-out text at model-build time (functions/perplexity.py
+    # PPL_CALIBRATION — the CCNet per-language-cutoff pattern), because
+    # raw perplexities are not comparable across languages/models.
     ppl_good: float = 24.0   # ppl at/below this scores 10
     ppl_bad: float = 256.0   # ppl at/above this scores 0
+    per_lang_ppl: bool = True  # False = flat cfg calibration for all langs
 
 
 def _clip01(c: Column) -> Column:
@@ -74,18 +79,23 @@ def dimension_columns(h: dict[str, Column], pred_lang: Column, lang_score: Colum
     )
     d_lang = F.lit(10.0) * _clip01(lang_score * 2.0) * lang_agree
 
-    # log-linear ppl ramp: ppl_good→10, ppl_bad→0. zh has no per-language
-    # ppl model (CCNet ships one KenLM per language; ours covers the latin
-    # four) — its fluency proxy is CJK-character coverage instead.
-    span = F.lit(float(cfg.ppl_bad)) / F.lit(float(cfg.ppl_good))
-    d_fluency = F.when(
-        pred_lang == "zh", F.lit(10.0) * _clip01(h["cjk_ratio"] / F.lit(0.5))
-    ).otherwise(
-        F.lit(10.0)
-        * _clip01(
-            F.lit(1.0)
-            - F.log2(F.greatest(ppl, F.lit(1.0)) / F.lit(float(cfg.ppl_good))) / F.log2(span)
-        )
+    # log-linear ppl ramp: ppl_good→10, ppl_bad→0, with PER-LANGUAGE
+    # good/bad levels (every language incl. zh now has its own frozen
+    # char-ngram model + held-out calibration — CCNet's one-LM-per-language
+    # shape; cfg values are the und/unknown fallback).
+    if cfg.per_lang_ppl:
+        from ..functions.perplexity import PPL_CALIBRATION
+
+        good = F.lit(float(cfg.ppl_good))
+        bad = F.lit(float(cfg.ppl_bad))
+        for lang, (g, b) in PPL_CALIBRATION.items():
+            good = F.when(pred_lang == lang, F.lit(g)).otherwise(good)
+            bad = F.when(pred_lang == lang, F.lit(b)).otherwise(bad)
+    else:
+        good = F.lit(float(cfg.ppl_good))
+        bad = F.lit(float(cfg.ppl_bad))
+    d_fluency = F.lit(10.0) * _clip01(
+        F.lit(1.0) - F.log2(F.greatest(ppl, F.lit(1.0)) / good) / F.log2(bad / good)
     )
 
     d_clarity = F.when(

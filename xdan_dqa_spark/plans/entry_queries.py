@@ -1184,25 +1184,36 @@ def q_score_core(spark, sf_dir):
 
 
 def _sql_score_core() -> str:
+    from ..functions.perplexity import PPL_CALIBRATION
     from ..operators.score import QualityConfig
 
     cfg = QualityConfig()
     fx_cols = ",\n    ".join(f"{sql} AS {n}" for n, _, sql in _score_core_fixtures())
     total_w = cfg.w_lang + cfg.w_fluency + cfg.w_clarity + cfg.w_clean + cfg.w_structure
     clip = lambda e: f"least(greatest({e}, 0.0), 1.0)"
+    # Per-language ppl calibration CASE (mirrors dimension_columns'
+    # PPL_CALIBRATION dispatch; ::DOUBLE defeats DuckDB DECIMAL literals).
+    pplg = " ".join(f"WHEN pred = '{la}' THEN {g!r}::DOUBLE"
+                    for la, (g, _) in PPL_CALIBRATION.items())
+    pplb = " ".join(f"WHEN pred = '{la}' THEN {b!r}::DOUBLE"
+                    for la, (_, b) in PPL_CALIBRATION.items())
     d_fluency_ramp = clip(
-        f"1.0 - log2(greatest(ppl, 1.0) / {cfg.ppl_good!r}) / log2({cfg.ppl_bad!r} / {cfg.ppl_good!r})"
+        "1.0 - log2(greatest(ppl, 1.0) / pplg) / log2(pplb / pplg)"
     )
     return f"""
 WITH fx AS (
   SELECT doc_id, lang,
     {fx_cols}
   FROM documents
+), cal AS (
+  SELECT *,
+    CASE {pplg} ELSE {cfg.ppl_good!r}::DOUBLE END AS pplg,
+    CASE {pplb} ELSE {cfg.ppl_bad!r}::DOUBLE END AS pplb
+  FROM fx
 ), dims AS (
   SELECT *,
     10.0 * {clip("ls * 2.0")} * (CASE WHEN pred = lang THEN 1.0 ELSE 0.2 END) AS d_lang,
-    CASE WHEN pred = 'zh' THEN 10.0 * {clip("cjkr / 0.5")}
-         ELSE 10.0 * {d_fluency_ramp} END AS d_fluency,
+    10.0 * {d_fluency_ramp} AS d_fluency,
     CASE WHEN pred = 'zh' THEN 10.0 * {clip("cjkr / 0.5")}
          ELSE 10.0 * {clip("swr / 0.25")} END AS d_clarity,
     5.0 * {clip(f"1.0 - symr / {cfg.max_symbol_ratio!r}")}
@@ -1212,7 +1223,7 @@ WITH fx AS (
          * (CASE WHEN nc >= {cfg.min_chars!r} AND nc <= {cfg.max_chars!r} THEN 1.0 ELSE 0.0 END)
          * (CASE WHEN pred = 'zh' OR (mwl >= {cfg.min_mean_word_len!r} AND mwl <= {cfg.max_mean_word_len!r})
                  THEN 1.0 ELSE 0.3 END) AS d_structure
-  FROM fx
+  FROM cal
 ), scored AS (
   SELECT *,
     round((least(d_lang, 10.0) * {cfg.w_lang!r} + least(d_fluency, 10.0) * {cfg.w_fluency!r}
