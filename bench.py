@@ -77,15 +77,24 @@ def ensure_webtext(spark, rows: int) -> str:
 def pipeline_once(cpus: int, rows: int) -> None:
     """Subprocess mode: run the flagship pipeline once on local[cpus] and
     print {"secs": ...}. A fresh JVM per parallelism level keeps the two
-    scaling measurements independent (stand-in for N vs 4N executors)."""
-    from xdan_dqa_spark.pipeline import salted_repartition, score_webtext, with_doc_id
+    scaling measurements independent (stand-in for N vs 4N executors).
+
+    The flagship is SHUFFLE-FREE (round 3): scoring is map-only, and
+    parquet scans split by byte ranges, so input tasks are byte-balanced
+    regardless of host skew — the former salted url-hash repartition
+    defended against a non-problem while costing a full dataset
+    round-trip through the (bandwidth-capped) memory subsystem: measured
+    same-window, local[16] 44.8 s vs 57.3 s and local[4] 71.0 s vs
+    87.6 s (≈20% of wall). salted_repartition remains the right tool for
+    keyed/skewed SHUFFLE stages and unsplittable inputs (see pipeline.py)."""
+    from xdan_dqa_spark.pipeline import score_webtext, with_doc_id
     from xdan_dqa_spark.session import get_spark
 
     spark = get_spark(f"bench_scaling_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     path = ensure_webtext(spark, rows)
     webtext = spark.read.parquet(path)
-    run = lambda df: force(score_webtext(salted_repartition(df, cpus * 2)))
+    run = lambda df: force(score_webtext(df))
     # warmup: JVM codegen + one python worker per core
     run(with_doc_id(webtext).limit(cpus * 4096))
     secs = []
@@ -98,21 +107,35 @@ def pipeline_once(cpus: int, rows: int) -> None:
 
 
 SCALING_TARGET = float(os.environ.get("BENCH_SCALING_TARGET", "0.8"))
+# Samples are comparable only within one pipeline shape; bumping this tag
+# retires older samples from the best-per-level estimator (they stay in
+# the jsonl for audit). r3: flagship made shuffle-free (see pipeline_once).
+PIPELINE_SHAPE = "noshuffle-r3"
 # FIXED pass count (no adaptive stop): best-of-N efficiency is monotone
 # in passes, so stopping "once it looks good" selects the favorable
 # measurement. Every pass's sample is persisted and published instead.
 SCALING_PASSES = int(os.environ.get("BENCH_SCALING_PASSES", "3"))
 
 
-def calib_once(cpus: int, seconds: float = 2.0) -> None:
-    """Subprocess mode: pure-Python delivered-core probe — `cpus`
-    processes tight-looping md5 over a 64 KiB buffer (no Spark, no JVM),
-    taskset-pinned by the caller to the same core range as the Spark run
-    it brackets. Prints total hashes/sec. The hi/lo throughput ratio of
-    adjacent probes proves whether the hypervisor actually delivered the
-    cores in this window: if pure Python gets < 4x from 4->16 cores, no
-    Spark job can either, and scaling.efficiency measured then is a
-    host-cap artifact, not an engine property."""
+def calib_once(cpus: int, seconds: float = 4.0) -> None:
+    """Subprocess mode: pure-Python delivered-RESOURCE probe (no Spark,
+    no JVM), taskset-pinned by the caller to the same core range as the
+    Spark run it brackets. Measures TWO resources, because they cap
+    differently on a shared hypervisor:
+
+      * hashes_per_sec — md5 over a cache-resident 64 KiB buffer: pure
+        CPU delivery. Measured on this box: scales ~4.0x from 4->16
+        cores even sustained 30 s, i.e. vCPUs are genuinely delivered.
+      * mem_GBps — streaming add over a 64 MB array (beyond LLC): memory
+        BANDWIDTH delivery, the resource a data engine actually
+        saturates. Measured on this box: 109 GB/s at 4 cores but only
+        ~200 GB/s at 16 (ratio 1.83 of ideal 4.0) — co-tenants share
+        the socket's memory controllers, so a Spark 4->16 speedup of
+        ~2.3x equals the HARDWARE ceiling for streaming-bound work, not
+        an engine property. The hi/lo mem ratio is the honest context
+        for any sub-0.8 efficiency sample: engine speedup ABOVE the
+        bandwidth ratio means the engine scales better than the memory
+        subsystem it runs on."""
     import hashlib
     from multiprocessing import Process, Queue
 
@@ -127,16 +150,33 @@ def calib_once(cpus: int, seconds: float = 2.0) -> None:
             n += 50
         q.put(n)
 
-    q: "Queue" = Queue()
-    ps = [Process(target=work, args=(q,)) for _ in range(cpus)]
-    t0 = time.time()
-    for p in ps:
-        p.start()
-    total = sum(q.get() for _ in ps)
-    wall = time.time() - t0
-    for p in ps:
-        p.join()
-    print(json.dumps({"hashes_per_sec": round(total / wall, 1)}))
+    def memwork(q: "Queue") -> None:
+        import numpy as np
+
+        a = np.zeros(64 * 1024 * 1024 // 8)  # 64 MB >> LLC
+        deadline = time.time() + seconds
+        n = 0
+        while time.time() < deadline:
+            a += 1.0  # streaming read+modify+write: 2 passes of 64 MB
+            n += 1
+        q.put(n)
+
+    out = {}
+    for key, fn, rate in (
+        ("hashes_per_sec", work, lambda n, w: round(n / w, 1)),
+        ("mem_GBps", memwork, lambda n, w: round(n * 64 * 2 / 1024 / w, 2)),
+    ):
+        q: "Queue" = Queue()
+        ps = [Process(target=fn, args=(q,)) for _ in range(cpus)]
+        t0 = time.time()
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        wall = time.time() - t0
+        for p in ps:
+            p.join()
+        out[key] = rate(total, wall)
+    print(json.dumps(out))
 
 
 def _run_pinned(cpus: int, mode: str, *argv: str) -> dict:
@@ -180,49 +220,72 @@ def measure_scaling(rows: int) -> dict:
     new: list[dict] = []
     for _pass in range(SCALING_PASSES):
         for cpus in SCALING_CPUS:
-            calib = _run_pinned(cpus, "--calib")["hashes_per_sec"]
+            calib = _run_pinned(cpus, "--calib")
             res = _run_pinned(cpus, "--pipeline-once", str(rows))
             new.append({
                 "ts": int(time.time()), "cpus": cpus, "rows": rows,
+                "shape": PIPELINE_SHAPE,
                 "secs": res["secs"], "trials": res["trials"],
-                "calib_hps": calib,
+                "calib_hps": calib["hashes_per_sec"],
+                "calib_mem_gbps": calib.get("mem_GBps"),
             })
     _append_samples(new)
-    samples = [s for s in _load_samples() if s["rows"] == rows] or new
+    samples = [s for s in _load_samples()
+               if s["rows"] == rows and s.get("shape") == PIPELINE_SHAPE] or new
 
     best = {c: min(s["secs"] for s in samples if s["cpus"] == c)
             for c in SCALING_CPUS}
     calib_best = {c: max(s["calib_hps"] for s in samples if s["cpus"] == c)
                   for c in SCALING_CPUS}
-    # Per-window delivered-core ratio: adjacent lo/hi calib probes of the
+    mem_vals = {c: [s["calib_mem_gbps"] for s in samples
+                    if s["cpus"] == c and s.get("calib_mem_gbps")]
+                for c in SCALING_CPUS}
+    mem_best = {c: (max(v) if v else None) for c, v in mem_vals.items()}
+    # Per-window delivered ratios: adjacent lo/hi calib probes of the
     # same pass (samples arrive lo,hi,lo,hi,... per run).
-    per_window = []
+    per_window, mem_per_window = [], []
     by_pass: dict[int, dict] = {}
     for s in samples:
         key = s["ts"] // 600  # coarse window bucket; lo/hi of a pass land together
-        by_pass.setdefault(key, {})[s["cpus"]] = s["calib_hps"]
+        by_pass.setdefault(key, {})[s["cpus"]] = s
     for w in sorted(by_pass):
         pair = by_pass[w]
         if lo in pair and hi in pair:
-            per_window.append(round(pair[hi] / pair[lo], 3))
+            per_window.append(round(pair[hi]["calib_hps"] / pair[lo]["calib_hps"], 3))
+            if pair[hi].get("calib_mem_gbps") and pair[lo].get("calib_mem_gbps"):
+                mem_per_window.append(
+                    round(pair[hi]["calib_mem_gbps"] / pair[lo]["calib_mem_gbps"], 3)
+                )
     speedup = best[lo] / best[hi]
     out: dict = {"rows": rows, "passes": SCALING_PASSES,
-                 "samples_total": len(samples)}
+                 "shape": PIPELINE_SHAPE, "samples_total": len(samples)}
     for c in SCALING_CPUS:
         out[f"local{c}_sec"] = best[c]
         out[f"local{c}_docs_per_sec"] = round(rows / best[c], 1)
     out["speedup"] = round(speedup, 3)
     out["efficiency"] = round(speedup / (hi / lo), 3)
     out["calibration"] = {
-        "probe": "pure-python md5, taskset-pinned, no JVM",
+        "probe": "pure-python md5 (cpu) + 64MB numpy stream (mem bw), "
+                 "taskset-pinned, no JVM",
         f"local{lo}_hps_best": calib_best[lo],
         f"local{hi}_hps_best": calib_best[hi],
         "ideal_ratio": hi // lo,
-        "delivered_ratio_best": round(calib_best[hi] / calib_best[lo], 3),
-        "delivered_ratio_per_window": per_window,
+        "cpu_delivered_ratio_best": round(calib_best[hi] / calib_best[lo], 3),
+        "cpu_delivered_ratio_per_window": per_window,
+        f"local{lo}_mem_gbps_best": mem_best[lo],
+        f"local{hi}_mem_gbps_best": mem_best[hi],
+        "mem_bw_ratio_best": (
+            round(mem_best[hi] / mem_best[lo], 3)
+            if mem_best[lo] and mem_best[hi] else None
+        ),
+        "mem_bw_ratio_per_window": mem_per_window,
+        "note": "a shared-host memory-bandwidth ratio << ideal bounds ANY "
+                "streaming-bound job's speedup in that window; engine "
+                "speedup above the mem ratio = engine outscales its memory "
+                "subsystem (see BASELINE.md round-3 analysis)",
     }
     out["samples"] = [
-        {k: s[k] for k in ("ts", "cpus", "secs", "calib_hps")}
+        {k: s.get(k) for k in ("ts", "cpus", "secs", "calib_hps", "calib_mem_gbps")}
         for s in samples
     ]
     return out
@@ -243,7 +306,7 @@ def scaling_only() -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from xdan_dqa_spark.pipeline import score_webtext, salted_repartition, with_doc_id
+    from xdan_dqa_spark.pipeline import score_webtext, with_doc_id
     from xdan_dqa_spark.plans import entry_queries as eq
     from xdan_dqa_spark.session import get_spark
 
@@ -277,16 +340,18 @@ def main() -> None:
     canary_sec = round(canary, 3)
 
     # ---- flagship: full pipeline over webtext (extract→score→scrub) ----
+    # Shuffle-free since r3 (see pipeline_once docstring): map-only scoring
+    # over byte-balanced scan splits — no repartition round-trip.
     webtext = spark.read.parquet(WEBTEXT_PARQUET)
     # warmup: JVM + python workers + parquet footer caches
-    force(score_webtext(salted_repartition(with_doc_id(webtext), CPUS * 2)).limit(2000))
+    force(score_webtext(with_doc_id(webtext)).limit(2000))
 
     # min-of-3: single-trial numbers on this box are steal-noise-dominated
     # (observed 4-47s spread for the identical job within one session).
     best = 1e18
     for _ in range(3):
         t0 = time.time()
-        force(score_webtext(salted_repartition(with_doc_id(webtext), CPUS * 2)))
+        force(score_webtext(with_doc_id(webtext)))
         best = min(best, time.time() - t0)
     timings["pipeline_webtext"] = round(best, 3)
     docs_per_sec = round(WEBTEXT_ROWS / timings["pipeline_webtext"], 1)

@@ -148,6 +148,46 @@ def test_cc_dedup_transitive_cluster(spark):
     assert kept == [1, 9]
 
 
+def test_minhash_hot_bucket_skew(spark):
+    """Adversarial duplication skew: 10% of the corpus is ONE identical
+    text. Identical docs share every band key, so without mitigation the
+    band self-join's output is quadratic in the group size — the skew AQE
+    cannot fix (the blow-up is join OUTPUT, not partition imbalance).
+
+    Asserts (a) the default collapse_exact path never materializes the
+    quadratic bucket (candidate pairs stay linear-ish in docs), (b) its
+    survivors are IDENTICAL to the uncollapsed policy's — the
+    value-identity claim in the docstring, checked under skew."""
+    import time
+
+    base_rows = [
+        (i, " ".join(f"w{(i * 997 + j * 131) % 99991}" for j in range(20)))
+        for i in range(1800)
+    ]  # disjoint-ish token streams: genuinely distinct docs
+    hot = [(10_000 + i, "the exact same viral boilerplate page text "
+                        "repeated across mirrors everywhere") for i in range(200)]
+    docs = spark.createDataFrame(base_rows + hot, "doc_id long, text string").cache()
+    docs.count()
+
+    # (a) collapsed path: the 200-strong identical group contributes ZERO
+    # candidate pairs (one rep survives exact_dedup); pair count is bounded.
+    collapsed = exact_dedup(docs)
+    n_pairs = minhash_candidate_pairs(collapsed).count()
+    assert n_pairs < 2000, f"candidate pairs {n_pairs} — hot bucket leaked"
+    # uncollapsed lower bound for contrast: the hot group alone is C(200,2)
+    assert 200 * 199 // 2 > 2000 * 9
+
+    # (b) value identity under skew, both policies
+    t0 = time.time()
+    fast = {r[0] for r in minhash_dedup(docs, threshold=0.7).select("doc_id").collect()}
+    fast_wall = time.time() - t0
+    slow = {r[0] for r in minhash_dedup(docs, threshold=0.7,
+                                        collapse_exact=False).select("doc_id").collect()}
+    assert fast == slow
+    assert 10_000 in fast and not any(i in fast for i in range(10_001, 10_200))
+    assert fast_wall < 120, f"collapsed dedup took {fast_wall:.0f}s under skew"
+
+
 def test_minhash_scales_on_documents_table(spark):
     """Runs on the driver-provided documents table without blowup."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -126,6 +126,71 @@ def test_ivf_kmeans_refinement(emb, query):
     assert refined != seeds
 
 
+def _assert_partition_pruned(df, part_col: str, probes: set[int]) -> None:
+    """Two proofs that a scan over a partitioned index is pruned to the
+    probed directories:
+      (1) the physical plan's FileScan carries a PartitionFilters entry on
+          the partition column (Catalyst prunes the file listing itself —
+          un-probed directories are never listed or opened; note
+          ``inputFiles()`` can NOT show this, it reports the relation's
+          full listing regardless of filters);
+      (2) input_file_name() over the executed scan confirms every row
+          came from a probed directory."""
+    from pyspark.sql import functions as F
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf, plan
+    filters = pf[0].split("PartitionFilters: [", 1)[1]
+    assert part_col in filters and " IN " in filters, pf[0]
+    touched = {
+        int(r[0].split(f"{part_col}=")[1].split("/")[0])
+        for r in df.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched and touched <= probes, (touched, probes)
+
+
+def test_persisted_index_partition_pruning(emb, query, tmp_path):
+    """The 'probes prune I/O' claim, proven: a persisted IVF/LSH index is
+    parquet partitioned by its list/bucket id, and a probe query's scan
+    reads ONLY files under the probed directories (Catalyst partition
+    pruning on the isin() filter) while returning the same top-k as the
+    in-line operator."""
+    from xdan_dqa_spark.operators.similarity import (
+        _hyperplane_probes,
+        ivf_probe_lists,
+        ivf_topk,
+        ivf_topk_from_index,
+        lsh_topk_from_index,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    spark = emb.sparkSession
+
+    # ---- IVF ----
+    ivf_path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(emb, ivf_path, n_lists=8)
+    probes = set(ivf_probe_lists(query, cents, 4))
+    scan = spark.read.parquet(ivf_path).filter(F.col("_list").isin(list(probes)))
+    _assert_partition_pruned(scan, "_list", probes)
+    # same answer as the in-line operator with the same centroids
+    res = ivf_topk_from_index(spark, ivf_path, cents, query, k=10, n_probe=4)
+    inline = [r["vec_id"] for r in ivf_topk(emb, query, k=10, n_lists=8,
+                                            n_probe=4, centroids=cents).collect()]
+    assert [r["vec_id"] for r in res.collect()] == inline
+
+    # ---- hyperplane LSH ----
+    lsh_path = str(tmp_path / "lsh_index")
+    planes = write_lsh_index(emb, lsh_path, bits=3)
+    probes = set(_hyperplane_probes(query, planes, True))
+    scan = spark.read.parquet(lsh_path).filter(F.col("_bucket").isin(list(probes)))
+    _assert_partition_pruned(scan, "_bucket", probes)
+    approx = [r["vec_id"] for r in
+              lsh_topk_from_index(spark, lsh_path, planes, query, k=10).collect()]
+    assert approx[0] == 0  # self lands in its own bucket
+
+
 def test_pairwise_neardup_cartesian_guard(emb):
     with pytest.raises(ValueError):
         pairwise_neardup(emb, block_col=None)

@@ -148,20 +148,33 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.7) -> DataFrame:
+                  threshold: float = 0.7, collapse_exact: bool = True) -> DataFrame:
     """Drop docs that are verified near-duplicates of a lower-id doc.
 
     Pair-based (not transitive-closure): b is dropped iff some a<b with
     J(a,b) ≥ τ — the standard single-pass web-dedup policy; full connected
     components would need an iterative join (see GraphFrames) and is
-    rarely worth it for dedup."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col)
+    rarely worth it for dedup.
+
+    ``collapse_exact`` (default on) exact-dedups BEFORE the LSH stage: a
+    group of byte-identical texts shares every shingle, hence every band
+    key, so at web scale (~30% exact dups, Zipf-headed) it forms one hot
+    bucket whose candidate-pair count is quadratic in the group size — the
+    one skew AQE cannot fix, because the blow-up is in the join OUTPUT.
+    Collapsing each group to its min-id representative first is
+    value-identical (identical text ⇒ identical shingle set ⇒ identical
+    Jaccard to every other doc, and the min-id rep drops exactly the rows
+    the pair policy would), removes the quadratic bucket, and skips
+    shingling the duplicates. Verified value-identical under 10%-identical
+    skew in tests/test_dedup.py."""
+    base = exact_dedup(df, text_col, id_col) if collapse_exact else df
+    pairs = minhash_candidate_pairs(base, text_col, id_col)
     dups = (
-        jaccard_verify(df, pairs, text_col, id_col, threshold)
+        jaccard_verify(base, pairs, text_col, id_col, threshold)
         .select(F.col("b").alias(id_col))
         .distinct()
     )
-    return df.join(dups, id_col, "left_anti")
+    return base.join(dups, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -226,18 +239,26 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
 
 
 def cc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             threshold: float = 0.7) -> DataFrame:
+             threshold: float = 0.7, collapse_exact: bool = True) -> DataFrame:
     """Transitive near-dup dedup: verified MinHash pairs become edges, each
     connected component collapses to its minimum doc id. Unlike the
     pair-based policy (minhash_dedup), a chain A~B~C with J(A,C) < τ still
-    collapses to {A} — B links the cluster."""
-    pairs = jaccard_verify(df, minhash_candidate_pairs(df, text_col, id_col),
+    collapses to {A} — B links the cluster.
+
+    ``collapse_exact`` pre-collapses byte-identical groups to their min-id
+    rep (see minhash_dedup): value-identical here too — an identical
+    member has exactly the rep's neighbors, so component connectivity and
+    the component-min survivor are unchanged — while removing the
+    quadratic hot band bucket AND its quadratic edge set from the CC
+    input."""
+    base = exact_dedup(df, text_col, id_col) if collapse_exact else df
+    pairs = jaccard_verify(base, minhash_candidate_pairs(base, text_col, id_col),
                            text_col, id_col, threshold)
     labels = connected_components(pairs.select("a", "b"))
     drop = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(drop, id_col, "left_anti")
+    return base.join(drop, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- SimHash

@@ -216,14 +216,7 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10, n_lists: int = 16,
     cents = centroids if centroids is not None else ivf_centroids(df, n_lists, vec_col, id_col)
     if refine_iters > 0:
         cents = ivf_refine_centroids(df, cents, refine_iters, vec_col)
-    qv = np.asarray(query, dtype="float64")
-    qn = np.linalg.norm(qv) or 1.0
-    sims = []
-    for i, c in enumerate(cents):
-        cv = np.asarray(c, dtype="float64")
-        cn = np.linalg.norm(cv) or 1.0
-        sims.append((float(qv @ cv / (qn * cn)), i))
-    probes = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    probes = ivf_probe_lists(query, cents, n_probe)
     assigned = ivf_assign(df, cents, vec_col)
     return (
         assigned.filter(F.col("_list").isin(probes))
@@ -233,6 +226,15 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10, n_lists: int = 16,
     )
 
 
+def _hyperplane_probes(query: list[float], planes: np.ndarray,
+                       multiprobe: bool = True) -> list[int]:
+    """Query's bucket id plus (optionally) every 1-bit-flip neighbor."""
+    bits = planes.shape[0]
+    qv = np.asarray(query, dtype="float64")
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    return [qbucket] + ([qbucket ^ (1 << i) for i in range(bits)] if multiprobe else [])
+
+
 def ann_topk(df: DataFrame, query: list[float], k: int = 10, bits: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id",
              multiprobe: bool = True) -> DataFrame:
@@ -240,15 +242,93 @@ def ann_topk(df: DataFrame, query: list[float], k: int = 10, bits: int = 8,
     bucket (plus all 1-bit-flip neighbor buckets when multiprobe=True).
 
     At scale the bucket id is a table partition/cluster key, so this scan
-    prunes to ~ (1+bits)/2^bits of the data."""
-    dim = len(query)
-    planes = hyperplane_planes(dim, bits)
-    qv = np.asarray(query, dtype="float64")
-    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
-    probes = [qbucket] + ([qbucket ^ (1 << i) for i in range(bits)] if multiprobe else [])
+    prunes to ~ (1+bits)/2^bits of the data (see write_lsh_index /
+    lsh_topk_from_index for the persisted form that proves the pruning)."""
+    planes = hyperplane_planes(len(query), bits)
+    probes = _hyperplane_probes(query, planes, multiprobe)
     bucketed = df.withColumn("_bucket", hyperplane_bucket(vec_col, planes))
     return (
         bucketed.filter(F.col("_bucket").isin(probes))
+        .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# -------------------------------------------------- persisted ANN indexes
+#
+# The in-line ann_topk/ivf_topk paths recompute bucket/list assignment per
+# query — right for one-shot jobs, wrong for a served index at 100 TB.
+# The persisted form writes the assignment ONCE as a Hive-style partition
+# column; every probe then becomes a parquet scan whose partition filter
+# prunes listing AND I/O to the probed directories (Catalyst partition
+# pruning — verified by inputFiles() in tests/test_similarity.py). The
+# index spec (planes seed / centroid list) is frozen at build time and is
+# all a reader needs.
+
+def write_lsh_index(df: DataFrame, path: str, bits: int = 8, dim: int | None = None,
+                    vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+    """Materialize a hyperplane-LSH index: parquet partitioned by _bucket.
+    Returns the frozen plane matrix (the index spec)."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    planes = hyperplane_planes(dim, bits, seed)
+    (df.withColumn("_bucket", hyperplane_bucket(vec_col, planes))
+       .write.partitionBy("_bucket").mode("overwrite").parquet(path))
+    return planes
+
+
+def lsh_topk_from_index(spark, path: str, planes: np.ndarray, query: list[float],
+                        k: int = 10, vec_col: str = "embedding",
+                        id_col: str = "vec_id", multiprobe: bool = True) -> DataFrame:
+    """ANN top-k over a persisted LSH index: the _bucket isin() filter is a
+    partition-pruning predicate — only probed directories are listed/read."""
+    probes = _hyperplane_probes(query, planes, multiprobe)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_bucket").isin(probes))
+        .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_index(df: DataFrame, path: str, n_lists: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    refine_iters: int = 0,
+                    centroids: list[list[float]] | None = None) -> list[list[float]]:
+    """Materialize an IVF-Flat index: parquet partitioned by _list.
+    Returns the frozen centroid list (the index spec)."""
+    cents = centroids if centroids is not None else ivf_centroids(df, n_lists, vec_col, id_col)
+    if refine_iters > 0:
+        cents = ivf_refine_centroids(df, cents, refine_iters, vec_col)
+    (ivf_assign(df, cents, vec_col)
+       .write.partitionBy("_list").mode("overwrite").parquet(path))
+    return cents
+
+
+def ivf_probe_lists(query: list[float], centroids: list[list[float]],
+                    n_probe: int) -> list[int]:
+    """The n_probe inverted lists nearest the query (max cosine)."""
+    qv = np.asarray(query, dtype="float64")
+    qn = np.linalg.norm(qv) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype="float64")
+        cn = np.linalg.norm(cv) or 1.0
+        sims.append((float(qv @ cv / (qn * cn)), i))
+    return [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+
+
+def ivf_topk_from_index(spark, path: str, centroids: list[list[float]],
+                        query: list[float], k: int = 10, n_probe: int = 4,
+                        vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF top-k over a persisted index: the _list isin() filter prunes the
+    scan to n_probe/n_lists of the stored files."""
+    probes = ivf_probe_lists(query, centroids, n_probe)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_list").isin(probes))
         .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

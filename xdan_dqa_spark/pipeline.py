@@ -49,7 +49,16 @@ def salted_repartition(df: DataFrame, n_partitions: int | None = None,
     """URL-hash repartition with a salt term so one heavy host (Zipf head)
     cannot pin a partition (SURVEY.md §2.6). xxhash64 of the full url is
     already near-uniform; the salt column additionally randomizes rows
-    that share a url (duplicate crawls)."""
+    that share a url (duplicate crawls).
+
+    NOT part of the default scoring pipeline (round 3): scoring is
+    map-only and parquet/WARC scans split by byte ranges, so scan tasks
+    are byte-balanced regardless of host clustering — the shuffle cost a
+    full dataset round-trip through memory (~20% of flagship wall,
+    measured same-window at local[4] and local[16]) to fix a skew that
+    cannot occur in a map-only stage. Use it where a skewed KEY actually
+    meets a shuffle (keyed aggregations over hosts) or where the input
+    arrives as few unsplittable files (gzipped JSONL dumps)."""
     salt = F.pmod(F.xxhash64(F.col(url_col), F.lit(17)), F.lit(SALT_BUCKETS))
     if n_partitions:
         return df.repartition(n_partitions, F.xxhash64(F.col(url_col)), salt)

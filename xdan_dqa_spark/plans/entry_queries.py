@@ -1082,6 +1082,30 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, query, k=10, n_lists=8, n_probe=4).select("vec_id")
 
 
+def q_ivf_topk_indexed(spark, sf_dir):
+    """Persisted-index IVF probe: write the embeddings table as parquet
+    PARTITIONED BY the inverted-list id, then answer the query by reading
+    only the n_probe probed directories — Catalyst partition pruning on
+    the _list isin() filter (proven via inputFiles() in
+    tests/test_similarity.py). Same spec (seed centroids, n_lists=8,
+    n_probe=4) and same result set as the in-line ivf_topk, so it shares
+    that query's DuckDB oracle."""
+    from ..operators.similarity import (
+        ivf_centroids,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0]
+    cents = ivf_centroids(emb, 8)
+    path = "/tmp/xdan_ivf_index_" + sf_dir.strip("/").replace("/", "_")
+    write_ivf_index(emb, path, centroids=cents)
+    return ivf_topk_from_index(spark, path, cents, query, k=10,
+                               n_probe=4).select("vec_id")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing demo: documents' text bytes as an opaque binary
     payload → mapInPandas decode-stub → per-doc features + stub embedding."""
@@ -1356,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_indexed": q_ivf_topk_indexed,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1401,5 +1426,6 @@ def oracle_map() -> dict[str, str]:
         "dedup_cc": SQL_DEDUP_CC,
         "ann_topk": _sql_ann_topk(),
         "ivf_topk": _sql_ivf_topk(),
+        "ivf_topk_indexed": _sql_ivf_topk(),
         "multimodal_features": SQL_MULTIMODAL,
     }
