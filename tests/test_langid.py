@@ -38,6 +38,32 @@ def test_langid_empty_and_noise():
     assert (out["lang_score"] == 0.0).all()
 
 
+def test_langid_script_routing():
+    """Non-latin script routing: ko by hangul, ja by kana (even when
+    kanji-heavy), zh stays zh on pure han, ru by cyrillic, ar by arabic —
+    and a latin doc with a small foreign quote keeps its latin label."""
+    samples = {
+        "ko": "그리고 하지만 있는 것이 수 있다 없다 한다 그리고 저는",
+        "ja": "日本語のテキストはかなと漢字をまぜて書きます",
+        "zh": "的一是不了人我在有他这为之大来以个中上们到说国和",
+        "ru": "и в не на что он она это как мы по но из за то все так",
+        "ar": "في من على أن إلى عن مع هذا هذه التي الذي كان لا ما",
+    }
+    out = predict_lang_pandas(pd.Series(list(samples.values())))
+    assert list(out["lang"]) == list(samples.keys())
+    assert (out["lang_score"] > 0.3).all()
+    # kana presence beats han mass: a mostly-kanji sentence with real kana
+    # is Japanese, never Chinese
+    mixed = "日本経済新聞の記事です"  # kanji-heavy, kana 'の'+'です'
+    assert predict_lang_pandas(pd.Series([mixed]))["lang"][0] == "ja"
+    # a latin doc quoting two russian words stays latin
+    quoted = (
+        "the cat is on the table and they are very happy about this "
+        "because he said да нет and left the room with the dog"
+    )
+    assert predict_lang_pandas(pd.Series([quoted]))["lang"][0] == "en"
+
+
 def test_langid_batch_invariance():
     """Same text → same prediction regardless of batch neighbors."""
     t = "the cat is on the table with the dog"

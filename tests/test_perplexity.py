@@ -52,7 +52,9 @@ def test_truncation_cap():
 
 # ---------------------------------------------------------- per-language
 
-LANGS = ("en", "es", "fr", "de", "zh")
+# latin four + zh (pooled-excluded extension langs appended — each has its
+# own frozen model + calibration; see perplexity.EXT_LANGS)
+LANGS = ("en", "es", "fr", "de", "zh", "ja", "ko", "ru", "ar")
 
 
 def _held_out(lang: str) -> str:
@@ -69,7 +71,7 @@ def test_own_model_beats_cross_language_within_script():
     so raw cross-script ppl is meaningless — which is fine, because the
     LID routes by script evidence before any LM runs (langid._cjk_frac)
     and zh text can never reach a latin model in the pipeline."""
-    latin = [la for la in LANGS if la != "zh"]
+    latin = ["en", "es", "fr", "de"]
     for lang in latin:
         text = pd.Series([_held_out(lang)])
         own = ppl_batch_by_lang(text, pd.Series([lang]))[0] / PPL_CALIBRATION[lang][0]

@@ -51,3 +51,43 @@ def test_allowed_langs_filter(spark, webtext):
     only_en = score_webtext(webtext, QualityConfig(allowed_langs=("en",)))
     kept = only_en.filter("keep").select("pred_lang").distinct().collect()
     assert {r[0] for r in kept} <= {"en"}
+
+
+def test_all_nine_languages_scoreable(spark):
+    """End-to-end: a clean in-domain doc in EVERY covered language —
+    latin four, zh, and the non-latin extension (ja/ko/ru/ar) — routes to
+    its own LID label + perplexity model and clears the keep bar, while
+    same-script garbage scores strictly lower. The declared-lang column
+    matches so require_lang_match doesn't mask the signal under test."""
+    from xdan_dqa_spark.functions.perplexity import _lang_sentences
+
+    langs = ["en", "es", "fr", "de", "zh", "ja", "ko", "ru", "ar"]
+    rows = []
+    for i, la in enumerate(langs):
+        clean = "".join(_lang_sentences(la, seed=2030 + i, n_sents=12))
+        rows.append((f"https://{la}.example.org/a", la, clean))
+    df = spark.createDataFrame(rows, "url string, lang string, text string")
+    got = {
+        r["pred_lang"]: (r["keep"], r["score"])
+        for r in score_webtext(df, text_col="text")
+        .select("pred_lang", "keep", "score").collect()
+    }
+    assert set(got) == set(langs), f"mis-routed: {sorted(got)}"
+    for la in langs:
+        keep, score = got[la]
+        assert keep, f"{la}: clean doc dropped (score {score})"
+
+    # same-script garbage must score below the language's clean doc
+    garble = {
+        "en": "zxqwk jvvpt qqqzz xkcd mmmnb zzzyx " * 20,
+        "ru": "щзх йцу фыв апр олд жэс мит ьбю " * 20,
+        "ja": "ヴヵヶゐゑゎゔ" * 40,
+    }
+    grows = [(f"https://g-{la}.example.org/b", la, t) for la, t in garble.items()]
+    gdf = spark.createDataFrame(grows, "url string, lang string, text string")
+    gscores = {
+        r["pred_lang"]: r["score"]
+        for r in score_webtext(gdf, text_col="text").select("pred_lang", "score").collect()
+    }
+    for la, s in gscores.items():
+        assert s < got[la][1], f"{la}: garbage {s} >= clean {got[la][1]}"

@@ -15,9 +15,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Union of high-frequency stopwords for the latin-script languages we
+# Union of high-frequency stopwords for the space-segmented languages we
 # classify; used for the stopword-ratio rule (Gopher requires >=2 of a
-# small stopword set; we use a ratio for a graded signal).
+# small stopword set; we use a ratio for a graded signal). Non-latin
+# entries (ru/ar/ko — all space-segmented) cannot match latin-script text,
+# so extending the set never moves latin goldens; unsegmented scripts
+# (zh/ja) use the CJK-ratio clarity branch instead (operators/score.py).
 STOPWORDS = sorted(
     {
         # en
@@ -32,6 +35,16 @@ STOPWORDS = sorted(
         # de
         "der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
         "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+        # ru
+        "и", "в", "не", "на", "что", "он", "она", "это", "как", "мы",
+        "по", "но", "из", "за", "то", "все", "так", "его", "же", "от",
+        # ar
+        "في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "هذه", "التي",
+        "الذي", "كان", "لا", "ما", "أو", "ثم", "قد", "كل",
+        # ko (frequent standalone function words; particles are suffixes
+        # and never match with word boundaries, so they are not listed)
+        "그리고", "하지만", "있는", "없는", "같은", "또는", "저는", "그는",
+        "것이", "수", "있다", "없다", "한다", "했다",
     }
 )
 

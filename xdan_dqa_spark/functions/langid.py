@@ -29,11 +29,12 @@ from pyspark.sql import types as T
 from ..synth import WORDS, ZH_CHARS
 from .ngram_core import MAX_CHARS, EncodedBatch, encode_batch, lookup, segment_sums, tri_keys
 
-LANGS = ["en", "es", "fr", "de", "zh"]  # fixed order = deterministic ties
+LANGS = ["en", "es", "fr", "de", "zh", "ja", "ko", "ru", "ar"]  # fixed order
 _LATIN = ["en", "es", "fr", "de"]
 _K = 0.1          # add-k smoothing
 _V = 65536.0      # nominal trigram vocabulary for smoothing mass
-_CJK_FRAC_MIN = 0.2  # script-evidence threshold for the zh decision
+_CJK_FRAC_MIN = 0.2     # script-evidence threshold (zh/ko/ru/ar decisions)
+_KANA_FRAC_MIN = 0.05   # any real kana presence ⇒ Japanese, not Chinese
 
 
 def _lang_corpus(lang: str) -> str:
@@ -62,13 +63,23 @@ def _build_models() -> dict[str, tuple[np.ndarray, np.ndarray, float]]:
 _MODELS = _build_models()
 
 
-def _cjk_frac(enc: EncodedBatch) -> np.ndarray:
-    """Per-doc fraction of CJK/kana codepoints (script evidence for zh —
-    unsegmented scripts are identified by codepoint range, the signal a
-    char-n-gram classifier effectively learns for them, at O(1)/char)."""
+def _script_fracs(enc: EncodedBatch) -> dict[str, np.ndarray]:
+    """Per-doc fraction of codepoints in each non-latin script — the
+    signal a char-n-gram classifier effectively learns for
+    single-language (or kana-distinguished) scripts, at O(1)/char.
+    One boolean mask + one segment-sum per script over the shared
+    codepoint array."""
     c = enc.codes
-    is_cjk = ((c >= 0x4E00) & (c <= 0x9FFF)) | ((c >= 0x3040) & (c <= 0x30FF))
-    return enc.code_segment_sums(is_cjk.astype(np.float64)) / np.maximum(enc.lens, 1)
+    denom = np.maximum(enc.lens, 1)
+    masks = {
+        "kana": ((c >= 0x3040) & (c <= 0x30FF)),
+        "han": ((c >= 0x4E00) & (c <= 0x9FFF)),
+        "hangul": ((c >= 0xAC00) & (c <= 0xD7A3)) | ((c >= 0x1100) & (c <= 0x11FF)),
+        "cyr": ((c >= 0x0400) & (c <= 0x04FF)),
+        "arab": ((c >= 0x0600) & (c <= 0x06FF)) | ((c >= 0x0750) & (c <= 0x077F)),
+    }
+    return {k: enc.code_segment_sums(m.astype(np.float64)) / denom
+            for k, m in masks.items()}
 
 
 def score_encoded(enc: EncodedBatch) -> pd.DataFrame:
@@ -102,11 +113,29 @@ def score_encoded(enc: EncodedBatch) -> pd.DataFrame:
     langs = np.where(no_signal, "und", np.array(_LATIN, dtype=object)[best])
     conf = np.where(no_signal, 0.0, conf)
 
-    # zh overrides by script evidence.
-    cjk = _cjk_frac(enc)
-    is_zh = (cjk >= _CJK_FRAC_MIN) & (enc.lens >= 3)
-    langs = np.where(is_zh, "zh", langs)
-    conf = np.where(is_zh, np.clip(2.0 * cjk, 0.0, 1.0), conf)
+    # Script-evidence overrides, priority-ordered so each doc gets exactly
+    # one script label. ko first (hangul is unambiguous), then ja (ANY
+    # real kana presence distinguishes Japanese from Chinese — Chinese
+    # text never uses kana, while Japanese prose can be kanji-heavy),
+    # then zh (han+kana mass, the original frozen rule — unchanged for
+    # every kana-free/hangul-free doc, so pre-extension goldens hold),
+    # then ru/ar by their dedicated script ranges.
+    fr = _script_fracs(enc)
+    cjk = fr["han"] + fr["kana"]
+    ok_len = enc.lens >= 3
+    rules = [
+        ("ko", (fr["hangul"] >= _CJK_FRAC_MIN), fr["hangul"]),
+        ("ja", (fr["kana"] >= _KANA_FRAC_MIN), cjk),
+        ("zh", (cjk >= _CJK_FRAC_MIN), cjk),
+        ("ru", (fr["cyr"] >= _CJK_FRAC_MIN), fr["cyr"]),
+        ("ar", (fr["arab"] >= _CJK_FRAC_MIN), fr["arab"]),
+    ]
+    claimed = np.zeros(n, dtype=bool)
+    for lang, cond, strength in rules:
+        fire = cond & ok_len & ~claimed
+        langs = np.where(fire, lang, langs)
+        conf = np.where(fire, np.clip(2.0 * strength, 0.0, 1.0), conf)
+        claimed |= fire
     return pd.DataFrame(
         {"lang": langs.astype(str), "lang_score": conf.astype(float)}, index=enc.index
     )

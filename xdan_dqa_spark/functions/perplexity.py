@@ -58,8 +58,13 @@ _BAD_OVER_GOOD = 256.0 / 24.0
 def _lang_sentences(lang: str, seed: int, n_sents: int) -> list[str]:
     """Deterministic pseudo-sentences from the embedded per-language
     vocabulary — covers intra-word AND cross-word (boundary) trigrams.
-    zh sentences are char-level draws with the 。 terminator, matching
-    the synth document generator's shape."""
+    zh/ja sentences are char-level draws with the 。 terminator (matching
+    the synth document generator's shape); ko builds space-separated
+    1-4-syllable pseudo-words (Korean is space-segmented but hangul is
+    best modeled at char level); ru/ar are word-level like the latin
+    four."""
+    from .vocab_ext import AR_WORDS, JA_SENTENCES, KO_SENTENCES, RU_WORDS
+
     rng = np.random.default_rng(seed)
     parts: list[str] = []
     if lang == "zh":
@@ -68,7 +73,16 @@ def _lang_sentences(lang: str, seed: int, n_sents: int) -> list[str]:
             n = int(rng.integers(8, 20))
             parts.append("".join(rng.choice(chars, size=n)) + "。")
         return parts
-    ws = np.array(WORDS[lang])
+    if lang in ("ja", "ko"):
+        # natural-sentence pools (vocab_ext docstring: random-draw corpora
+        # kill the fluency signal for char-level models); different seeds
+        # select/order differently but share the frozen sentence inventory
+        pool = np.array(JA_SENTENCES if lang == "ja" else KO_SENTENCES)
+        sep = "" if lang == "ja" else " "
+        return [sep.join(rng.choice(pool, size=int(rng.integers(2, 5))))
+                for _ in range(n_sents)]
+    pool = {"ru": RU_WORDS, "ar": AR_WORDS}.get(lang) or WORDS[lang]
+    ws = np.array(pool)
     for _ in range(n_sents):
         rng.shuffle(ws)
         parts.append(" ".join(ws[: rng.integers(8, 30)]).lower() + ". ")
@@ -110,6 +124,14 @@ def _model_ppl(model: tuple, texts: list[str]) -> np.ndarray:
     return np.power(2.0, np.clip(entropy, 0.0, 30.0))
 
 
+# Non-latin extension beyond the synth five (vocab_ext.py): these get
+# their own models/calibration but are EXCLUDED from the pooled 'und'
+# fallback corpus — the pooled model is frozen in the round-1/2 goldens,
+# and extension-language docs route to their own model anyway (script
+# evidence in langid fires before any latin model can claim them).
+EXT_LANGS = ("ja", "ko", "ru", "ar")
+
+
 def _build_all() -> tuple[dict[str, tuple], dict[str, tuple[float, float]]]:
     """All per-language models + the pooled 'und' fallback, each with its
     frozen held-out calibration (ppl_good = mean held-out in-domain ppl,
@@ -117,9 +139,10 @@ def _build_all() -> tuple[dict[str, tuple], dict[str, tuple[float, float]]]:
     models: dict[str, tuple] = {}
     calib: dict[str, tuple[float, float]] = {}
     pooled_parts: list[str] = []
-    for lang in (*WORDS.keys(), "zh"):
+    for lang in (*WORDS.keys(), "zh", *EXT_LANGS):
         train = _lang_sentences(lang, seed=7, n_sents=200)
-        pooled_parts.extend(train)
+        if lang not in EXT_LANGS:
+            pooled_parts.extend(train)
         models[lang] = _build_model(" ".join(train))
         held_out = _lang_sentences(lang, seed=1007, n_sents=40)
         good = round(float(np.mean(_model_ppl(models[lang], held_out))), 3)

@@ -64,6 +64,12 @@ class QualityConfig:
     per_lang_ppl: bool = True  # False = flat cfg calibration for all langs
 
 
+# Scripts with no whitespace segmentation: word-based signals (counts,
+# mean word length, stopword ratio, alpha ratio) are meaningless — these
+# languages take the char-based branches everywhere below.
+UNSEGMENTED = ("zh", "ja")
+
+
 def _clip01(c: Column) -> Column:
     return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
 
@@ -98,18 +104,24 @@ def dimension_columns(h: dict[str, Column], pred_lang: Column, lang_score: Colum
         F.lit(1.0) - F.log2(F.greatest(ppl, F.lit(1.0)) / good) / F.log2(bad / good)
     )
 
+    # Unsegmented scripts take the CJK-ratio clarity branch and skip the
+    # word-shape gates (whitespace tokenization is meaningless for them);
+    # heuristics.CJK_CLASS covers han + kana, so the same signals serve
+    # zh AND ja. ko/ru/ar are space-segmented: they ride the word paths,
+    # with their stopwords in heuristics.STOPWORDS.
+    unseg = pred_lang.isin(*UNSEGMENTED)
     d_clarity = F.when(
-        pred_lang == "zh", F.lit(10.0) * _clip01(h["cjk_ratio"] / F.lit(0.5))
+        unseg, F.lit(10.0) * _clip01(h["cjk_ratio"] / F.lit(0.5))
     ).otherwise(F.lit(10.0) * _clip01(h["stopword_ratio"] / F.lit(0.25)))
 
     d_clean = F.lit(5.0) * _clip01(F.lit(1.0) - h["symbol_ratio"] / F.lit(0.10)) + F.lit(
         5.0
     ) * _clip01(
-        F.when(pred_lang == "zh", F.lit(1.0)).otherwise(h["alpha_ratio"] / F.lit(0.8))
+        F.when(unseg, F.lit(1.0)).otherwise(h["alpha_ratio"] / F.lit(0.8))
     )
 
     len_ok = (h["n_chars"] >= cfg.min_chars) & (h["n_chars"] <= cfg.max_chars)
-    mwl_ok = F.when(pred_lang == "zh", F.lit(True)).otherwise(
+    mwl_ok = F.when(unseg, F.lit(True)).otherwise(
         (h["mean_word_len"] >= cfg.min_mean_word_len)
         & (h["mean_word_len"] <= cfg.max_mean_word_len)
     )
@@ -212,8 +224,10 @@ def keep_column(score: Column, pred_lang: Column, h: dict[str, Column],
         keep
         & (h["n_chars"] >= cfg.min_chars)
         & (h["n_chars"] <= cfg.max_chars)
-        # length floor: word count for segmented scripts, CJK chars for zh
-        & F.when(pred_lang == "zh", h["n_cjk"] >= cfg.min_cjk_chars).otherwise(
+        # length floor: word count for segmented scripts, CJK chars for
+        # the unsegmented ones (n_cjk counts han+kana, so it serves ja)
+        & F.when(pred_lang.isin(*UNSEGMENTED),
+                 h["n_cjk"] >= cfg.min_cjk_chars).otherwise(
             h["n_words"] >= cfg.min_words
         )
         & (h["dup_line_frac"] <= cfg.max_dup_line_frac)

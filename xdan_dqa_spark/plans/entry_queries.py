@@ -1238,14 +1238,14 @@ WITH fx AS (
   SELECT *,
     10.0 * {clip("ls * 2.0")} * (CASE WHEN pred = lang THEN 1.0 ELSE 0.2 END) AS d_lang,
     10.0 * {d_fluency_ramp} AS d_fluency,
-    CASE WHEN pred = 'zh' THEN 10.0 * {clip("cjkr / 0.5")}
+    CASE WHEN pred IN ('zh','ja') THEN 10.0 * {clip("cjkr / 0.5")}
          ELSE 10.0 * {clip("swr / 0.25")} END AS d_clarity,
     5.0 * {clip(f"1.0 - symr / {cfg.max_symbol_ratio!r}")}
-      + 5.0 * {clip("CASE WHEN pred = 'zh' THEN 1.0 ELSE ar / 0.8 END")} AS d_clean,
+      + 5.0 * {clip("CASE WHEN pred IN ('zh','ja') THEN 1.0 ELSE ar / 0.8 END")} AS d_clean,
     10.0 * {clip(f"1.0 - dlf / {cfg.max_dup_line_frac!r}")}
          * {clip("dwr / 0.25")}
          * (CASE WHEN nc >= {cfg.min_chars!r} AND nc <= {cfg.max_chars!r} THEN 1.0 ELSE 0.0 END)
-         * (CASE WHEN pred = 'zh' OR (mwl >= {cfg.min_mean_word_len!r} AND mwl <= {cfg.max_mean_word_len!r})
+         * (CASE WHEN pred IN ('zh','ja') OR (mwl >= {cfg.min_mean_word_len!r} AND mwl <= {cfg.max_mean_word_len!r})
                  THEN 1.0 ELSE 0.3 END) AS d_structure
   FROM cal
 ), scored AS (
@@ -1261,7 +1261,7 @@ SELECT doc_id,
   round(d_structure, 4) AS d_structure, score,
   CAST(score >= {cfg.min_score!r} AND pred = lang
    AND nc >= {cfg.min_chars!r} AND nc <= {cfg.max_chars!r}
-   AND (CASE WHEN pred = 'zh' THEN ncjk >= {cfg.min_cjk_chars!r}
+   AND (CASE WHEN pred IN ('zh','ja') THEN ncjk >= {cfg.min_cjk_chars!r}
              ELSE nw >= {cfg.min_words!r} END)
    AND dlf <= {cfg.max_dup_line_frac!r} AND symr <= {cfg.max_symbol_ratio!r}
    AND dwr >= {cfg.min_distinct_ratio!r} AS INT) AS keep
