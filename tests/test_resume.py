@@ -59,3 +59,40 @@ def test_last_wins_dedup(spark):
     ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
     got = {r["doc_id"]: r["v"] for r in last_wins_dedup(df).collect()}
     assert got == {1: "new", 2: "only"}
+
+
+def test_bucketed_resume_no_exchange_on_committed_side(spark, webtext, tmp_path):
+    """write_scored_bucketed stores the doc_id shuffle once: the resume
+    anti-join's committed side is a bucketed scan with NO Exchange in the
+    plan (forced to sort-merge so a broadcast can't mask the proof),
+    while the same join against plain parquet shuffles BOTH sides. The
+    resumed remainder is identical either way."""
+    from xdan_dqa_spark.operators.resume import committed_ids_table
+    from xdan_dqa_spark.pipeline import score_webtext, with_doc_id
+    from xdan_dqa_spark.sources.sinks import write_scored_bucketed
+
+    inp = with_doc_id(webtext.limit(400))
+    scored = score_webtext(inp.limit(250))
+    table = "scored_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_scored_bucketed(scored, table, n_buckets=8)
+    plain = str(tmp_path / "plain")
+    scored.write.parquet(plain)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum("Exchange hashpartitioning" in ln for ln in plan.split("\n"))
+
+    committed = committed_ids_table(spark, table)
+    assert committed is not None
+    bucketed_join = inp.join(committed.hint("merge"), "doc_id", "left_anti")
+    plain_join = inp.join(
+        spark.read.parquet(plain).select("doc_id").hint("merge"),
+        "doc_id", "left_anti",
+    )
+    assert n_exchanges(bucketed_join) == 1   # input side only
+    assert n_exchanges(plain_join) == 2      # both sides shuffle
+    a = sorted(r[0] for r in bucketed_join.select("doc_id").collect())
+    b = sorted(r[0] for r in plain_join.select("doc_id").collect())
+    assert a == b and len(a) > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -28,6 +28,17 @@ def committed_ids(spark: SparkSession, output_path: str) -> DataFrame | None:
         return None
 
 
+def committed_ids_table(spark: SparkSession, table: str) -> DataFrame | None:
+    """Committed ids from a BUCKETED managed table (see
+    sinks.write_scored_bucketed): the scan carries hash-distribution on
+    doc_id, so the resume anti-join needs no Exchange on this side —
+    the committed set's shuffle was paid once at write time, not once
+    per resume."""
+    if not spark.catalog.tableExists(table):
+        return None
+    return spark.table(table).select("doc_id")
+
+
 def resume_filter(input_df: DataFrame, committed: DataFrame | None) -> DataFrame:
     """J1: drop rows whose id is already committed (left_anti on doc_id).
 

@@ -95,6 +95,24 @@ def publish_table(scored: DataFrame, table: str, fmt: str = "parquet",
     return name
 
 
+def write_scored_bucketed(scored: DataFrame, table: str, n_buckets: int = 64,
+                          fmt: str = "parquet", mode: str = "append") -> str:
+    """S5/S6 at-scale variant: the scored table as a MANAGED TABLE
+    bucketed (and sorted) by ``doc_id``.
+
+    Why bucket: the resume anti-join (operators/resume.py) re-reads the
+    committed output every run. Unbucketed, both join sides shuffle on
+    doc_id each time — at 100 TB the committed side's re-shuffle dwarfs
+    the increment being scored. A bucketed table stores that shuffle
+    ONCE at write time: scans report hash-distribution on doc_id, so the
+    committed side joins with NO Exchange (verified from the plan in
+    tests/test_resume.py), and two bucketed tables with matching specs
+    join with no shuffle at all."""
+    (scored.write.mode(mode).format(fmt)
+     .bucketBy(n_buckets, "doc_id").sortBy("doc_id").saveAsTable(table))
+    return table
+
+
 def write_keep_drop(scored: DataFrame, out_dir: str, fmt: str = "parquet") -> None:
     """F2 dual lanes from ONE scored plan: keep/ and drop/ subdirs
     (reference writes successful.jsonl / failed.jsonl). Caller should
