@@ -212,16 +212,18 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # Carry the previous label through the checkpoint so the
-        # convergence probe below is a scan of already-materialized
-        # partitions — no shuffle join, no recompute (a probe-side join
-        # back to `labels` used to cost one full extra job per round).
+        # ONE job per round: the convergence probe itself materializes the
+        # LAZY localCheckpoint (a FULL count — a limit(1) short-circuit
+        # would checkpoint only the partitions it touched), and the
+        # carried previous label makes the probe a scan, not a join. The
+        # earlier eager-checkpoint + probe shape cost two jobs per round;
+        # the round-1 shape (probe-side join back to `labels`) cost three.
         new_labels = labels.join(nbr_min, "u", "left").select(
             "u",
             F.col("comp").alias("_old"),
             F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
         labels = new_labels.select("u", "comp")
         if changed == 0:
             break
