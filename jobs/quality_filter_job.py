@@ -34,15 +34,25 @@ def main(argv: list[str]) -> int:
     p.add_argument("--resume", action="store_true",
                    help="anti-join against committed output; score only new ids")
     p.add_argument("--partitions", type=int, default=0,
-                   help="salted repartition width (0 = leave input partitioning)")
+                   help="salted repartition width (0 = leave input partitioning; "
+                        "scoring is map-only so this is for unsplittable inputs)")
+    p.add_argument("--bucketed-table", default=None,
+                   help="write the scored output as a managed table bucketed by "
+                        "doc_id instead of plain parquet; --resume then anti-joins "
+                        "with no shuffle on the committed side")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
     from xdan_dqa_spark.session import get_spark
     from xdan_dqa_spark.pipeline import score_webtext, salted_repartition
     from xdan_dqa_spark.operators.metrics import partition_metrics
-    from xdan_dqa_spark.operators.resume import committed_ids, resume_filter
+    from xdan_dqa_spark.operators.resume import (
+        committed_ids,
+        committed_ids_table,
+        resume_filter,
+    )
     from xdan_dqa_spark.pipeline import with_doc_id
+    from xdan_dqa_spark.sources.sinks import write_scored_bucketed
 
     from xdan_dqa_spark.config import JobConfig, load_config
 
@@ -52,7 +62,8 @@ def main(argv: list[str]) -> int:
     if args.input is None and not job_cfg.sources:
         p.error("either --input or a --config with a datasets list is required")
 
-    spark = get_spark("quality_filter_job", master=args.master)
+    spark = get_spark("quality_filter_job", master=args.master,
+                      hive_metastore=bool(args.bucketed_table))
     t0 = time.time()
 
     if args.input and args.input.startswith("synth:"):
@@ -76,7 +87,9 @@ def main(argv: list[str]) -> int:
 
     df = with_doc_id(df)
     if args.resume:
-        committed = committed_ids(spark, out_scored)
+        committed = (committed_ids_table(spark, args.bucketed_table)
+                     if args.bucketed_table
+                     else committed_ids(spark, out_scored))
         df = resume_filter(df, committed)
 
     # config file first, CLI overrides
@@ -89,7 +102,10 @@ def main(argv: list[str]) -> int:
         cfg = replace(cfg, allowed_langs=tuple(x for x in args.langs.split(",") if x))
     scored = score_webtext(df, cfg)
 
-    scored.write.mode("append").parquet(out_scored)
+    if args.bucketed_table:
+        write_scored_bucketed(scored, args.bucketed_table)
+    else:
+        scored.write.mode("append").parquet(out_scored)
     # Lineage from the same deterministic plan (pure UDFs + pure exprs →
     # re-evaluation yields identical rows to what was just committed).
     pm = partition_metrics(scored, args.run_id)
@@ -98,7 +114,8 @@ def main(argv: list[str]) -> int:
     from pyspark.sql import functions as F
 
     stats = (
-        spark.read.parquet(out_scored)
+        (spark.table(args.bucketed_table) if args.bucketed_table
+         else spark.read.parquet(out_scored))
         .agg(
             F.count("doc_id").alias("n"),
             F.avg(F.col("keep").cast("double")).alias("keep_rate"),

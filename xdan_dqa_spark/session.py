@@ -17,6 +17,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_metastore: bool = False,
 ) -> SparkSession:
     """Build a SparkSession tuned for this engine.
 
@@ -77,6 +78,13 @@ def get_spark(
         builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if hive_metastore:
+        # Managed/bucketed tables must survive the session for
+        # cross-process resume (committed_ids_table): the default
+        # in-memory catalog forgets them, so jobs that publish tables
+        # opt into the Hive catalog (embedded Derby locally; on a real
+        # cluster this is the shared metastore and costs nothing).
+        builder = builder.enableHiveSupport()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
