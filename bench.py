@@ -243,7 +243,7 @@ def measure_scaling(rows: int) -> dict:
     mem_best = {c: (max(v) if v else None) for c, v in mem_vals.items()}
     # Per-window delivered ratios: adjacent lo/hi calib probes of the
     # same pass (samples arrive lo,hi,lo,hi,... per run).
-    per_window, mem_per_window = [], []
+    per_window, mem_per_window, window_pairs = [], [], []
     by_pass: dict[int, dict] = {}
     for s in samples:
         key = s["ts"] // 600  # coarse window bucket; lo/hi of a pass land together
@@ -252,10 +252,21 @@ def measure_scaling(rows: int) -> dict:
         pair = by_pass[w]
         if lo in pair and hi in pair:
             per_window.append(round(pair[hi]["calib_hps"] / pair[lo]["calib_hps"], 3))
+            entry = {
+                "engine_speedup": round(pair[lo]["secs"] / pair[hi]["secs"], 3),
+                "engine_efficiency": round(
+                    pair[lo]["secs"] / pair[hi]["secs"] / (hi / lo), 3),
+            }
             if pair[hi].get("calib_mem_gbps") and pair[lo].get("calib_mem_gbps"):
-                mem_per_window.append(
-                    round(pair[hi]["calib_mem_gbps"] / pair[lo]["calib_mem_gbps"], 3)
-                )
+                mr = round(pair[hi]["calib_mem_gbps"] / pair[lo]["calib_mem_gbps"], 3)
+                mem_per_window.append(mr)
+                entry["mem_bw_ratio"] = mr
+                # > 1.0 ⇒ the engine scaled BETTER than pure streaming
+                # could in this window — the hardware, not the plan, was
+                # the binding constraint
+                entry["speedup_over_mem_ceiling"] = round(
+                    entry["engine_speedup"] / mr, 3)
+            window_pairs.append(entry)
     speedup = best[lo] / best[hi]
     out: dict = {"rows": rows, "passes": SCALING_PASSES,
                  "shape": PIPELINE_SHAPE, "samples_total": len(samples)}
@@ -283,6 +294,7 @@ def measure_scaling(rows: int) -> dict:
                 "streaming-bound job's speedup in that window; engine "
                 "speedup above the mem ratio = engine outscales its memory "
                 "subsystem (see BASELINE.md round-3 analysis)",
+        "per_window_engine_vs_host": window_pairs,
     }
     out["samples"] = [
         {k: s.get(k) for k in ("ts", "cpus", "secs", "calib_hps", "calib_mem_gbps")}
