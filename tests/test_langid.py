@@ -62,6 +62,13 @@ def test_langid_script_routing():
         "because he said да нет and left the room with the dog"
     )
     assert predict_lang_pandas(pd.Series([quoted]))["lang"][0] == "en"
+    # ...and a latin doc with a sprinkle of kana terms stays latin too
+    # (the ja rule needs substantial CJK mass, not just kana presence)
+    sprinkled = (
+        "the new anime series they call すごい is on the table for review "
+        "and this is what the critics have been saying about the show"
+    )
+    assert predict_lang_pandas(pd.Series([sprinkled]))["lang"][0] == "en"
 
 
 def test_langid_batch_invariance():

@@ -125,7 +125,10 @@ def score_encoded(enc: EncodedBatch) -> pd.DataFrame:
     ok_len = enc.lens >= 3
     rules = [
         ("ko", (fr["hangul"] >= _CJK_FRAC_MIN), fr["hangul"]),
-        ("ja", (fr["kana"] >= _KANA_FRAC_MIN), cjk),
+        # ja needs BOTH substantial CJK mass and real kana: kana alone
+        # would hand an English page sprinkled with a few Japanese terms
+        # to ja; CJK mass alone is Chinese
+        ("ja", (cjk >= _CJK_FRAC_MIN) & (fr["kana"] >= _KANA_FRAC_MIN), cjk),
         ("zh", (cjk >= _CJK_FRAC_MIN), cjk),
         ("ru", (fr["cyr"] >= _CJK_FRAC_MIN), fr["cyr"]),
         ("ar", (fr["arab"] >= _CJK_FRAC_MIN), fr["arab"]),
