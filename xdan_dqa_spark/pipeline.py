@@ -93,7 +93,17 @@ def score_webtext(
             F.col("extracted_text").isNotNull()
             & (F.length(F.trim(F.col("extracted_text"))) > 0)
         )
-        df = df.withColumn("_scored", score_text_udf(F.col("extracted_text")))
+        # Ship only the scored prefix through Arrow: the models read at
+        # most MAX_CHARS post-lowercase chars, and lowercasing never
+        # shrinks a string, so lower(s[:MAX_CHARS])[:MAX_CHARS] ==
+        # lower(s)[:MAX_CHARS] — value-identical with severalfold less
+        # JVM→Python traffic on long documents.
+        from .functions.ngram_core import MAX_CHARS
+
+        df = df.withColumn(
+            "_scored",
+            score_text_udf(F.substring(F.col("extracted_text"), 1, MAX_CHARS)),
+        )
     text = F.col("extracted_text")
 
     df = (
