@@ -416,6 +416,20 @@ def main() -> None:
     }
     if scaling:
         payload["scaling"] = scaling
+        # Best measured flagship throughput across the round's pinned
+        # scaling samples (each an independent min-of-N run of the same
+        # job). On a bandwidth-contended window the unpinned local[32]
+        # headline above can read BELOW a pinned local[16] sample taken
+        # in a freer window — both are real measurements; this field
+        # carries the round's best with its provenance.
+        best_s = max(
+            ({"docs_per_sec": round(scaling["rows"] / s["secs"], 1),
+              "cpus": s["cpus"], "ts": s["ts"]}
+             for s in scaling.get("samples", []) if s.get("secs")),
+            key=lambda x: x["docs_per_sec"], default=None,
+        )
+        if best_s:
+            payload["docs_per_sec_best_pinned_sample"] = best_s
     print(json.dumps(payload))
 
 
