@@ -203,6 +203,14 @@ def _append_samples(samples: list[dict]) -> None:
             f.write(json.dumps(s) + "\n")
 
 
+def _median(vals: list) -> float | None:
+    if not vals:
+        return None
+    v = sorted(vals)
+    n = len(v)
+    return round(v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2, 3)
+
+
 def measure_scaling(rows: int) -> dict:
     """Scaling-efficiency evidence (north rule: throughput at N vs 4N
     executors >= 0.8): the identical pipeline job in separate pinned JVMs
@@ -213,18 +221,25 @@ def measure_scaling(rows: int) -> dict:
     Reported efficiency uses best-per-level over ALL persisted samples
     (this run's fixed SCALING_PASSES plus samples from earlier runs in
     the round via SCALING_STATE) — min wall per level estimates uncapped
-    capability; the full sample list and per-pass calibration ratios are
-    published alongside so the estimator is auditable and a capped round
-    is PROVEN capped rather than inferred."""
+    capability. The RETURNED block is deliberately COMPACT (the driver
+    captures only a short tail of stdout, which voided round 3's
+    artifact): per-window detail and the full sample series live in
+    SCALING_STATE + bench_state/bench_full_last.json; the printed block
+    carries the headline numbers plus summary statistics over windows."""
     lo, hi = SCALING_CPUS
     new: list[dict] = []
     for _pass in range(SCALING_PASSES):
+        # Explicit pass id: lo/hi samples of one pass are paired by THIS,
+        # not by a coarse timestamp bucket (a pass's lo/hi runs are
+        # minutes apart and used to be dropped/mispaired when they
+        # straddled a bucket boundary).
+        pass_id = f"{os.getpid()}-{int(time.time())}-{_pass}"
         for cpus in SCALING_CPUS:
             calib = _run_pinned(cpus, "--calib")
             res = _run_pinned(cpus, "--pipeline-once", str(rows))
             new.append({
                 "ts": int(time.time()), "cpus": cpus, "rows": rows,
-                "shape": PIPELINE_SHAPE,
+                "shape": PIPELINE_SHAPE, "pass_id": pass_id,
                 "secs": res["secs"], "trials": res["trials"],
                 "calib_hps": calib["hashes_per_sec"],
                 "calib_mem_gbps": calib.get("mem_GBps"),
@@ -241,25 +256,24 @@ def measure_scaling(rows: int) -> dict:
                     if s["cpus"] == c and s.get("calib_mem_gbps")]
                 for c in SCALING_CPUS}
     mem_best = {c: (max(v) if v else None) for c, v in mem_vals.items()}
-    # Per-window delivered ratios: adjacent lo/hi calib probes of the
-    # same pass (samples arrive lo,hi,lo,hi,... per run).
-    per_window, mem_per_window, window_pairs = [], [], []
-    by_pass: dict[int, dict] = {}
+    # Per-window pairing: lo/hi of the same pass share a pass_id; legacy
+    # samples (rounds 2-3, no pass_id) fall back to the old ts bucket.
+    window_pairs = []
+    by_pass: dict[str, dict] = {}
     for s in samples:
-        key = s["ts"] // 600  # coarse window bucket; lo/hi of a pass land together
+        key = s.get("pass_id") or f"legacy-{s['ts'] // 600}"
         by_pass.setdefault(key, {})[s["cpus"]] = s
     for w in sorted(by_pass):
         pair = by_pass[w]
         if lo in pair and hi in pair:
-            per_window.append(round(pair[hi]["calib_hps"] / pair[lo]["calib_hps"], 3))
             entry = {
+                "cpu_ratio": round(pair[hi]["calib_hps"] / pair[lo]["calib_hps"], 3),
                 "engine_speedup": round(pair[lo]["secs"] / pair[hi]["secs"], 3),
                 "engine_efficiency": round(
                     pair[lo]["secs"] / pair[hi]["secs"] / (hi / lo), 3),
             }
             if pair[hi].get("calib_mem_gbps") and pair[lo].get("calib_mem_gbps"):
                 mr = round(pair[hi]["calib_mem_gbps"] / pair[lo]["calib_mem_gbps"], 3)
-                mem_per_window.append(mr)
                 entry["mem_bw_ratio"] = mr
                 # > 1.0 ⇒ the engine scaled BETTER than pure streaming
                 # could in this window — the hardware, not the plan, was
@@ -275,32 +289,77 @@ def measure_scaling(rows: int) -> dict:
         out[f"local{c}_docs_per_sec"] = round(rows / best[c], 1)
     out["speedup"] = round(speedup, 3)
     out["efficiency"] = round(speedup / (hi / lo), 3)
+    # Bandwidth-normalized criterion (BASELINE.md acceptance rule): engine
+    # speedup divided by the same-window delivered memory-bandwidth ratio
+    # — the scaling the HARDWARE allowed. >= 1.0 means the engine extracts
+    # at least the full streaming-bandwidth ceiling of its window.
+    eff_w = [p["engine_efficiency"] for p in window_pairs]
+    som = [p["speedup_over_mem_ceiling"] for p in window_pairs
+           if "speedup_over_mem_ceiling" in p]
+    out["bw_normalized_speedup_best"] = max(som) if som else None
+    out["bw_normalized_speedup_median"] = _median(som)
+    out["windows"] = {
+        "n": len(window_pairs),
+        "efficiency_best": max(eff_w) if eff_w else None,
+        "efficiency_median": _median(eff_w),
+        "mem_bw_ratio_median": _median(
+            [p["mem_bw_ratio"] for p in window_pairs if "mem_bw_ratio" in p]),
+        "engine_geq_mem_ceiling": (
+            f"{sum(1 for x in som if x >= 1.0)}/{len(som)}" if som else None),
+    }
     out["calibration"] = {
-        "probe": "pure-python md5 (cpu) + 64MB numpy stream (mem bw), "
-                 "taskset-pinned, no JVM",
-        f"local{lo}_hps_best": calib_best[lo],
-        f"local{hi}_hps_best": calib_best[hi],
+        "probe": "pinned pure-python md5 (cpu) + 64MB numpy stream (mem bw)",
         "ideal_ratio": hi // lo,
         "cpu_delivered_ratio_best": round(calib_best[hi] / calib_best[lo], 3),
-        "cpu_delivered_ratio_per_window": per_window,
-        f"local{lo}_mem_gbps_best": mem_best[lo],
-        f"local{hi}_mem_gbps_best": mem_best[hi],
         "mem_bw_ratio_best": (
             round(mem_best[hi] / mem_best[lo], 3)
             if mem_best[lo] and mem_best[hi] else None
         ),
-        "mem_bw_ratio_per_window": mem_per_window,
-        "note": "a shared-host memory-bandwidth ratio << ideal bounds ANY "
-                "streaming-bound job's speedup in that window; engine "
-                "speedup above the mem ratio = engine outscales its memory "
-                "subsystem (see BASELINE.md round-3 analysis)",
-        "per_window_engine_vs_host": window_pairs,
     }
-    out["samples"] = [
-        {k: s.get(k) for k in ("ts", "cpus", "secs", "calib_hps", "calib_mem_gbps")}
-        for s in samples
-    ]
+    out["detail"] = "bench_state/bench_full_last.json + scaling_samples.jsonl"
+    # Full per-window detail stays out of the printed payload.
+    out["_full"] = {
+        "per_window_engine_vs_host": window_pairs,
+        f"local{lo}_hps_best": calib_best[lo],
+        f"local{hi}_hps_best": calib_best[hi],
+        f"local{lo}_mem_gbps_best": mem_best[lo],
+        f"local{hi}_mem_gbps_best": mem_best[hi],
+        "samples": [
+            {k: s.get(k) for k in ("ts", "cpus", "secs", "pass_id",
+                                   "calib_hps", "calib_mem_gbps")}
+            for s in samples
+        ],
+    }
     return out
+
+
+def _split_full(scaling: dict | None) -> dict | None:
+    """Pop the verbose `_full` sub-block out of a scaling result (printed
+    payload stays compact; caller persists the full detail to disk)."""
+    return scaling.pop("_full", None) if scaling else None
+
+
+def _write_full_detail(payload: dict, scaling_full: dict | None) -> None:
+    """Persist the complete (uncompacted) bench result for audit — the
+    printed line carries only what fits the driver's stdout-tail capture."""
+    state_dir = os.path.dirname(SCALING_STATE)
+    os.makedirs(state_dir, exist_ok=True)
+    full = dict(payload)
+    if scaling_full is not None:
+        full["scaling"] = {**payload.get("scaling", {}), **scaling_full}
+    with open(os.path.join(state_dir, "bench_full_last.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # Per-run per-query timing history: survives any future payload
+    # truncation, enables cross-round per-query regression tables.
+    if payload.get("queries"):
+        with open(os.path.join(state_dir, "query_timings.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "ts": int(time.time()), "sf": payload.get("sf"),
+                "cpus": payload.get("cpus"),
+                "canary_sec": payload.get("canary_sec"),
+                "docs_per_sec": payload.get("docs_per_sec"),
+                "queries": payload["queries"],
+            }) + "\n")
 
 
 def scaling_only() -> None:
@@ -312,7 +371,11 @@ def scaling_only() -> None:
     spark = get_spark("bench_gen", master="local[8]")
     ensure_webtext(spark, SCALING_ROWS)
     spark.stop()
-    print(json.dumps({"scaling": measure_scaling(SCALING_ROWS)}))
+    scaling = measure_scaling(SCALING_ROWS)
+    full = _split_full(scaling)
+    payload = {"scaling": scaling}
+    _write_full_detail(payload, full)
+    print(json.dumps(payload))
 
 
 def main() -> None:
@@ -410,10 +473,10 @@ def main() -> None:
         "webtext_rows": WEBTEXT_ROWS,
         "cpus": CPUS,
         "canary_sec": canary_sec,
-        "canary_note": "dedup_exact @ sf, min-of-3, JVM-warm; uncapped "
-                       "expectation in BASELINE.md — scale absolute walls "
-                       "by canary ratio before cross-round comparison",
+        "canary_note": "dedup_exact@sf min-of-3; uncapped wall in "
+                       "BASELINE.md — rescale cross-round by canary ratio",
     }
+    scaling_full = _split_full(scaling)
     if scaling:
         payload["scaling"] = scaling
         # Best measured flagship throughput across the round's pinned
@@ -425,12 +488,21 @@ def main() -> None:
         best_s = max(
             ({"docs_per_sec": round(scaling["rows"] / s["secs"], 1),
               "cpus": s["cpus"], "ts": s["ts"]}
-             for s in scaling.get("samples", []) if s.get("secs")),
+             for s in (scaling_full or {}).get("samples", []) if s.get("secs")),
             key=lambda x: x["docs_per_sec"], default=None,
         )
         if best_s:
             payload["docs_per_sec_best_pinned_sample"] = best_s
-    print(json.dumps(payload))
+    _write_full_detail(payload, scaling_full)
+    line = json.dumps(payload)
+    # Hard guard: the driver records only a short tail of stdout; a
+    # payload past ~2000 chars voided round 3's artifact. Shed the
+    # heaviest optional blocks before that can recur.
+    if len(line) > 1900:
+        for k in ("canary_note", "webtext_rows"):
+            payload.pop(k, None)
+        line = json.dumps(payload)
+    print(line)
 
 
 if __name__ == "__main__":
