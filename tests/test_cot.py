@@ -44,6 +44,27 @@ def test_fan_out_rows_and_seeds(spark):
     out = fan_out_generations(df, n_generations=4).collect()
     assert len(out) == 8
     seeds = sorted(r["gen_seed"] for r in out)
-    # id*n + idx is collision-free across (doc, generation)
+    # pmod(id, 2^60)·n + idx; small positive ids fold to themselves
     assert seeds == [40, 41, 42, 43, 44, 45, 46, 47]
     assert sorted({r["gen_idx"] for r in out}) == [0, 1, 2, 3]
+
+
+def test_fan_out_xxhash64_scale_ids(spark):
+    """Documented composition: fan-out AFTER with_doc_id, whose xxhash64
+    ids span the full signed-64 range. A raw id×n multiply overflows —
+    and under Spark's default ANSI mode aborts the job — so the seed must
+    be derived overflow-safely (ADVICE r3)."""
+    from xdan_dqa_spark.operators.cot import GEN_SEED_BOUND
+    from xdan_dqa_spark.pipeline import with_doc_id
+
+    df = spark.createDataFrame(
+        [("https://a.example/x",), ("https://b.example/y",)], "url string"
+    )
+    out = fan_out_generations(with_doc_id(df), n_generations=4).collect()
+    assert len(out) == 8
+    ids = {r["doc_id"] for r in out}
+    # the fixture really does exercise full-range (negative) hash ids
+    assert any(i < 0 for i in ids) or any(i > GEN_SEED_BOUND for i in ids)
+    seeds = [r["gen_seed"] for r in out]
+    assert len(set(seeds)) == 8                      # distinct per (doc, gen)
+    assert all(0 <= s < GEN_SEED_BOUND * 4 + 4 for s in seeds)

@@ -40,6 +40,20 @@ def test_wordset_dedup(docs):
     assert kept == [1, 4, 5, 6]
 
 
+def test_wordset_dedup_whitespace_variants(spark):
+    """\\s+ tokenization: a tab/newline-separated duplicate of a
+    space-separated doc shares the word-set signature (matches the
+    shingle/SimHash tokenizer — VERDICT r3 consistency item)."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha\tbeta\ngamma  delta"),   # tabs/newlines/double space
+        (3, "alpha beta gamma"),            # genuinely different set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r[0] for r in wordset_dedup(df).select("doc_id").collect())
+    assert kept == [1, 3]
+
+
 def test_minhash_candidates_contain_near_dups(docs):
     pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs).collect()}
     assert (1, 2) in pairs           # identical docs always collide

@@ -34,6 +34,45 @@ def test_field_mapping_renames(spark):
     assert row["url"] == "u" and row["text"] == "body"
 
 
+def test_field_mapping_absorbs_metadata(spark):
+    """Open-map absorption (reference src/data_loader.py:116-125): with
+    absorb_metadata=True the unmapped source columns fold into ONE
+    map<string,string> column, sorted-key order, values stringified."""
+    df = spark.createDataFrame(
+        [("u1", "body", "alpaca", 7), ("u2", "other", "oasst", None)],
+        "page_url string, content string, origin string, rank int",
+    )
+    out = apply_field_mapping(df, {"url": "page_url", "text": "content"},
+                              absorb_metadata=True)
+    assert out.columns == ["url", "text", "metadata"]
+    assert dict(out.dtypes)["metadata"] == "map<string,string>"
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["u1"]["metadata"] == {"origin": "alpaca", "rank": "7"}
+    assert rows["u2"]["metadata"] == {"origin": "oasst", "rank": None}
+
+
+def test_metadata_roundtrip_through_publish_table(spark):
+    """The absorbed map survives a publish_table create→read cycle and
+    JSON-encodes like the reference's published metadata dict."""
+    from xdan_dqa_spark.sources.readers import metadata_to_json
+    from xdan_dqa_spark.sources.sinks import publish_table
+
+    df = spark.createDataFrame(
+        [("u1", "t1", "cc", 3)], "page_url string, content string, src string, n int"
+    )
+    mapped = apply_field_mapping(df, {"url": "page_url", "text": "content"},
+                                 absorb_metadata=True)
+    try:
+        publish_table(mapped, "meta_rt_tbl")
+        back = spark.table("meta_rt_tbl")
+        row = back.select("url", "metadata",
+                          metadata_to_json().alias("mj")).collect()[0]
+        assert row["metadata"] == {"n": "3", "src": "cc"}
+        assert row["mj"] == '{"n":"3","src":"cc"}'
+    finally:
+        spark.sql("DROP TABLE IF EXISTS meta_rt_tbl")
+
+
 def test_field_mapping_missing_source_raises(spark):
     df = spark.createDataFrame([("u",)], "a string")
     with pytest.raises(ValueError, match="not in input"):

@@ -87,6 +87,14 @@ def to_structured_prompt(
     })
 
 
+# gen_seed bound: ids are pmod-folded into [0, 2^60) before the ×n fan-out
+# multiply, so the largest seed (2^60-1)·n + (n-1) stays far inside int64
+# even for full-range xxhash64 doc ids (the pipeline's with_doc_id),
+# which would overflow — and abort the job under ANSI mode — if
+# multiplied raw.
+GEN_SEED_BOUND = 1 << 60
+
+
 def fan_out_generations(df: DataFrame, n_generations: int = 4,
                         id_col: str = "doc_id") -> DataFrame:
     """Multi-generation fan-out (reference ``distillable/pipeline.py:33-37``
@@ -94,15 +102,21 @@ def fan_out_generations(df: DataFrame, n_generations: int = 4,
     generation-index explode — the deterministic engine replaces the LLM
     generation itself, but downstream consumers keep the
     N-outputs-per-input row shape and a per-candidate deterministic seed
-    (``gen_seed = id*n + idx``: collision-free, oracle-portable
-    arithmetic, usable as an RNG seed by any sampler that follows).
+    (``gen_seed = pmod(id, 2^60)·n + idx``: overflow-safe for full-range
+    xxhash64 ids, oracle-portable arithmetic, distinct per gen_idx of the
+    same doc, and distinct across docs unless their ids are congruent
+    mod 2^60 — negligible for an RNG-seed use).
 
     Explode of a literal array is narrow — no shuffle; output rows = n×input.
     """
+    n = int(n_generations)
+    if n < 1 or n > 8:
+        raise ValueError(f"n_generations must be in [1, 8], got {n}")
     gens = F.explode(
-        F.sequence(F.lit(0), F.lit(int(n_generations) - 1))
+        F.sequence(F.lit(0), F.lit(n - 1))
     ).alias("gen_idx")
     return df.select("*", gens).withColumn(
         "gen_seed",
-        F.col(id_col).cast("long") * F.lit(int(n_generations)) + F.col("gen_idx"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(GEN_SEED_BOUND))
+        * F.lit(n) + F.col("gen_idx"),
     )

@@ -38,8 +38,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def wordset_signature(text_col: str) -> F.Column:
     """Canonical word-set signature: sorted distinct whitespace tokens.
-    Jaccard=1 duplicates share it exactly."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    Jaccard=1 duplicates share it exactly. Tokenizes on ``\\s+`` like
+    ``shingles``/SimHash — a tab- or newline-separated duplicate of a
+    space-separated doc collapses under all three dedup families."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
     return F.array_join(F.array_sort(F.array_distinct(words)), " ")
 
 

@@ -37,6 +37,12 @@ def _words(text_col):
 
 _WORDS_SQL = "list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')"
 
+# \s+ tokenization twin — mirrors operators/dedup.py wordset_signature /
+# shingles / simhash (Java \s and RE2 \s are both ASCII whitespace).
+_WORDS_WS_SQL = (
+    "list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), w -> w <> '')"
+)
+
 
 def _dec_sum(col, alias):
     return F.sum(col.cast("decimal(20,6)")).cast("double").alias(alias)
@@ -70,6 +76,47 @@ def q_s7_field_mapping(spark, sf_dir):
 
 
 SQL_S7 = "SELECT doc_id AS id, source AS sources, text AS output, '' AS input FROM documents"
+
+
+# S7b: open-map metadata absorption (reference src/data_loader.py:116-125
+# folds unmapped source columns into a dynamic `metadata` dict, JSON-
+# encoded at publish time by scripts/run_assessment.py:190-196). The map
+# column itself isn't hash-comparable across engines, so the query pins
+# both its ENTRIES (scalar lookups) and the published JSON encoding.
+
+def q_s7_metadata_absorb(spark, sf_dir):
+    from ..sources.readers import apply_field_mapping, metadata_to_json
+
+    mapped = apply_field_mapping(
+        _t(spark, sf_dir, "documents"),
+        {"id": "doc_id", "body": "text"},
+        absorb_metadata=True,
+    )
+    m = F.col("metadata")
+    return mapped.select(
+        "id", "body",
+        m["lang"].alias("m_lang"),
+        m["source"].alias("m_source"),
+        m["n_chars"].alias("m_n_chars"),
+        metadata_to_json().alias("metadata_json"),
+    )
+
+
+def _sql_s7_metadata_absorb() -> str:
+    # sorted leftover keys: lang, n_chars, source (to_json of the sorted
+    # map renders exactly this order); values are strings, so all quoted
+    json_expr = (
+        "'{\"lang\":\"' || " + _json_str_sql("lang")
+        + " || '\",\"n_chars\":\"' || CAST(n_chars AS VARCHAR)"
+        + " || '\",\"source\":\"' || " + _json_str_sql("source") + " || '\"}'"
+    )
+    return f"""
+SELECT doc_id AS id, text AS body,
+       lang AS m_lang, source AS m_source,
+       CAST(n_chars AS VARCHAR) AS m_n_chars,
+       {json_expr} AS metadata_json
+FROM documents
+"""
 
 # P4 weighted score (reference src/processor.py:200-221) — deterministic
 # proxy dims from portable per-row signals.
@@ -486,7 +533,7 @@ def q_dedup_wordset(spark, sf_dir):
 SQL_DEDUP_WORDSET = f"""
 WITH keyed AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct({_WORDS_SQL})), ' ')) AS k
+         md5(array_to_string(list_sort(list_distinct({_WORDS_WS_SQL})), ' ')) AS k
   FROM documents
 )
 SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k
@@ -503,10 +550,10 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 # DuckDB twin of the exact same md5-minhash/band construction
 # (4 bands × 2 rows, word-3-gram shingles).
 _SHINGLES_SQL = f"""
-CASE WHEN len({_WORDS_SQL}) < 3
-     THEN [array_to_string({_WORDS_SQL}, ' ')]
-     ELSE [array_to_string(({_WORDS_SQL})[i:i+2], ' ')
-           FOR i IN range(1, len({_WORDS_SQL}) - 1)]
+CASE WHEN len({_WORDS_WS_SQL}) < 3
+     THEN [array_to_string({_WORDS_WS_SQL}, ' ')]
+     ELSE [array_to_string(({_WORDS_WS_SQL})[i:i+2], ' ')
+           FOR i IN range(1, len({_WORDS_WS_SQL}) - 1)]
 END
 """
 
@@ -1096,12 +1143,28 @@ def q_ivf_topk_indexed(spark, sf_dir):
         write_ivf_index,
     )
 
+    import json as _json
+    import os as _os
+
     emb = _t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     query = [float(x) for x in row[0][0]] if row else [0.0]
     cents = ivf_centroids(emb, 8)
     path = "/tmp/xdan_ivf_index_" + sf_dir.strip("/").replace("/", "_")
-    write_ivf_index(emb, path, centroids=cents)
+    # Idempotent build: the index is a pure function of (input, spec) —
+    # seed centroids are deterministic — so an existing index whose
+    # frozen spec matches is reused instead of rewritten (a correctness
+    # query must not carry a redundant write side effect).
+    spec = {"n_lists": 8, "centroids": cents}
+    marker = _os.path.join(path, "_SPEC.json")
+    existing = None
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            existing = _json.load(fh)
+    if existing != spec:
+        write_ivf_index(emb, path, centroids=cents)
+        with open(marker, "w") as fh:
+            _json.dump(spec, fh)
     return ivf_topk_from_index(spark, path, cents, query, k=10,
                                n_probe=4).select("vec_id")
 
@@ -1331,8 +1394,12 @@ def q_gen_fanout(spark, sf_dir):
     )
 
 
-SQL_GEN_FANOUT = """
-SELECT doc_id, source, gen_idx, doc_id * 4 + gen_idx AS gen_seed
+# pmod twin of operators/cot.py GEN_SEED_BOUND folding (DuckDB % is
+# truncated like Spark's, so pmod = ((a % b) + b) % b; HUGEINT-free
+# because the folded value × 4 + 3 fits int64).
+SQL_GEN_FANOUT = f"""
+SELECT doc_id, source, gen_idx,
+       ((doc_id % {1 << 60}) + {1 << 60}) % {1 << 60} * 4 + gen_idx AS gen_seed
 FROM documents
 CROSS JOIN (SELECT unnest(range(4)) AS gen_idx) g
 """
@@ -1341,6 +1408,7 @@ CROSS JOIN (SELECT unnest(range(4)) AS gen_idx) g
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
+    "s7_metadata_absorb": q_s7_metadata_absorb,
     "p3_normalization": q_p3_normalization,
     "p4_weighted_score": q_p4_weighted_score,
     "f1_keep_filter": q_f1_keep_filter,
@@ -1389,6 +1457,7 @@ def oracle_map() -> dict[str, str]:
     return {
         "p1_validation_filter": SQL_P1,
         "s7_field_mapping": SQL_S7,
+        "s7_metadata_absorb": _sql_s7_metadata_absorb(),
         "p3_normalization": SQL_P3,
         "p4_weighted_score": SQL_P4,
         "f1_keep_filter": SQL_F1,

@@ -39,12 +39,22 @@ class SourceConfig:
     options: dict[str, str] = field(default_factory=dict)
 
 
-def apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+def apply_field_mapping(df: DataFrame, mapping: dict[str, str],
+                        absorb_metadata: bool = False,
+                        metadata_col: str = "metadata") -> DataFrame:
     """S7: pure projection/rename — target column <- source column.
 
-    Unmapped target columns pass through if present; extra source columns
-    are dropped only when a mapping is given (mirrors the reference's
-    ``metadata`` absorption being explicit, ``src/data_loader.py:116-125``).
+    Default: unmapped source columns pass through as bare columns.
+    ``absorb_metadata=True`` instead folds every unmapped column into ONE
+    ``metadata`` map<string,string> column (values cast to string, keys
+    in sorted order so the column is deterministic) — the reference's
+    dynamic ``metadata`` dict absorption (``src/data_loader.py:116-125``)
+    as a typed Spark column. ``metadata_to_json`` gives the JSON-encoded
+    form the reference publishes (``scripts/run_assessment.py:190-196``).
+
+    A map, not a struct, on purpose: heterogeneous Alpaca-style datasets
+    have per-dataset leftover columns, and a union across them needs one
+    stable schema — map<string,string> is that schema.
     """
     if not mapping:
         return df
@@ -53,9 +63,24 @@ def apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
         if source not in df.columns:
             raise ValueError(f"field_mapping: source column {source!r} not in input")
         cols.append(F.col(source).alias(target))
-    passthrough = [c for c in df.columns
-                   if c not in mapping.values() and c not in mapping]
-    return df.select(*cols, *[F.col(c) for c in passthrough])
+    leftover = [c for c in df.columns
+                if c not in mapping.values() and c not in mapping]
+    if absorb_metadata:
+        if metadata_col in mapping:
+            raise ValueError(f"metadata_col {metadata_col!r} collides with a mapped target")
+        entries = [x for c in sorted(leftover)
+                   for x in (F.lit(c), F.col(c).cast("string"))]
+        meta = (F.create_map(*entries) if entries
+                else F.create_map().cast("map<string,string>"))
+        return df.select(*cols, meta.alias(metadata_col))
+    return df.select(*cols, *[F.col(c) for c in leftover])
+
+
+def metadata_to_json(metadata_col: str = "metadata") -> F.Column:
+    """JSON-encode the absorbed metadata map for publishing (reference
+    ``scripts/run_assessment.py:190-196`` json.dumps of the item's
+    metadata dict). ``to_json`` keeps the map's (sorted) entry order."""
+    return F.to_json(F.col(metadata_col))
 
 
 def deterministic_sample(df: DataFrame, n: int, key_col: str = "url") -> DataFrame:
