@@ -15,8 +15,13 @@ lang), or ``synth:N`` to generate the deterministic N-row fixture table.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# Runnable as a plain script (`python jobs/quality_filter_job.py`) without
+# --py-files: put the repo root ahead of the script dir on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str]) -> int:
@@ -33,6 +38,9 @@ def main(argv: list[str]) -> int:
     p.add_argument("--langs", default="", help="comma list of allowed langs (empty=all)")
     p.add_argument("--resume", action="store_true",
                    help="anti-join against committed output; score only new ids")
+    p.add_argument("--resume-allow-fresh", action="store_true",
+                   help="with --resume --bucketed-table: tolerate a missing "
+                        "committed table (legitimate first run) instead of erroring")
     p.add_argument("--partitions", type=int, default=0,
                    help="salted repartition width (0 = leave input partitioning; "
                         "scoring is map-only so this is for unsplittable inputs)")
@@ -90,6 +98,17 @@ def main(argv: list[str]) -> int:
         committed = (committed_ids_table(spark, args.bucketed_table)
                      if args.bucketed_table
                      else committed_ids(spark, out_scored))
+        if committed is None and args.bucketed_table and not args.resume_allow_fresh:
+            # --resume asserts a prior run committed work; an absent table
+            # here almost always means the session is looking at the WRONG
+            # metastore (cwd-relative Derby before the warehouse was
+            # pinned, or a mistyped table name) — silently re-scoring and
+            # re-appending everything would duplicate every row.
+            raise SystemExit(
+                f"--resume: bucketed table {args.bucketed_table!r} does not "
+                "exist in the metastore. If this really is the first run, "
+                "rerun without --resume (or with --resume-allow-fresh)."
+            )
         df = resume_filter(df, committed)
 
     # config file first, CLI overrides
@@ -113,6 +132,8 @@ def main(argv: list[str]) -> int:
 
     from pyspark.sql import functions as F
 
+    from xdan_dqa_spark.operators.metrics import format_summary_table, summarize_run
+
     stats = (
         (spark.table(args.bucketed_table) if args.bucketed_table
          else spark.read.parquet(out_scored))
@@ -123,6 +144,11 @@ def main(argv: list[str]) -> int:
         .collect()[0]
     )
     wall = time.time() - t0
+    # End-of-run stats table (reference src/cli.py:119-139) — THIS run's
+    # numbers, folded from the lineage rows just committed (no re-scan of
+    # the scored data); the RESULT line below is the cumulative view.
+    summary = summarize_run(spark.read.parquet(out_metrics), args.run_id, wall)
+    print(format_summary_table(summary))
     print(
         f"RESULT run_id={args.run_id} committed_docs={stats['n']} "
         f"keep_rate={stats['keep_rate']:.4f} wall_sec={wall:.2f} "

@@ -4,6 +4,8 @@ re-scoring, and the resumed result equals the single-run output
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -75,6 +77,14 @@ def test_bucketed_resume_no_exchange_on_committed_side(spark, webtext, tmp_path)
     scored = score_webtext(inp.limit(250))
     table = "scored_bucketed_test"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # DROP only covers tables the CURRENT catalog knows; an interrupted
+    # earlier run can leave the managed location on disk, which
+    # saveAsTable refuses to reuse (LOCATION_ALREADY_EXISTS).
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
     write_scored_bucketed(scored, table, n_buckets=8)
     plain = str(tmp_path / "plain")
     scored.write.parquet(plain)

@@ -91,3 +91,34 @@ def test_all_nine_languages_scoreable(spark):
     }
     for la, s in gscores.items():
         assert s < got[la][1], f"{la}: garbage {s} >= clean {got[la][1]}"
+
+def test_und_ppl_fallback_is_cfg_tunable(spark):
+    """ppl_good/ppl_bad semantics (round-3 advice): defaults resolve to the
+    frozen pooled-'und' calibration (no behavior change), and user-set
+    values genuinely retune the unknown-language ramp — 'und' must NOT be
+    shadowed by the per-language CASE. Known languages stay pinned to
+    their own frozen calibration regardless of cfg."""
+    from xdan_dqa_spark.functions.perplexity import PPL_CALIBRATION
+    from xdan_dqa_spark.operators.score import dimension_columns
+
+    assert QualityConfig().resolved_ppl_levels() == PPL_CALIBRATION["und"]
+
+    df = spark.createDataFrame([("und", 30.0), ("en", 30.0)], "pred string, ppl double")
+    h = {
+        "cjk_ratio": F.lit(0.0), "stopword_ratio": F.lit(0.3),
+        "symbol_ratio": F.lit(0.0), "alpha_ratio": F.lit(0.9),
+        "n_chars": F.lit(500.0), "mean_word_len": F.lit(5.0),
+        "dup_line_frac": F.lit(0.0), "distinct_word_ratio": F.lit(0.9),
+    }
+
+    def fluency(cfg):
+        dims = dimension_columns(h, F.col("pred"), F.lit(1.0), F.col("ppl"), None, cfg)
+        rows = df.select("pred", dims["d_fluency"].alias("f")).collect()
+        return {r["pred"]: r["f"] for r in rows}
+
+    base = fluency(QualityConfig())
+    # generous user calibration: ppl=30 is now "good" → und fluency jumps to 10
+    tuned = fluency(QualityConfig(ppl_good=30.0, ppl_bad=300.0))
+    assert tuned["und"] == 10.0 and tuned["und"] > base["und"]
+    # en rides its own frozen calibration — unaffected by cfg tuning
+    assert tuned["en"] == base["en"]

@@ -87,6 +87,157 @@ def to_structured_prompt(
     })
 
 
+def _collapse_ws(c: Column) -> Column:
+    return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+def _wc(c: Column) -> Column:
+    """whitespace word count as double (0 for null/empty)."""
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"\S+")).cast("double")
+
+
+def _ramp10(x: Column, full_at: float) -> Column:
+    """0..10 linear ramp, saturating at ``full_at``, 3dp.
+
+    3dp, not 1dp: every ramp here steps in multiples of 0.025 (integer
+    signal / decimal denominator), which is EXACT at 3 decimals — so the
+    round is tie-free and Spark's HALF_UP agrees bit-for-bit with
+    DuckDB's decimal-aware round in the oracle twin. At 1dp the same
+    values land on .x5 ties where the engines disagree."""
+    return F.round(F.lit(10.0) * F.least(x / F.lit(full_at), F.lit(1.0)), 3)
+
+
+def to_enhanced_structured_prompt(
+    df: DataFrame,
+    instruction: Column,
+    output: Column,
+    input_: Column | None = None,
+    original_format: str = "webtext",
+    template: str = "analyze-solve-verify",
+) -> DataFrame:
+    """``EnhancedStructuredPromptItem`` (reference ``src/models.py:284-339``):
+    the StructuredPromptItem envelope EXTENDED with typed
+    ``question_analysis`` / ``answer_analysis`` structs
+    (``QuestionAnalysis``/``AnswerAnalysis``, ``src/models.py:258-282``).
+
+    The reference fills the analysis fields with LLM rewrites; this engine
+    carries the exact SCHEMA with a deterministic fill (same policy as
+    ``to_structured_prompt``): quality sub-scores are saturating ramps over
+    text-shape signals, improvement suggestions are threshold rules (the
+    P10 pattern, operators/score.py ``suggestion_structs``), the improved
+    question is the whitespace-normalized original, and the improved
+    answer is the PII/profanity-SCRUBBED original — a real deterministic
+    improvement wired to the engine's scrubber. Everything is codegen'd
+    string/number exprs with an exact DuckDB twin (``cot_enhanced``).
+
+    Output columns:
+
+    * ``question`` string — the IMPROVED question (reference
+      ``from_alpaca_item``: ``question = question_analysis.improved_question``)
+    * ``question_analysis`` struct<original_question: string,
+      question_quality: struct<clarity, specificity, reasonableness: double>,
+      improvement_suggestions: array<string>, improved_question: string>
+    * ``answer_analysis`` struct<original_answer: string,
+      answer_quality: struct<completeness, accuracy, logic: double>,
+      improvement_suggestions: array<string>, improved_answer: string>
+    * ``components`` struct<analyze, solve, verify, solution: string> —
+      analyze/solve COMPOSED from the analysis fields exactly in the
+      reference's from_alpaca_item f-string shape (src/models.py:312-330)
+    * ``cot_metadata`` — same provenance struct as ``to_structured_prompt``
+    """
+    from ..functions.scrub import scrub_expr
+
+    q = question_col(instruction, input_)
+    qw, qc = _wc(q), F.length(F.coalesce(q, F.lit(""))).cast("double")
+    a = F.coalesce(output, F.lit(""))
+    aw, ac = _wc(a), F.length(a).cast("double")
+    a_lines = F.length(F.regexp_replace(a, r"[^\n]", "")).cast("double") + F.lit(1.0)
+
+    # question_quality: clarity saturates with enough words to parse the
+    # ask, specificity with enough characters of constraint, and
+    # reasonableness is their midpoint (deterministic composite).
+    clarity = _ramp10(qw, 20.0)
+    specificity = _ramp10(qc, 200.0)
+    reasonableness = F.round((clarity + specificity) / F.lit(2.0), 3)
+    q_sugg = F.filter(
+        F.array(
+            F.when(qw < F.lit(8.0), F.lit("add context to the question")),
+            F.when(qc > F.lit(500.0), F.lit("tighten the question")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    improved_q = _collapse_ws(q)
+
+    # answer_quality: completeness with body length, accuracy with enough
+    # words to substantiate, logic with multi-line structure.
+    completeness = _ramp10(ac, 400.0)
+    accuracy = _ramp10(aw, 50.0)
+    logic = _ramp10(a_lines, 5.0)
+    improved_a = scrub_expr(a)
+    a_sugg = F.filter(
+        F.array(
+            F.when(ac < F.lit(200.0), F.lit("expand the answer with supporting detail")),
+            F.when(improved_a != a, F.lit("remove sensitive or flagged content")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    fmt = lambda c: F.format_string("%.3f", c)  # tie-free at 3dp (see _ramp10)
+    analyze_body = F.concat(
+        F.lit("Question analysis:\n- Original question: "), q,
+        F.lit("\n- Question quality: clarity: "), fmt(clarity),
+        F.lit(", specificity: "), fmt(specificity),
+        F.lit(", reasonableness: "), fmt(reasonableness),
+        F.lit("\n- Suggestions: "), F.array_join(q_sugg, "; "),
+        F.lit("\n- Improved question: "), improved_q,
+        F.lit("\n\nAnswer analysis:\n- Answer quality: completeness: "), fmt(completeness),
+        F.lit(", accuracy: "), fmt(accuracy),
+        F.lit(", logic: "), fmt(logic),
+        F.lit("\n- Suggestions: "), F.array_join(a_sugg, "; "),
+    )
+    solve_body = F.concat(
+        F.lit("Based on the improved question and analysis, provide the solution:\n"),
+        improved_a,
+    )
+
+    return df.withColumns({
+        "question": improved_q,
+        "question_analysis": F.struct(
+            q.alias("original_question"),
+            F.struct(
+                clarity.alias("clarity"),
+                specificity.alias("specificity"),
+                reasonableness.alias("reasonableness"),
+            ).alias("question_quality"),
+            q_sugg.alias("improvement_suggestions"),
+            improved_q.alias("improved_question"),
+        ),
+        "answer_analysis": F.struct(
+            a.alias("original_answer"),
+            F.struct(
+                completeness.alias("completeness"),
+                accuracy.alias("accuracy"),
+                logic.alias("logic"),
+            ).alias("answer_quality"),
+            a_sugg.alias("improvement_suggestions"),
+            improved_a.alias("improved_answer"),
+        ),
+        "components": F.struct(
+            analyze_body.alias("analyze"),
+            solve_body.alias("solve"),
+            F.lit(VERIFY_BODY).alias("verify"),
+            improved_a.alias("solution"),
+        ),
+        "cot_metadata": F.struct(
+            F.lit(original_format).alias("original_format"),
+            F.lit(template).alias("transformation_template"),
+            instruction.alias("original_instruction"),
+            (input_ if input_ is not None else F.lit("")).alias("original_input"),
+            output.alias("original_output"),
+        ),
+    })
+
+
 # gen_seed bound: ids are pmod-folded into [0, 2^60) before the ×n fan-out
 # multiply, so the largest seed (2^60-1)·n + (n-1) stays far inside int64
 # even for full-range xxhash64 doc ids (the pipeline's with_doc_id),

@@ -38,6 +38,55 @@ def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def summarize_run(metrics: DataFrame, run_id: str, wall_sec: float) -> dict:
+    """Fold this run's per-partition lineage rows into the reference's
+    end-of-run stats (``src/cli.py:119-139``: Total Items / Successfully
+    Processed / Failed Items / Filtered Items / Success Rate / Processing
+    Time / Items per Second). One tiny aggregate over the lineage table —
+    the scored data is NOT re-scanned."""
+    r = (
+        metrics.filter(F.col("run_id") == run_id)
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("total"),
+            F.coalesce(F.sum("n_keep"), F.lit(0)).alias("kept"),
+            F.coalesce(F.sum("n_drop"), F.lit(0)).alias("dropped"),
+            F.coalesce(F.sum("n_error"), F.lit(0)).alias("errors"),
+            F.coalesce(F.sum("scrub_count"), F.lit(0)).alias("scrubbed"),
+        )
+        .collect()[0]
+    )
+    total = int(r["total"])
+    return {
+        "run_id": run_id,
+        "total_items": total,
+        "successfully_processed": int(r["kept"]),
+        "failed_items": int(r["errors"]),
+        "filtered_items": int(r["dropped"]),
+        "scrub_count": int(r["scrubbed"]),
+        "success_rate_pct": round(100.0 * r["kept"] / total, 2) if total else 0.0,
+        "processing_time_sec": round(wall_sec, 2),
+        "items_per_second": round(total / wall_sec, 2) if wall_sec > 0 else 0.0,
+    }
+
+
+def format_summary_table(s: dict) -> str:
+    """Human-readable analogue of the reference's rich Table printout."""
+    rows = [
+        ("Total Items", f"{s['total_items']}"),
+        ("Successfully Processed", f"{s['successfully_processed']}"),
+        ("Failed Items", f"{s['failed_items']}"),
+        ("Filtered Items", f"{s['filtered_items']}"),
+        ("Scrub Count", f"{s['scrub_count']}"),
+        ("Success Rate", f"{s['success_rate_pct']:.2f}%"),
+        ("Processing Time", f"{s['processing_time_sec']:.2f} seconds"),
+        ("Items per Second", f"{s['items_per_second']:.2f}"),
+    ]
+    w = max(len(k) for k, _ in rows)
+    lines = [f"Processing Results — {s['run_id']}"]
+    lines += [f"  {k.ljust(w)}  {v}" for k, v in rows]
+    return "\n".join(lines)
+
+
 def batch_metrics(scored: DataFrame) -> DataFrame:
     """Whole-run metrics row (reference src/processor.py:404-421 shape)."""
     return scored.agg(

@@ -54,14 +54,28 @@ class QualityConfig:
     min_mean_word_len: float = 1.5
     max_mean_word_len: float = 14.0
 
-    # Perplexity → score calibration for UNKNOWN languages (fallback).
-    # Known languages use the per-language frozen calibration measured on
-    # held-out text at model-build time (functions/perplexity.py
-    # PPL_CALIBRATION — the CCNet per-language-cutoff pattern), because
-    # raw perplexities are not comparable across languages/models.
-    ppl_good: float = 24.0   # ppl at/below this scores 10
-    ppl_bad: float = 256.0   # ppl at/above this scores 0
-    per_lang_ppl: bool = True  # False = flat cfg calibration for all langs
+    # Perplexity → score calibration. With per_lang_ppl=True (default),
+    # every language the LID can emit uses its frozen held-out calibration
+    # (functions/perplexity.py PPL_CALIBRATION — the CCNet per-language-
+    # cutoff pattern) EXCEPT 'und', which uses these cfg values; None
+    # (default) resolves to the frozen pooled-'und' calibration, so setting
+    # a float here genuinely retunes the unknown-language ramp. With
+    # per_lang_ppl=False the resolved values apply flat to ALL languages.
+    ppl_good: float | None = None  # ppl at/below this scores 10; None = frozen 'und' calib
+    ppl_bad: float | None = None   # ppl at/above this scores 0;  None = frozen 'und' calib
+    per_lang_ppl: bool = True  # False = flat resolved calibration for all langs
+
+    def resolved_ppl_levels(self) -> tuple[float, float]:
+        """(ppl_good, ppl_bad) with None resolved to the frozen pooled
+        'und' calibration — the values actually used for unknown-language
+        docs (and for every language when ``per_lang_ppl=False``)."""
+        from ..functions.perplexity import PPL_CALIBRATION
+
+        und_g, und_b = PPL_CALIBRATION["und"]
+        return (
+            float(self.ppl_good) if self.ppl_good is not None else float(und_g),
+            float(self.ppl_bad) if self.ppl_bad is not None else float(und_b),
+        )
 
 
 # Scripts with no whitespace segmentation: word-based signals (counts,
@@ -86,20 +100,26 @@ def dimension_columns(h: dict[str, Column], pred_lang: Column, lang_score: Colum
     d_lang = F.lit(10.0) * _clip01(lang_score * 2.0) * lang_agree
 
     # log-linear ppl ramp: ppl_good→10, ppl_bad→0, with PER-LANGUAGE
-    # good/bad levels (every language incl. zh now has its own frozen
+    # good/bad levels (every language incl. zh has its own frozen
     # char-ngram model + held-out calibration — CCNet's one-LM-per-language
-    # shape; cfg values are the und/unknown fallback).
+    # shape). 'und' is deliberately EXCLUDED from the per-language CASE so
+    # the resolved cfg values (default: the frozen pooled-'und'
+    # calibration; user-set floats override) genuinely are the
+    # unknown-language fallback.
+    res_good, res_bad = cfg.resolved_ppl_levels()
     if cfg.per_lang_ppl:
         from ..functions.perplexity import PPL_CALIBRATION
 
-        good = F.lit(float(cfg.ppl_good))
-        bad = F.lit(float(cfg.ppl_bad))
+        good = F.lit(res_good)
+        bad = F.lit(res_bad)
         for lang, (g, b) in PPL_CALIBRATION.items():
+            if lang == "und":
+                continue
             good = F.when(pred_lang == lang, F.lit(g)).otherwise(good)
             bad = F.when(pred_lang == lang, F.lit(b)).otherwise(bad)
     else:
-        good = F.lit(float(cfg.ppl_good))
-        bad = F.lit(float(cfg.ppl_bad))
+        good = F.lit(res_good)
+        bad = F.lit(res_bad)
     d_fluency = F.lit(10.0) * _clip01(
         F.lit(1.0) - F.log2(F.greatest(ppl, F.lit(1.0)) / good) / F.log2(bad / good)
     )

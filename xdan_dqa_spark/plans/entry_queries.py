@@ -1280,10 +1280,14 @@ def _sql_score_core() -> str:
     clip = lambda e: f"least(greatest({e}, 0.0), 1.0)"
     # Per-language ppl calibration CASE (mirrors dimension_columns'
     # PPL_CALIBRATION dispatch; ::DOUBLE defeats DuckDB DECIMAL literals).
+    # 'und' is excluded from the CASE on both engines: it rides the ELSE,
+    # which carries the RESOLVED cfg fallback (frozen pooled-'und'
+    # calibration unless the user overrides ppl_good/ppl_bad).
+    res_good, res_bad = cfg.resolved_ppl_levels()
     pplg = " ".join(f"WHEN pred = '{la}' THEN {g!r}::DOUBLE"
-                    for la, (g, _) in PPL_CALIBRATION.items())
+                    for la, (g, _) in PPL_CALIBRATION.items() if la != "und")
     pplb = " ".join(f"WHEN pred = '{la}' THEN {b!r}::DOUBLE"
-                    for la, (_, b) in PPL_CALIBRATION.items())
+                    for la, (_, b) in PPL_CALIBRATION.items() if la != "und")
     d_fluency_ramp = clip(
         "1.0 - log2(greatest(ppl, 1.0) / pplg) / log2(pplb / pplg)"
     )
@@ -1294,8 +1298,8 @@ WITH fx AS (
   FROM documents
 ), cal AS (
   SELECT *,
-    CASE {pplg} ELSE {cfg.ppl_good!r}::DOUBLE END AS pplg,
-    CASE {pplb} ELSE {cfg.ppl_bad!r}::DOUBLE END AS pplb
+    CASE {pplg} ELSE {res_good!r}::DOUBLE END AS pplg,
+    CASE {pplb} ELSE {res_bad!r}::DOUBLE END AS pplb
   FROM fx
 ), dims AS (
   SELECT *,
@@ -1381,6 +1385,115 @@ FROM base
 
 
 # ------------------------------------------------------------------
+# cot_enhanced: EnhancedStructuredPromptItem (reference src/models.py:
+# 258-339) — the envelope PLUS typed QuestionAnalysis/AnswerAnalysis
+# structs, deterministic fill, flattened for the hash compare. The
+# composed analyze/solve components pin the f-string-shaped assembly.
+
+def q_cot_enhanced(spark, sf_dir):
+    from ..operators.cot import to_enhanced_structured_prompt
+
+    docs = _t(spark, sf_dir, "documents")
+    shaped = to_enhanced_structured_prompt(
+        docs,
+        instruction=F.concat(F.lit("Assess the quality of this "),
+                             F.col("source"), F.lit(" document")),
+        input_=F.col("text"),
+        output=F.col("text"),
+    )
+    qa, aa = F.col("question_analysis"), F.col("answer_analysis")
+    return shaped.select(
+        "doc_id",
+        "question",
+        qa["original_question"].alias("qa_original"),
+        qa["question_quality"]["clarity"].alias("qa_clarity"),
+        qa["question_quality"]["specificity"].alias("qa_specificity"),
+        qa["question_quality"]["reasonableness"].alias("qa_reasonableness"),
+        F.array_join(qa["improvement_suggestions"], "; ").alias("qa_suggestions"),
+        aa["answer_quality"]["completeness"].alias("aa_completeness"),
+        aa["answer_quality"]["accuracy"].alias("aa_accuracy"),
+        aa["answer_quality"]["logic"].alias("aa_logic"),
+        F.array_join(aa["improvement_suggestions"], "; ").alias("aa_suggestions"),
+        aa["improved_answer"].alias("aa_improved"),
+        F.col("components.analyze").alias("c_analyze"),
+        F.col("components.solve").alias("c_solve"),
+    )
+
+
+def _sql_cot_enhanced() -> str:
+    from ..functions.scrub import scrub_sql_expr
+
+    scrub = scrub_sql_expr("t")
+    nl = "chr(10)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         'Assess the quality of this ' || source || ' document' AS instr
+  FROM documents
+), qa AS (
+  SELECT doc_id, t, instr,
+    CASE WHEN t <> '' THEN instr || {nl} || 'Context: ' || t ELSE instr END AS q
+  FROM base
+), sig AS (
+  SELECT *,
+    CAST(len(regexp_extract_all(q, '\\S+')) AS DOUBLE) AS qw,
+    CAST(length(q) AS DOUBLE) AS qc,
+    CAST(len(regexp_extract_all(t, '\\S+')) AS DOUBLE) AS aw,
+    CAST(length(t) AS DOUBLE) AS ac,
+    CAST(length(regexp_replace(t, '[^\\n]', '', 'g')) AS DOUBLE) + 1.0::DOUBLE AS a_lines,
+    {scrub} AS imp_a,
+    regexp_replace(trim(q), '\\s+', ' ', 'g') AS imp_q
+  FROM qa
+), sc AS (
+  SELECT *,
+    round(10.0::DOUBLE * least(qw / 20.0::DOUBLE, 1.0::DOUBLE), 3) AS clarity,
+    round(10.0::DOUBLE * least(qc / 200.0::DOUBLE, 1.0::DOUBLE), 3) AS specificity,
+    round(10.0::DOUBLE * least(ac / 400.0::DOUBLE, 1.0::DOUBLE), 3) AS completeness,
+    round(10.0::DOUBLE * least(aw / 50.0::DOUBLE, 1.0::DOUBLE), 3) AS accuracy,
+    round(10.0::DOUBLE * least(a_lines / 5.0::DOUBLE, 1.0::DOUBLE), 3) AS logic,
+    coalesce(array_to_string(list_filter([
+      CASE WHEN qw < 8.0::DOUBLE THEN 'add context to the question' END,
+      CASE WHEN qc > 500.0::DOUBLE THEN 'tighten the question' END
+    ], x -> x IS NOT NULL), '; '), '') AS q_sugg,
+    coalesce(array_to_string(list_filter([
+      CASE WHEN ac < 200.0::DOUBLE THEN 'expand the answer with supporting detail' END,
+      CASE WHEN {scrub} <> t THEN 'remove sensitive or flagged content' END
+    ], x -> x IS NOT NULL), '; '), '') AS a_sugg
+  FROM sig
+), sc2 AS (
+  SELECT *, round((clarity + specificity) / 2.0::DOUBLE, 3) AS reasonableness
+  FROM sc
+)
+SELECT doc_id,
+  imp_q AS question,
+  q AS qa_original,
+  clarity AS qa_clarity,
+  specificity AS qa_specificity,
+  reasonableness AS qa_reasonableness,
+  q_sugg AS qa_suggestions,
+  completeness AS aa_completeness,
+  accuracy AS aa_accuracy,
+  logic AS aa_logic,
+  a_sugg AS aa_suggestions,
+  imp_a AS aa_improved,
+  'Question analysis:' || {nl} || '- Original question: ' || q
+    || {nl} || '- Question quality: clarity: ' || printf('%.3f', clarity)
+    || ', specificity: ' || printf('%.3f', specificity)
+    || ', reasonableness: ' || printf('%.3f', reasonableness)
+    || {nl} || '- Suggestions: ' || q_sugg
+    || {nl} || '- Improved question: ' || imp_q
+    || {nl} || {nl} || 'Answer analysis:'
+    || {nl} || '- Answer quality: completeness: ' || printf('%.3f', completeness)
+    || ', accuracy: ' || printf('%.3f', accuracy)
+    || ', logic: ' || printf('%.3f', logic)
+    || {nl} || '- Suggestions: ' || a_sugg AS c_analyze,
+  'Based on the improved question and analysis, provide the solution:' || {nl}
+    || imp_a AS c_solve
+FROM sc2
+"""
+
+
+# ------------------------------------------------------------------
 # gen_fanout: multi-generation explode (reference distillable/pipeline.py
 # :33-37 num_generations=4) — N candidate rows per doc with deterministic
 # per-candidate seeds.
@@ -1441,6 +1554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "score_core": q_score_core,
     "cot_envelope": q_cot_envelope,
+    "cot_enhanced": q_cot_enhanced,
     "gen_fanout": q_gen_fanout,
     # rows-only (non-SQL-expressible)
     "pipeline_score_documents": q_pipeline_score_documents,
@@ -1489,6 +1603,7 @@ def oracle_map() -> dict[str, str]:
         "embedding_neardup": SQL_EMB_NEARDUP,
         "score_core": _sql_score_core(),
         "cot_envelope": _sql_cot_envelope(),
+        "cot_enhanced": _sql_cot_enhanced(),
         "gen_fanout": SQL_GEN_FANOUT,
         "dedup_minhash_full": SQL_DEDUP_MINHASH_FULL,
         "dedup_simhash": _sql_dedup_simhash(),

@@ -71,6 +71,17 @@ def get_spark(
         # ≈ 40 MB/batch/worker — still memory-safe for 4 GB executors.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4's UTF8_BINARY case mapping defaults to ICU, whose
+        # CollationAwareUTF8String static initializer builds the full ICU
+        # case-map tables the first time any task evaluates lower()/upper()
+        # — measured 40-130 s once per JVM on this sandboxed kernel (every
+        # task thread blocks on the <clinit> lock; thread-dump-verified).
+        # JVM case mapping is semantically identical for the marker/langid
+        # lexicons this engine lowercases (ASCII + common Unicode; the
+        # frozen goldens and DuckDB oracles stay bit-identical — verified)
+        # and costs nothing at class-load. On a 1000-executor cluster this
+        # also removes a per-executor first-task warmup stall.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
@@ -84,7 +95,36 @@ def get_spark(
         # in-memory catalog forgets them, so jobs that publish tables
         # opt into the Hive catalog (embedded Derby locally; on a real
         # cluster this is the shared metastore and costs nothing).
-        builder = builder.enableHiveSupport()
+        #
+        # The embedded Derby metastore and the warehouse otherwise
+        # resolve against the CURRENT WORKING DIRECTORY, so a --resume
+        # rerun launched from a different cwd would find an empty catalog
+        # and silently re-score + re-append everything. Pin both to one
+        # absolute location (overridable for real deployments, where the
+        # shared metastore URI comes from hive-site.xml instead).
+        base = os.path.abspath(os.path.expanduser(
+            os.environ.get("XDAN_DQA_WAREHOUSE", "~/.xdan_dqa_spark")))
+        os.makedirs(base, exist_ok=True)
+        builder = (
+            builder.enableHiveSupport()
+            .config("spark.sql.warehouse.dir", os.path.join(base, "warehouse"))
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={os.path.join(base, 'metastore_db')};create=true",
+            )
+        )
     spark = builder.getOrCreate()
+    if hive_metastore and spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "hive":
+        # getOrCreate() silently IGNORES enableHiveSupport when a session
+        # already exists — a resume anti-join against the in-memory catalog
+        # would then see no committed table and duplicate every row. Fail
+        # loudly instead.
+        raise RuntimeError(
+            "hive_metastore=True requested but the already-active SparkSession "
+            "was built without Hive support (catalogImplementation="
+            f"{spark.conf.get('spark.sql.catalogImplementation', 'in-memory')!r}). "
+            "Stop the existing session first, or create the first session in "
+            "this process with hive_metastore=True."
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
