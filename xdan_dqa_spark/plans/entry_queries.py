@@ -1518,6 +1518,88 @@ CROSS JOIN (SELECT unnest(range(4)) AS gen_idx) g
 """
 
 
+# ------------------------------------------------------------------
+# stream_windowed_agg: the Structured-Streaming path oracle-paired. A
+# bounded file-source stream over `events` runs the event-time windowed
+# aggregation (streaming/stream.py windowed_metrics_stream's shape) in
+# COMPLETE output mode with availableNow — deterministic end-of-stream
+# state, no watermark cutoff — so the streamed result must equal the
+# plain batch GROUP BY bit-for-bit. maxFilesPerTrigger=1 forces one
+# micro-batch per input file, so multi-batch incremental state merge is
+# what's actually under test (a single-batch run would trivially match).
+# The memory sink is the driver-collected correctness harness ONLY; the
+# production sink is the parquet/append path (streaming/stream.py).
+
+def q_stream_windowed_agg(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    batch = _t(spark, sf_dir, "events")
+    # The file stream source needs a DIRECTORY; stage the bounded input as
+    # 4 files so maxFilesPerTrigger=1 yields 4 real micro-batches.
+    stage = tempfile.mkdtemp(prefix="xdan_stream_events_")
+    batch.repartition(4).write.mode("overwrite").parquet(f"{stage}/events")
+    src = (
+        spark.readStream.schema(batch.schema)  # streams cannot infer
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/events")
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+# Spark's window() aligns 1-hour buckets to the epoch; mirror with an
+# explicit epoch floor (CAST back to naive TIMESTAMP — DuckDB's
+# to_timestamp returns TIMESTAMPTZ, which would stringify with an offset).
+SQL_STREAM_WINDOWED_AGG = """
+SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------
+# sink_roundtrip: S4/S5 oracle-paired. Writes `documents` through the
+# production sink (write_scored, hive-partitioned by source — the
+# segment-dir layout) into a fresh run-scoped tmp dir, reads it back,
+# and returns the rows: the identity oracle proves the sink/scan pair
+# is byte-preserving, including partition-column reconstruction from
+# directory names. mkdtemp per run: no shared state mutated, and the
+# dir must outlive the (lazy) returned plan, so no cleanup here.
+
+def q_sink_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sources.sinks import write_scored
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="xdan_sink_roundtrip_")
+    write_scored(docs, f"{out}/seg", fmt="parquet", mode="overwrite",
+                 partition_by=("source",))
+    return spark.read.parquet(f"{out}/seg").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+SQL_SINK_ROUNDTRIP = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -1556,6 +1638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cot_envelope": q_cot_envelope,
     "cot_enhanced": q_cot_enhanced,
     "gen_fanout": q_gen_fanout,
+    "stream_windowed_agg": q_stream_windowed_agg,
+    "sink_roundtrip": q_sink_roundtrip,
     # rows-only (non-SQL-expressible)
     "pipeline_score_documents": q_pipeline_score_documents,
     "dedup_minhash_full": q_dedup_minhash_full,
@@ -1605,6 +1689,8 @@ def oracle_map() -> dict[str, str]:
         "cot_envelope": _sql_cot_envelope(),
         "cot_enhanced": _sql_cot_enhanced(),
         "gen_fanout": SQL_GEN_FANOUT,
+        "stream_windowed_agg": SQL_STREAM_WINDOWED_AGG,
+        "sink_roundtrip": SQL_SINK_ROUNDTRIP,
         "dedup_minhash_full": SQL_DEDUP_MINHASH_FULL,
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_cc": SQL_DEDUP_CC,
