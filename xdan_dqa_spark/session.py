@@ -70,6 +70,10 @@ def get_spark(
         # docs at 32 cores when raised to 8192). 8192 rows × ~5 KB html
         # ≈ 40 MB/batch/worker — still memory-safe for 4 GB executors.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # Post-mortem tracebacks when a heavily-loaded host kills an Arrow
+        # worker mid-batch ("Python worker exited unexpectedly") — free in
+        # normal operation, decisive when triaging a crashed task.
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark 4's UTF8_BINARY case mapping defaults to ICU, whose
         # CollationAwareUTF8String static initializer builds the full ICU
