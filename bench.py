@@ -124,7 +124,12 @@ PIPELINE_SHAPE = "noshuffle-r3"
 # FIXED pass count (no adaptive stop): best-of-N efficiency is monotone
 # in passes, so stopping "once it looks good" selects the favorable
 # measurement. Every pass's sample is persisted and published instead.
-SCALING_PASSES = int(os.environ.get("BENCH_SCALING_PASSES", "3"))
+# 2 (was 3): in round 4's degraded windows a budget-capped leg runs up to
+# ~800 s, so a 3-pass phase risks outliving the caller's patience the way
+# round 3's payload outlived its capture — the round's evidence volume
+# comes from the PERSISTED series across all of the round's runs, not
+# from one run's pass count.
+SCALING_PASSES = int(os.environ.get("BENCH_SCALING_PASSES", "2"))
 
 
 def calib_once(cpus: int, seconds: float = 4.0) -> None:
