@@ -403,7 +403,11 @@ def scaling_only() -> None:
     spark = get_spark("bench_gen", master="local[8]")
     ensure_webtext(spark, SCALING_ROWS)
     spark.stop()
-    scaling = measure_scaling(SCALING_ROWS)
+    try:
+        scaling = measure_scaling(SCALING_ROWS)
+    except Exception as exc:  # noqa: BLE001 — degrade, never void
+        print(f"scaling measurement failed: {exc!r}", file=sys.stderr)
+        scaling = {"error": f"{type(exc).__name__}"}
     full = _split_full(scaling)
     payload = {"scaling": scaling}
     _write_full_detail(payload, full)
