@@ -68,3 +68,45 @@ def test_fan_out_xxhash64_scale_ids(spark):
     seeds = [r["gen_seed"] for r in out]
     assert len(set(seeds)) == 8                      # distinct per (doc, gen)
     assert all(0 <= s < GEN_SEED_BOUND * 4 + 4 for s in seeds)
+
+
+def test_enhanced_analysis_structs(spark):
+    """EnhancedStructuredPromptItem (reference src/models.py:258-339):
+    typed analysis structs, threshold suggestions, scrubbed improved
+    answer, and the f-string-shaped analyze component."""
+    from xdan_dqa_spark.operators.cot import to_enhanced_structured_prompt
+
+    df = spark.createDataFrame(
+        [
+            # short question -> "add context"; short answer -> "expand";
+            # PII in answer -> scrub suggestion + scrubbed improved_answer
+            ("Sum?", "Contact me at bob@example.com for the answer."),
+            # long clean pair -> no suggestions, quality saturates
+            ("Explain " + "in detail " * 60, "line\n" * 60 + "w " * 400),
+        ],
+        "instr string, out string",
+    )
+    rows = to_enhanced_structured_prompt(
+        df, instruction=F.col("instr"), output=F.col("out")
+    ).collect()
+
+    by_q = {r["question_analysis"]["original_question"][:4]: r for r in rows}
+    short, long_ = by_q["Sum?"], by_q["Expl"]
+    qa, aa = short["question_analysis"], short["answer_analysis"]
+    assert qa["original_question"] == "Sum?"
+    assert "add context to the question" in qa["improvement_suggestions"]
+    assert "expand the answer with supporting detail" in aa["improvement_suggestions"]
+    assert "remove sensitive or flagged content" in aa["improvement_suggestions"]
+    assert "bob@example.com" not in aa["improved_answer"]       # scrubbed
+    assert short["components"]["solution"] == aa["improved_answer"]
+    assert short["components"]["analyze"].startswith("Question analysis:")
+
+    lqa, laa = long_["question_analysis"], long_["answer_analysis"]
+    assert lqa["improvement_suggestions"] == [] or (
+        lqa["improvement_suggestions"] == ["tighten the question"])
+    assert laa["improvement_suggestions"] == []
+    assert laa["answer_quality"]["completeness"] == 10.0
+    assert laa["answer_quality"]["logic"] == 10.0
+    # improved question is whitespace-collapsed and becomes `question`
+    assert "  " not in long_["question"]
+    assert long_["question"] == lqa["improved_question"]
