@@ -249,6 +249,7 @@ def measure_scaling(rows: int) -> dict:
         # minutes apart and used to be dropped/mispaired when they
         # straddled a bucket boundary).
         pass_id = f"{os.getpid()}-{int(time.time())}-{_pass}"
+        pass_new: list[dict] = []
         for cpus in SCALING_CPUS:
             # A sample lost to a pathological window (subprocess timeout /
             # crash) is SKIPPED, never fatal: round 4 saw one 900-s hung
@@ -264,14 +265,17 @@ def measure_scaling(rows: int) -> dict:
                 print(f"scaling sample skipped (cpus={cpus}, pass={pass_id}): "
                       f"{type(exc).__name__}", file=sys.stderr)
                 continue
-            new.append({
+            pass_new.append({
                 "ts": int(time.time()), "cpus": cpus, "rows": rows,
                 "shape": PIPELINE_SHAPE, "pass_id": pass_id,
                 "secs": res["secs"], "trials": res["trials"],
                 "calib_hps": calib["hashes_per_sec"],
                 "calib_mem_gbps": calib.get("mem_GBps"),
             })
-    _append_samples(new)
+        # Persist per pass, not per run: a run killed mid-phase (driver
+        # timeout, end of session) keeps every finished pass's samples.
+        _append_samples(pass_new)
+        new.extend(pass_new)
     samples = [s for s in _load_samples()
                if s["rows"] == rows and s.get("shape") == PIPELINE_SHAPE] or new
     if any(not [s for s in samples if s["cpus"] == c] for c in SCALING_CPUS):
