@@ -1201,37 +1201,55 @@ def q_multimodal_features(spark, sf_dir):
 # ramp's clip points and every keep bound) through the real shipped
 # functions, leaving only the two models themselves golden-only.
 
+# (name, column-builder taking the doc_id Column, duckdb SQL) — each
+# signal sweeps across its ramp/bound so clip floors, ceilings, and both
+# keep branches are all exercised. Column construction is DEFERRED via
+# the builder lambdas: pyspark-classic Column creation asserts an active
+# SparkContext, and oracle_map() must stay callable without one (the
+# driver may ask for the SQL strings before it opens a session).
+_SCORE_CORE_FIXTURE_SPECS = [
+    # pred_lang: 20% forced-mismatch lane exercises lang_agree=0.2
+    ("pred", lambda d: F.when(d % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+     "CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END"),
+    # NB every SQL literal below carries ::DOUBLE — DuckDB parses bare
+    # decimal literals as exact DECIMAL and would do exact-rational
+    # fixture arithmetic where Spark does IEEE double, a 1-ULP
+    # divergence that flips 2dp rounding on boundary rows.
+    ("ls", lambda d: F.lit(0.25) + (d % 7) * F.lit(0.08),
+     "0.25::DOUBLE + (doc_id % 7) * 0.08::DOUBLE"),        # crosses 0.5 clip
+    ("ppl", lambda d: F.lit(12.0) + (d % 40) * F.lit(12.0),
+     "12.0::DOUBLE + (doc_id % 40) * 12.0::DOUBLE"),       # 12..480 spans good..bad
+    ("nc", lambda d: F.col("n_chars").cast("double"), "CAST(n_chars AS DOUBLE)"),
+    ("nw", lambda d: (d % 150 + 10).cast("double"),
+     "CAST(doc_id % 150 + 10 AS DOUBLE)"),                 # crosses min_words 25
+    ("mwl", lambda d: F.lit(1.0) + (d % 16),
+     "1.0::DOUBLE + (doc_id % 16)"),                       # crosses [1.5,14]
+    ("swr", lambda d: (d % 11) / F.lit(40.0), "(doc_id % 11) / 40.0::DOUBLE"),
+    ("symr", lambda d: (d % 13) / F.lit(80.0),
+     "(doc_id % 13) / 80.0::DOUBLE"),                      # crosses 0.10
+    ("dlf", lambda d: (d % 9) / F.lit(20.0),
+     "(doc_id % 9) / 20.0::DOUBLE"),                       # crosses 0.30
+    ("ar", lambda d: F.lit(0.5) + (d % 6) / F.lit(10.0),
+     "0.5::DOUBLE + (doc_id % 6) / 10.0::DOUBLE"),         # crosses 0.8
+    ("cjkr", lambda d: (d % 4) / F.lit(5.0),
+     "(doc_id % 4) / 5.0::DOUBLE"),                        # crosses 0.5 clip
+    ("ncjk", lambda d: ((d % 12) * 5).cast("double"),
+     "CAST((doc_id % 12) * 5 AS DOUBLE)"),                 # crosses 30
+    ("dwr", lambda d: (d % 10) / F.lit(10.0),
+     "(doc_id % 10) / 10.0::DOUBLE"),                      # crosses 0.2/0.25
+]
+
+
 def _score_core_fixtures():
-    """(name, spark Column, duckdb SQL) triples — each signal sweeps
-    across its ramp/bound so clip floors, ceilings, and both keep
-    branches are all exercised."""
+    """(name, spark Column, duckdb SQL) triples. Needs an active session
+    (Column construction); the SQL-only view below does not."""
     d = F.col("doc_id")
-    return [
-        # pred_lang: 20% forced-mismatch lane exercises lang_agree=0.2
-        ("pred", F.when(d % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
-         "CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END"),
-        # NB every SQL literal below carries ::DOUBLE — DuckDB parses bare
-        # decimal literals as exact DECIMAL and would do exact-rational
-        # fixture arithmetic where Spark does IEEE double, a 1-ULP
-        # divergence that flips 2dp rounding on boundary rows.
-        ("ls", F.lit(0.25) + (d % 7) * F.lit(0.08),
-         "0.25::DOUBLE + (doc_id % 7) * 0.08::DOUBLE"),        # crosses 0.5 clip
-        ("ppl", F.lit(12.0) + (d % 40) * F.lit(12.0),
-         "12.0::DOUBLE + (doc_id % 40) * 12.0::DOUBLE"),       # 12..480 spans good..bad
-        ("nc", F.col("n_chars").cast("double"), "CAST(n_chars AS DOUBLE)"),
-        ("nw", (d % 150 + 10).cast("double"),
-         "CAST(doc_id % 150 + 10 AS DOUBLE)"),                 # crosses min_words 25
-        ("mwl", F.lit(1.0) + (d % 16), "1.0::DOUBLE + (doc_id % 16)"),  # crosses [1.5,14]
-        ("swr", (d % 11) / F.lit(40.0), "(doc_id % 11) / 40.0::DOUBLE"),
-        ("symr", (d % 13) / F.lit(80.0), "(doc_id % 13) / 80.0::DOUBLE"),  # crosses 0.10
-        ("dlf", (d % 9) / F.lit(20.0), "(doc_id % 9) / 20.0::DOUBLE"),     # crosses 0.30
-        ("ar", F.lit(0.5) + (d % 6) / F.lit(10.0),
-         "0.5::DOUBLE + (doc_id % 6) / 10.0::DOUBLE"),         # crosses 0.8
-        ("cjkr", (d % 4) / F.lit(5.0), "(doc_id % 4) / 5.0::DOUBLE"),  # crosses 0.5 clip
-        ("ncjk", ((d % 12) * 5).cast("double"),
-         "CAST((doc_id % 12) * 5 AS DOUBLE)"),                 # crosses 30
-        ("dwr", (d % 10) / F.lit(10.0), "(doc_id % 10) / 10.0::DOUBLE"),  # crosses 0.2/0.25
-    ]
+    return [(n, build(d), sql) for n, build, sql in _SCORE_CORE_FIXTURE_SPECS]
+
+
+def _score_core_fixture_sql():
+    """(name, duckdb SQL) pairs — context-free twin for oracle_map()."""
+    return [(n, sql) for n, _, sql in _SCORE_CORE_FIXTURE_SPECS]
 
 
 def q_score_core(spark, sf_dir):
@@ -1275,7 +1293,7 @@ def _sql_score_core() -> str:
     from ..operators.score import QualityConfig
 
     cfg = QualityConfig()
-    fx_cols = ",\n    ".join(f"{sql} AS {n}" for n, _, sql in _score_core_fixtures())
+    fx_cols = ",\n    ".join(f"{sql} AS {n}" for n, sql in _score_core_fixture_sql())
     total_w = cfg.w_lang + cfg.w_fluency + cfg.w_clarity + cfg.w_clean + cfg.w_structure
     clip = lambda e: f"least(greatest({e}, 0.0), 1.0)"
     # Per-language ppl calibration CASE (mirrors dimension_columns'
