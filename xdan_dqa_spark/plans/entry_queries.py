@@ -575,6 +575,38 @@ FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id
 """
 
+# n-gram Jaccard near-dup pairs: LSH candidates + exact shingle-Jaccard
+# verify with the jaccard VALUES exposed. dedup_minhash_full only checks
+# the surviving keep set; this pins the verify stage's similarity
+# arithmetic (intersection/union ratio) itself against the oracle.
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).select("a", "b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sigs AS (SELECT doc_id, {{shingles}} AS sh FROM documents),
+bands AS ({{bands}}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sigs)
+SELECT c.a, c.b,
+       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
+WHERE CASE WHEN len(list_distinct(list_cat(sa.s, sb.s))) > 0
+           THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE)
+           ELSE 0.0 END >= 0.5
+""".replace("{shingles}", _SHINGLES_SQL).replace("{bands}", _BANDS_SQL)
+
 # Language-ID heuristic (marker counting — column-expr variant)
 
 def q_lang_id_heuristic(spark, sf_dir):
@@ -1645,6 +1677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_wordset": q_dedup_wordset,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_cc": q_dedup_cc,
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1697,6 +1730,7 @@ def oracle_map() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_wordset": SQL_DEDUP_WORDSET,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
