@@ -234,6 +234,34 @@ def _median(vals: list) -> float | None:
     return round(v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2, 3)
 
 
+def _series_summary(rows: int, lo: int, hi: int) -> dict | None:
+    """Compact summary of an (lo, hi) scaling series from PERSISTED samples
+    only (no new runs). Used to carry the alternate 2→8 series — where the
+    hi leg's bandwidth demand sits under the contended socket's ceiling,
+    so raw N→4N efficiency is observable — inside the payload even when
+    the run itself measured the default 4→16 series."""
+    samples = [s for s in _load_samples()
+               if s["rows"] == rows and s.get("shape") == PIPELINE_SHAPE
+               and s["cpus"] in (lo, hi)]
+    if not all(any(s["cpus"] == c for s in samples) for c in (lo, hi)):
+        return None
+    best = {c: min(s["secs"] for s in samples if s["cpus"] == c) for c in (lo, hi)}
+    by_pass: dict[str, dict] = {}
+    for s in samples:
+        if s.get("pass_id"):
+            by_pass.setdefault(s["pass_id"], {})[s["cpus"]] = s
+    effs = sorted(
+        round(p[lo]["secs"] / p[hi]["secs"] / (hi / lo), 3)
+        for p in by_pass.values() if lo in p and hi in p
+    )
+    return {
+        "series": f"{lo}->{hi}",
+        f"local{lo}_sec": best[lo], f"local{hi}_sec": best[hi],
+        "efficiency": round(best[lo] / best[hi] / (hi / lo), 3),
+        "window_efficiencies": effs,
+    }
+
+
 def measure_scaling(rows: int) -> dict:
     """Scaling-efficiency evidence (north rule: throughput at N vs 4N
     executors >= 0.8): the identical pipeline job in separate pinned JVMs
@@ -361,6 +389,12 @@ def measure_scaling(rows: int) -> dict:
             if mem_best[lo] and mem_best[hi] else None
         ),
     }
+    # Alternate 2→8 series (BASELINE.md criterion 3): raw N→4N efficiency
+    # measured where the socket's bandwidth ceiling doesn't bind.
+    if SCALING_CPUS != (2, 8):
+        alt = _series_summary(rows, 2, 8)
+        if alt:
+            out["alt_raw_series"] = alt
     out["detail"] = "bench_state/bench_full_last.json + scaling_samples.jsonl"
     # Full per-window detail stays out of the printed payload.
     out["_full"] = {
