@@ -239,10 +239,10 @@ def to_enhanced_structured_prompt(
 
 
 # gen_seed bound: ids are pmod-folded into [0, 2^60) before the ×n fan-out
-# multiply, so the largest seed (2^60-1)·n + (n-1) stays far inside int64
-# even for full-range xxhash64 doc ids (the pipeline's with_doc_id),
-# which would overflow — and abort the job under ANSI mode — if
-# multiplied raw.
+# multiply, so with the n<=8 guard below the largest seed
+# (2^60-1)·8 + 7 = 2^63-1 fits int64 exactly, even for full-range
+# xxhash64 doc ids (the pipeline's with_doc_id), which would overflow —
+# and abort the job under ANSI mode — if multiplied raw.
 GEN_SEED_BOUND = 1 << 60
 
 
