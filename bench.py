@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -227,11 +228,20 @@ def _append_samples(samples: list[dict]) -> None:
 
 
 def _median(vals: list) -> float | None:
-    if not vals:
-        return None
-    v = sorted(vals)
-    n = len(v)
-    return round(v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2, 3)
+    return round(statistics.median(vals), 3) if vals else None
+
+
+def _pair_by_pass(samples: list[dict]) -> dict[str, dict[int, dict]]:
+    """Group samples into lo/hi measurement windows: the two legs of a
+    pass share an explicit pass_id; legacy samples (rounds 2-3, recorded
+    before pass ids existed) fall back to a coarse ts bucket. The single
+    source of pairing truth for both the measured series and the
+    persisted-series summary."""
+    by_pass: dict[str, dict[int, dict]] = {}
+    for s in samples:
+        key = s.get("pass_id") or f"legacy-{s['ts'] // 600}"
+        by_pass.setdefault(key, {})[s["cpus"]] = s
+    return by_pass
 
 
 def _series_summary(rows: int, lo: int, hi: int) -> dict | None:
@@ -246,19 +256,21 @@ def _series_summary(rows: int, lo: int, hi: int) -> dict | None:
     if not all(any(s["cpus"] == c for s in samples) for c in (lo, hi)):
         return None
     best = {c: min(s["secs"] for s in samples if s["cpus"] == c) for c in (lo, hi)}
-    by_pass: dict[str, dict] = {}
-    for s in samples:
-        if s.get("pass_id"):
-            by_pass.setdefault(s["pass_id"], {})[s["cpus"]] = s
-    effs = sorted(
-        round(p[lo]["secs"] / p[hi]["secs"] / (hi / lo), 3)
-        for p in by_pass.values() if lo in p and hi in p
-    )
+    pairs = [p for p in _pair_by_pass(samples).values() if lo in p and hi in p]
+    pairs.sort(key=lambda p: p[hi]["ts"])
+    effs = [round(p[lo]["secs"] / p[hi]["secs"] / (hi / lo), 3) for p in pairs]
     return {
         "series": f"{lo}->{hi}",
         f"local{lo}_sec": best[lo], f"local{hi}_sec": best[hi],
         "efficiency": round(best[lo] / best[hi] / (hi / lo), 3),
-        "window_efficiencies": effs,
+        # The payload must stay under the driver's stdout-tail capture
+        # (~2 KB) no matter how many passes accumulate in SCALING_STATE:
+        # carry counts + median for the whole series, raw values only
+        # for the 8 most recent windows (full series stays on disk).
+        "windows_n": len(effs),
+        "windows_geq_target": sum(1 for e in effs if e >= SCALING_TARGET),
+        "efficiency_median": _median(effs),
+        "window_efficiencies": effs[-8:],
     }
 
 
@@ -329,13 +341,8 @@ def measure_scaling(rows: int) -> dict:
                     if s["cpus"] == c and s.get("calib_mem_gbps")]
                 for c in SCALING_CPUS}
     mem_best = {c: (max(v) if v else None) for c, v in mem_vals.items()}
-    # Per-window pairing: lo/hi of the same pass share a pass_id; legacy
-    # samples (rounds 2-3, no pass_id) fall back to the old ts bucket.
     window_pairs = []
-    by_pass: dict[str, dict] = {}
-    for s in samples:
-        key = s.get("pass_id") or f"legacy-{s['ts'] // 600}"
-        by_pass.setdefault(key, {})[s["cpus"]] = s
+    by_pass = _pair_by_pass(samples)
     for w in sorted(by_pass):
         pair = by_pass[w]
         if lo in pair and hi in pair:
@@ -586,13 +593,25 @@ def main() -> None:
         if best_s:
             payload["docs_per_sec_best_pinned_sample"] = best_s
     _write_full_detail(payload, scaling_full)
-    line = json.dumps(payload)
     # Hard guard: the driver records only a short tail of stdout; a
-    # payload past ~2000 chars voided round 3's artifact. Shed the
-    # heaviest optional blocks before that can recur.
-    if len(line) > 1900:
-        for k in ("canary_note", "webtext_rows"):
-            payload.pop(k, None)
+    # payload past ~2000 chars voided round 3's artifact. The blocks that
+    # grow with accumulated passes are already bounded at the source
+    # (window_efficiencies capped at 8), but shed progressively anyway —
+    # least informative first — until the line fits. Every shed block
+    # remains on disk in bench_state/bench_full_last.json.
+    sheds = [
+        lambda p: [p.pop(k, None) for k in ("canary_note", "webtext_rows")],
+        lambda p: p.get("scaling", {}).get("alt_raw_series", {})
+                   .pop("window_efficiencies", None),
+        lambda p: p.get("scaling", {}).pop("calibration", None),
+        lambda p: p.get("scaling", {}).pop("alt_raw_series", None),
+        lambda p: p.get("scaling", {}).pop("windows", None),
+    ]
+    line = json.dumps(payload)
+    for shed in sheds:
+        if len(line) <= 1900:
+            break
+        shed(payload)
         line = json.dumps(payload)
     print(line)
 

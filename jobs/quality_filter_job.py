@@ -127,7 +127,7 @@ def main(argv: list[str]) -> int:
         scored.write.mode("append").parquet(out_scored)
     # Lineage from the same deterministic plan (pure UDFs + pure exprs →
     # re-evaluation yields identical rows to what was just committed).
-    pm = partition_metrics(scored, args.run_id)
+    pm = partition_metrics(scored, args.run_id).persist()
     pm.write.mode("append").parquet(out_metrics)
 
     from pyspark.sql import functions as F
@@ -144,11 +144,15 @@ def main(argv: list[str]) -> int:
         .collect()[0]
     )
     wall = time.time() - t0
-    # End-of-run stats table (reference src/cli.py:119-139) — THIS run's
-    # numbers, folded from the lineage rows just committed (no re-scan of
-    # the scored data); the RESULT line below is the cumulative view.
-    summary = summarize_run(spark.read.parquet(out_metrics), args.run_id, wall)
+    # End-of-run stats table (reference src/cli.py:119-139) — THIS
+    # invocation's numbers, folded from the in-memory lineage rows just
+    # written (persisted above: a handful of partition rows, no re-scan).
+    # Summarizing from the metrics PARQUET would over-count on a rerun
+    # that reuses a run_id (append accumulates rows per run_id across
+    # invocations); the RESULT line below is the cumulative view.
+    summary = summarize_run(pm, args.run_id, wall)
     print(format_summary_table(summary))
+    pm.unpersist()
     print(
         f"RESULT run_id={args.run_id} committed_docs={stats['n']} "
         f"keep_rate={stats['keep_rate']:.4f} wall_sec={wall:.2f} "

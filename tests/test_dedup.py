@@ -54,6 +54,29 @@ def test_wordset_dedup_whitespace_variants(spark):
     assert kept == [1, 3]
 
 
+def test_vertical_tab_tokenizes_identically_in_both_engines(spark):
+    """Java \\s includes \\x0B (vertical tab); RE2 — DuckDB's engine —
+    does NOT. Both sides spell the explicit 6-char class instead
+    (functions/tokenize.py), so a \\x0B-separated duplicate collapses in
+    Spark AND the oracle twin tokenizes it the same way. A bare '\\s+'
+    in the twin would regress the DuckDB side of this test to 1 token."""
+    import duckdb
+
+    from xdan_dqa_spark.plans.entry_queries import _WORDS_WS_SQL
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha\x0Bbeta\tgamma")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r[0] for r in wordset_dedup(df).select("doc_id").collect())
+    assert kept == [1]
+    n = duckdb.sql(
+        f"SELECT len({_WORDS_WS_SQL}) FROM "
+        "(SELECT 'alpha' || chr(11) || 'beta' || chr(9) || 'gamma' AS text)"
+    ).fetchone()[0]
+    assert n == 3
+
+
 def test_minhash_candidates_contain_near_dups(docs):
     pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs).collect()}
     assert (1, 2) in pairs           # identical docs always collide

@@ -60,6 +60,30 @@ def test_job_subprocess_end_to_end(tmp_path):
     assert (tmp_path / "out" / "metrics").exists()
 
 
+def test_rerun_same_run_id_summary_counts_only_this_invocation(tmp_path):
+    """A --resume rerun that reuses the run_id must print THIS
+    invocation's stats (0 newly scored docs), not the accumulated
+    metrics rows of every invocation sharing the run_id — the summary
+    folds the in-memory lineage frame, not the appended parquet."""
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    args = [sys.executable, os.path.join(REPO, "jobs", "quality_filter_job.py"),
+            "--input", "synth:200", "--output", str(tmp_path / "out"),
+            "--run-id", "rr-1", "--master", "local[4]"]
+    first = subprocess.run(args, capture_output=True, text=True,
+                           timeout=600, env=env, cwd=REPO)
+    assert first.returncode == 0, first.stderr[-2000:]
+    m = re.search(r"Total Items\s+(\d+)", first.stdout)
+    assert m and int(m.group(1)) == 200
+    rerun = subprocess.run(args + ["--resume"], capture_output=True,
+                           text=True, timeout=600, env=env, cwd=REPO)
+    assert rerun.returncode == 0, rerun.stderr[-2000:]
+    m = re.search(r"Total Items\s+(\d+)", rerun.stdout)
+    assert m and int(m.group(1)) == 0
+    # cumulative view unchanged: still 200 committed docs, no duplicates
+    m = re.search(r"RESULT run_id=rr-1 committed_docs=(\d+)", rerun.stdout)
+    assert m and int(m.group(1)) == 200
+
+
 def test_resume_missing_bucketed_table_fails(tmp_path):
     """--resume --bucketed-table with no committed table must ERROR (wrong
     metastore / mistyped table ⇒ silent full re-append), unless the user

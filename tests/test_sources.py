@@ -51,6 +51,15 @@ def test_field_mapping_absorbs_metadata(spark):
     assert rows["u2"]["metadata"] == {"origin": "oasst", "rank": None}
 
 
+def test_field_mapping_empty_mapping_still_absorbs(spark):
+    """absorb_metadata=True with NO renames folds every column into the
+    metadata map (the early no-mapping fast path must not swallow it)."""
+    df = spark.createDataFrame([("a", 1)], "x string, y int")
+    out = apply_field_mapping(df, {}, absorb_metadata=True)
+    assert out.columns == ["metadata"]
+    assert out.collect()[0]["metadata"] == {"x": "a", "y": "1"}
+
+
 def test_metadata_roundtrip_through_publish_table(spark):
     """The absorbed map survives a publish_table create→read cycle and
     JSON-encodes like the reference's published metadata dict."""

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .tokenize import NONWS, WS, WS_CHARS, WS_PLUS
+
 # Union of high-frequency stopwords for the space-segmented languages we
 # classify; used for the stopword-ratio rule (Gopher requires >=2 of a
 # small stopword set; we use a ratio for a graded signal). Non-latin
@@ -56,7 +58,7 @@ def words_col(text: Column) -> Column:
     """Whitespace tokenization; empty tokens from leading/trailing
     whitespace are dropped (JVM trim only strips ASCII space)."""
     return F.filter(
-        F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda w: F.length(w) > 0
+        F.split(F.coalesce(text, F.lit("")), WS_PLUS), lambda w: F.length(w) > 0
     )
 
 
@@ -130,7 +132,7 @@ def dup_line_frac(text: Column) -> Column:
     trim() formulation and is the better duplicate definition for web text
     (indentation noise shouldn't defeat the filter)."""
     lines = F.array_remove(
-        F.split(F.coalesce(text, F.lit("")), r"\s*\n\s*"), ""
+        F.split(F.coalesce(text, F.lit("")), f"{WS}*\\n{WS}*"), ""
     )
     n = F.size(lines)
     return F.when(n <= 1, F.lit(0.0)).otherwise(
@@ -148,13 +150,15 @@ def alpha_ratio(text: Column, words: Column) -> Column:
     scan instead of a per-token interpreted rlike lambda (measured
     +4.1s → +0.9s /240k docs at local[16]).
 
-    Deliberately NO (?U) flag: \\s/\\S must stay the ASCII Java class so a
-    "token" here is exactly one words_col token (split on Java \\s+); with
+    The whitespace class is spelled explicitly (tokenize.WS_CHARS — the
+    ASCII Java-\\s set) so a "token" here is exactly one words_col token;
+    no (?U)-style Unicode class may widen it: with
     (?U) a token containing U+00A0 (extract.py emits it for &nbsp;) counts
     twice and the ratio can exceed 1.0. \\p{L} is Unicode-letter-aware
     regardless of the flag."""
     hits = F.regexp_count(
-        F.coalesce(text, F.lit("")), F.lit(r"[^\p{L}\s]*\p{L}\S*")
+        F.coalesce(text, F.lit("")),
+        F.lit(r"[^\p{L}" + WS_CHARS + r"]*\p{L}" + NONWS + "*"),
     )
     return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / F.size(words)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import NONWS_PLUS, WS_PLUS
+
 # Fixed component bodies — reference src/models.py:243-247 verbatim shape
 # (deterministic strings, not LLM output).
 ANALYZE_BODY = (
@@ -88,12 +90,12 @@ def to_structured_prompt(
 
 
 def _collapse_ws(c: Column) -> Column:
-    return F.regexp_replace(F.trim(c), r"\s+", " ")
+    return F.regexp_replace(F.trim(c), WS_PLUS, " ")
 
 
 def _wc(c: Column) -> Column:
     """whitespace word count as double (0 for null/empty)."""
-    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"\S+")).cast("double")
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(NONWS_PLUS)).cast("double")
 
 
 def _ramp10(x: Column, full_at: float) -> Column:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import WS_PLUS
+
 # LSH geometry: K = BANDS * ROWS_PER_BAND min-hashes.
 MINHASH_BANDS = 4
 MINHASH_ROWS = 2
@@ -38,10 +40,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def wordset_signature(text_col: str) -> F.Column:
     """Canonical word-set signature: sorted distinct whitespace tokens.
-    Jaccard=1 duplicates share it exactly. Tokenizes on ``\\s+`` like
-    ``shingles``/SimHash — a tab- or newline-separated duplicate of a
-    space-separated doc collapses under all three dedup families."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    Jaccard=1 duplicates share it exactly. Tokenizes on the explicit
+    Java-``\\s`` class (``tokenize.WS_PLUS`` — RE2-portable, see that
+    module) like ``shingles``/SimHash — a tab- or newline-separated
+    duplicate of a space-separated doc collapses under all three dedup
+    families."""
+    words = F.filter(F.split(F.col(text_col), WS_PLUS), lambda w: F.length(w) > 0)
     return F.array_join(F.array_sort(F.array_distinct(words)), " ")
 
 
@@ -60,7 +64,7 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     Built with arrays_zip over n shifted slices so the lambda body is
     O(1) per element — `transform(sequence(...), i -> slice(words, i, n))`
     would re-evaluate the tokenization per element (O(words²) per doc)."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    words = F.filter(F.split(F.col(text_col), WS_PLUS), lambda w: F.length(w) > 0)
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(words, i + 1, count) for i in range(n)])
     return F.when(count <= 0, F.array(F.concat_ws(" ", words))).otherwise(
@@ -297,7 +301,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     docs. Tokens beyond 32767 are ignored (sign-bit headroom on the top
     packed counter — see _SIMHASH_MAX_TOKENS)."""
     words = F.slice(
-        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
                  lambda w: F.length(w) > 0),
         1, _SIMHASH_MAX_TOKENS,
     )

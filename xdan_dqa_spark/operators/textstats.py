@@ -9,14 +9,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import WS_CHARS, WS_PLUS
+
 # A BPE-ish token pattern: words, numbers, or single punctuation marks —
 # the standard cheap proxy for subword token counts.
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CHARS + "]"
 
 
 def whitespace_token_count(text_col: str) -> F.Column:
     return F.size(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+        F.filter(F.split(F.col(text_col), WS_PLUS), lambda w: F.length(w) > 0)
     ).cast("long")
 
 
@@ -41,7 +43,7 @@ def quality_score_expr(text_col: str) -> F.Column:
 def doc_fingerprint(text_col: str) -> F.Column:
     """Stable content fingerprint: md5 of whitespace-normalized lowercase
     text (identical in any engine with md5 — oracle-friendly)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), WS_PLUS, " ")))
     return F.md5(norm)
 
 
@@ -49,7 +51,7 @@ def winnowing_fingerprints(text_col: str, k: int = 8, w: int = 4) -> F.Column:
     """Winnowing document fingerprints (Schleimer et al. 2003): k-char
     shingle hashes, min per sliding window of w, distinct. Used for
     robust partial-overlap detection; pure array exprs."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.col(text_col), WS_PLUS, " "))
     n_sh = F.greatest(F.length(norm) - (k - 1), F.lit(0))
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .functions.tokenize import NONWS_PLUS
+
 from .functions.category import (
     category_label_from_scores,
     category_scores_from_lower,
@@ -189,7 +191,7 @@ def score_webtext(
     # 240k docs at local[16] in one window, indistinguishable from
     # hypervisor noise interleaved — see BASELINE.md round-3 notes.
     in_tok = F.col("_h_n_words").cast("long")
-    out_tok = F.regexp_count(F.col("scrubbed_text"), F.lit(r"\S+")).cast("long")
+    out_tok = F.regexp_count(F.col("scrubbed_text"), F.lit(NONWS_PLUS)).cast("long")
     df = df.withColumn(
         "token_info",
         F.struct(

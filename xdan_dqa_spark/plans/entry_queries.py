@@ -37,10 +37,17 @@ def _words(text_col):
 
 _WORDS_SQL = "list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')"
 
-# \s+ tokenization twin — mirrors operators/dedup.py wordset_signature /
-# shingles / simhash (Java \s and RE2 \s are both ASCII whitespace).
+# Whitespace-run tokenization twin — mirrors operators/dedup.py
+# wordset_signature / shingles / simhash and textstats. The class is
+# spelled explicitly on BOTH sides (functions/tokenize.py): Java \s is
+# the 6-char ASCII class incl. \x0B (vertical tab); RE2's \s lacks \x0B,
+# so a bare '\s+' here would tokenize a \x0B-bearing doc differently
+# from Spark and break the value-hash compare.
+_WS_CLASS_SQL = "[ \\t\\n\\x0B\\f\\r]"
+_NONWS_CLASS_SQL = "[^ \\t\\n\\x0B\\f\\r]"
 _WORDS_WS_SQL = (
-    "list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), w -> w <> '')"
+    "list_filter(regexp_split_to_array(coalesce(text, ''), "
+    f"'{_WS_CLASS_SQL}+'), w -> w <> '')"
 )
 
 
@@ -653,8 +660,8 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
-SQL_DOC_FINGERPRINT = """
-SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '{_WS_CLASS_SQL}+', ' ', 'g')))) AS fingerprint
 FROM documents
 """
 
@@ -668,7 +675,10 @@ def q_token_count(spark, sf_dir):
     )
 
 
-SQL_TOKEN_COUNT = f"SELECT doc_id, len({_WORDS_SQL}) AS n_ws_tokens FROM documents"
+# NB _WORDS_WS_SQL, not _WORDS_SQL: whitespace_token_count splits on the
+# whitespace-run class, not single spaces — the two coincide on the sf
+# tables (single-space text) but must not be conflated.
+SQL_TOKEN_COUNT = f"SELECT doc_id, len({_WORDS_WS_SQL}) AS n_ws_tokens FROM documents"
 
 # PII/profanity scrub (JVM regexp chain — P7 replacement)
 
@@ -990,7 +1000,7 @@ def _sql_dedup_simhash(max_hamming: int = 3) -> str:
     )
     return f"""
 WITH ex AS (
-  SELECT doc_id, unnest(({_WORDS_SQL})[1:32767]) AS w FROM documents
+  SELECT doc_id, unnest(({_WORDS_WS_SQL})[1:32767]) AS w FROM documents
 ),
 h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM ex),
 votes AS (SELECT doc_id, count(*) AS n, {', '.join(lanes)} FROM h GROUP BY doc_id),
@@ -1486,13 +1496,13 @@ WITH base AS (
   FROM base
 ), sig AS (
   SELECT *,
-    CAST(len(regexp_extract_all(q, '\\S+')) AS DOUBLE) AS qw,
+    CAST(len(regexp_extract_all(q, '{_NONWS_CLASS_SQL}+')) AS DOUBLE) AS qw,
     CAST(length(q) AS DOUBLE) AS qc,
-    CAST(len(regexp_extract_all(t, '\\S+')) AS DOUBLE) AS aw,
+    CAST(len(regexp_extract_all(t, '{_NONWS_CLASS_SQL}+')) AS DOUBLE) AS aw,
     CAST(length(t) AS DOUBLE) AS ac,
     CAST(length(regexp_replace(t, '[^\\n]', '', 'g')) AS DOUBLE) + 1.0::DOUBLE AS a_lines,
     {scrub} AS imp_a,
-    regexp_replace(trim(q), '\\s+', ' ', 'g') AS imp_q
+    regexp_replace(trim(q), '{_WS_CLASS_SQL}+', ' ', 'g') AS imp_q
   FROM qa
 ), sc AS (
   SELECT *,
@@ -1581,14 +1591,29 @@ CROSS JOIN (SELECT unnest(range(4)) AS gen_idx) g
 # production sink is the parquet/append path (streaming/stream.py).
 
 def q_stream_windowed_agg(spark, sf_dir):
-    import tempfile
+    import json as _json
+    import os as _os
     import uuid
 
     batch = _t(spark, sf_dir, "events")
     # The file stream source needs a DIRECTORY; stage the bounded input as
-    # 4 files so maxFilesPerTrigger=1 yields 4 real micro-batches.
-    stage = tempfile.mkdtemp(prefix="xdan_stream_events_")
-    batch.repartition(4).write.mode("overwrite").parquet(f"{stage}/events")
+    # 4 files so maxFilesPerTrigger=1 yields 4 real micro-batches. The
+    # staging is input plumbing, not the operator under test, so it is
+    # idempotent like q_ivf_topk_indexed's index: a deterministic
+    # sf-keyed dir plus a spec marker, re-staged only when the input
+    # changes (mkdtemp-per-run accumulated unbounded /tmp copies).
+    stage = "/tmp/xdan_stream_events_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4}
+    marker = _os.path.join(stage, "_SPEC.json")
+    existing = None
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            existing = _json.load(fh)
+    if existing != spec:
+        batch.repartition(4).write.mode("overwrite").parquet(f"{stage}/events")
+        _os.makedirs(stage, exist_ok=True)
+        with open(marker, "w") as fh:
+            _json.dump(spec, fh)
     src = (
         spark.readStream.schema(batch.schema)  # streams cannot infer
         .option("maxFilesPerTrigger", "1")
@@ -1630,16 +1655,17 @@ FROM events GROUP BY 1, 2
 # segment-dir layout) into a fresh run-scoped tmp dir, reads it back,
 # and returns the rows: the identity oracle proves the sink/scan pair
 # is byte-preserving, including partition-column reconstruction from
-# directory names. mkdtemp per run: no shared state mutated, and the
-# dir must outlive the (lazy) returned plan, so no cleanup here.
+# directory names. The WRITE is the operator under test, so it runs
+# every time — but into one deterministic sf-keyed dir (overwrite), not
+# a fresh mkdtemp per run, so repeated oracle/bench runs hold /tmp
+# usage constant. The dir must outlive the (lazy) returned plan, so no
+# cleanup here.
 
 def q_sink_roundtrip(spark, sf_dir):
-    import tempfile
-
     from ..sources.sinks import write_scored
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="xdan_sink_roundtrip_")
+    out = "/tmp/xdan_sink_roundtrip_" + sf_dir.strip("/").replace("/", "_")
     write_scored(docs, f"{out}/seg", fmt="parquet", mode="overwrite",
                  partition_by=("source",))
     return spark.read.parquet(f"{out}/seg").select(

@@ -106,6 +106,14 @@ def get_spark(
         # and silently re-score + re-append everything. Pin both to one
         # absolute location (overridable for real deployments, where the
         # shared metastore URI comes from hive-site.xml instead).
+        #
+        # Trade-off, explicit: embedded Derby is single-process. Two
+        # CONCURRENT hive_metastore=True processes on one machine now
+        # collide on the pinned path (Derby XSDB6 "another instance
+        # booted") where cwd-relative paths let them coexist by accident.
+        # Resume correctness wins — a second concurrent local job should
+        # set XDAN_DQA_WAREHOUSE to its own path; on a cluster the shared
+        # Hive metastore handles concurrency and none of this applies.
         base = os.path.abspath(os.path.expanduser(
             os.environ.get("XDAN_DQA_WAREHOUSE", "~/.xdan_dqa_spark")))
         os.makedirs(base, exist_ok=True)

@@ -56,7 +56,7 @@ def apply_field_mapping(df: DataFrame, mapping: dict[str, str],
     have per-dataset leftover columns, and a union across them needs one
     stable schema — map<string,string> is that schema.
     """
-    if not mapping:
+    if not mapping and not absorb_metadata:
         return df
     cols = []
     for target, source in mapping.items():
