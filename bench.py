@@ -425,7 +425,8 @@ def _split_full(scaling: dict | None) -> dict | None:
     return scaling.pop("_full", None) if scaling else None
 
 
-def _write_full_detail(payload: dict, scaling_full: dict | None) -> None:
+def _write_full_detail(payload: dict, scaling_full: dict | None,
+                       filename: str = "bench_full_last.json") -> None:
     """Persist the complete (uncompacted) bench result for audit — the
     printed line carries only what fits the driver's stdout-tail capture."""
     state_dir = os.path.dirname(SCALING_STATE)
@@ -433,7 +434,7 @@ def _write_full_detail(payload: dict, scaling_full: dict | None) -> None:
     full = dict(payload)
     if scaling_full is not None:
         full["scaling"] = {**payload.get("scaling", {}), **scaling_full}
-    with open(os.path.join(state_dir, "bench_full_last.json"), "w") as f:
+    with open(os.path.join(state_dir, filename), "w") as f:
         json.dump(full, f, indent=1)
     # Per-run per-query timing history: survives any future payload
     # truncation, enables cross-round per-query regression tables.
@@ -464,7 +465,9 @@ def scaling_only() -> None:
         scaling = {"error": f"{type(exc).__name__}"}
     full = _split_full(scaling)
     payload = {"scaling": scaling}
-    _write_full_detail(payload, full)
+    # Scaling-only runs keep their own snapshot so they never clobber the
+    # last FULL run's suite timings in bench_full_last.json.
+    _write_full_detail(payload, full, filename="bench_scaling_last.json")
     print(json.dumps(payload))
 
 
