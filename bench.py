@@ -486,9 +486,21 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name: str, thunk) -> None:
+        # min-of-2: host steal is spiky on this box (one round-4 window ran
+        # dedup_simhash at 24.9 s vs its 4.4 s norm while the flagship in
+        # the SAME run was unaffected), so a single trial can inflate the
+        # round's contract `value` by a transient. The second trial is
+        # skipped when the first already ran long (sustained contention —
+        # a retry would only double the damage) so worst-case suite wall
+        # stays bounded.
         t0 = time.time()
         thunk()
-        timings[name] = round(time.time() - t0, 3)
+        best = time.time() - t0
+        if best < 30.0:
+            t0 = time.time()
+            thunk()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # ---- canary: fixed JVM-only query, unchanged across rounds ----
     # dedup_exact on the sf documents table, min-of-3 after a JVM warmup.
