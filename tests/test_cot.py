@@ -110,3 +110,24 @@ def test_enhanced_analysis_structs(spark):
     # improved question is whitespace-collapsed and becomes `question`
     assert "  " not in long_["question"]
     assert long_["question"] == lqa["improved_question"]
+
+
+def test_fan_out_wide_n_dynamic_fold(spark):
+    """n > 8 folds into ⌊(2^63-1)/n⌋ instead of raising (the former hard
+    cap broke callers with modest ids) — still overflow-safe under ANSI
+    mode for full-range xxhash64 ids."""
+    from xdan_dqa_spark.pipeline import with_doc_id
+
+    df = spark.createDataFrame(
+        [("https://a.example/x",), ("https://b.example/y",)], "url string"
+    )
+    out = fan_out_generations(with_doc_id(df), n_generations=16).collect()
+    assert len(out) == 32
+    seeds = [r["gen_seed"] for r in out]
+    assert len(set(seeds)) == 32
+    assert all(0 <= s <= (1 << 63) - 1 for s in seeds)
+    # n <= 8 keeps the frozen 2^60 fold (oracle-twin & seed stability)
+    small = fan_out_generations(
+        spark.createDataFrame([(10,)], "doc_id long"), n_generations=4
+    ).collect()
+    assert sorted(r["gen_seed"] for r in small) == [40, 41, 42, 43]

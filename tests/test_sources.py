@@ -152,3 +152,21 @@ def test_publish_table_create_then_append(spark, scored):
     finally:
         spark.sql("DROP TABLE IF EXISTS pub_test_tbl")
         spark.sql("DROP TABLE IF EXISTS pub_test_tbl_checkpoint_3")
+
+
+def test_partition_roundtrip_numeric_looking_values(spark, tmp_path):
+    """Read-back of a hive-partitioned sink must use the writer's schema:
+    partition type inference would turn a numeric-looking partition value
+    ('123') into an int column and break the identity roundtrip
+    (q_sink_roundtrip reads with an explicit schema for this reason)."""
+    df = spark.createDataFrame(
+        [(1, "a", "123"), (2, "b", "007"), (3, "c", "src")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "seg")
+    write_scored(df, out, fmt="parquet", partition_by=("source",))
+    back = spark.read.schema(df.schema).parquet(out)
+    assert dict(back.dtypes)["source"] == "string"
+    got = sorted((r.doc_id, r.source) for r in back.collect())
+    # '007' survives byte-identically; inference would read it back as 7
+    assert got == [(1, "123"), (2, "007"), (3, "src")]

@@ -240,11 +240,13 @@ def to_enhanced_structured_prompt(
     })
 
 
-# gen_seed bound: ids are pmod-folded into [0, 2^60) before the ×n fan-out
-# multiply, so with the n<=8 guard below the largest seed
-# (2^60-1)·8 + 7 = 2^63-1 fits int64 exactly, even for full-range
-# xxhash64 doc ids (the pipeline's with_doc_id), which would overflow —
-# and abort the job under ANSI mode — if multiplied raw.
+# gen_seed bound: ids are pmod-folded into [0, bound) before the ×n
+# fan-out multiply so the largest seed (bound-1)·n + (n-1) fits int64 —
+# full-range xxhash64 doc ids (the pipeline's with_doc_id) would overflow
+# (and abort the job under ANSI mode) if multiplied raw. For n ≤ 8 the
+# bound is fixed at 2^60 ((2^60-1)·8 + 7 = 2^63-1 exactly), keeping seed
+# values stable for the common fan-outs and their oracle twins; larger n
+# folds into ⌊(2^63-1)/n⌋ instead of being rejected.
 GEN_SEED_BOUND = 1 << 60
 
 
@@ -255,21 +257,23 @@ def fan_out_generations(df: DataFrame, n_generations: int = 4,
     generation-index explode — the deterministic engine replaces the LLM
     generation itself, but downstream consumers keep the
     N-outputs-per-input row shape and a per-candidate deterministic seed
-    (``gen_seed = pmod(id, 2^60)·n + idx``: overflow-safe for full-range
-    xxhash64 ids, oracle-portable arithmetic, distinct per gen_idx of the
-    same doc, and distinct across docs unless their ids are congruent
-    mod 2^60 — negligible for an RNG-seed use).
+    (``gen_seed = pmod(id, bound)·n + idx`` with ``bound = 2^60`` for
+    n ≤ 8, else ``⌊(2^63-1)/n⌋``: overflow-safe for full-range xxhash64
+    ids, oracle-portable arithmetic, distinct per gen_idx of the same
+    doc, and distinct across docs unless their ids are congruent mod
+    bound — negligible for an RNG-seed use).
 
     Explode of a literal array is narrow — no shuffle; output rows = n×input.
     """
     n = int(n_generations)
-    if n < 1 or n > 8:
-        raise ValueError(f"n_generations must be in [1, 8], got {n}")
+    if n < 1:
+        raise ValueError(f"n_generations must be >= 1, got {n}")
+    bound = GEN_SEED_BOUND if n <= 8 else ((1 << 63) - 1) // n
     gens = F.explode(
         F.sequence(F.lit(0), F.lit(n - 1))
     ).alias("gen_idx")
     return df.select("*", gens).withColumn(
         "gen_seed",
-        F.pmod(F.col(id_col).cast("long"), F.lit(GEN_SEED_BOUND))
+        F.pmod(F.col(id_col).cast("long"), F.lit(bound))
         * F.lit(n) + F.col("gen_idx"),
     )

@@ -12,6 +12,8 @@ Parity discipline (so the driver's value-hash matches bit-for-bit):
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -20,6 +22,28 @@ from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _staged_spec_matches(marker: str, spec: dict) -> bool:
+    """True iff a staging marker exists and equals ``spec``. The read is
+    guarded: a partial/corrupt marker (killed or concurrent run mid-write)
+    reads as no-match → the caller restages, instead of JSONDecodeError
+    failing the whole query."""
+    try:
+        with open(marker) as fh:
+            return json.load(fh) == spec
+    except (OSError, ValueError):
+        return False
+
+
+def _publish_spec(marker: str, spec: dict) -> None:
+    """Atomically publish a staging marker AFTER its data is staged:
+    temp-file + rename, so any observer sees either no marker (restage)
+    or a complete one — never partial JSON."""
+    tmp = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh)
+    os.replace(tmp, marker)
 
 
 # ------------------------------------------------------------------ helpers
@@ -1185,9 +1209,6 @@ def q_ivf_topk_indexed(spark, sf_dir):
         write_ivf_index,
     )
 
-    import json as _json
-    import os as _os
-
     emb = _t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     query = [float(x) for x in row[0][0]] if row else [0.0]
@@ -1196,17 +1217,13 @@ def q_ivf_topk_indexed(spark, sf_dir):
     # Idempotent build: the index is a pure function of (input, spec) —
     # seed centroids are deterministic — so an existing index whose
     # frozen spec matches is reused instead of rewritten (a correctness
-    # query must not carry a redundant write side effect).
+    # query must not carry a redundant write side effect). Marker is
+    # published atomically after the data, guarded on read.
     spec = {"n_lists": 8, "centroids": cents}
-    marker = _os.path.join(path, "_SPEC.json")
-    existing = None
-    if _os.path.exists(marker):
-        with open(marker) as fh:
-            existing = _json.load(fh)
-    if existing != spec:
+    marker = os.path.join(path, "_SPEC.json")
+    if not _staged_spec_matches(marker, spec):
         write_ivf_index(emb, path, centroids=cents)
-        with open(marker, "w") as fh:
-            _json.dump(spec, fh)
+        _publish_spec(marker, spec)
     return ivf_topk_from_index(spark, path, cents, query, k=10,
                                n_probe=4).select("vec_id")
 
@@ -1517,7 +1534,7 @@ WITH base AS (
     ], x -> x IS NOT NULL), '; '), '') AS q_sugg,
     coalesce(array_to_string(list_filter([
       CASE WHEN ac < 200.0::DOUBLE THEN 'expand the answer with supporting detail' END,
-      CASE WHEN {scrub} <> t THEN 'remove sensitive or flagged content' END
+      CASE WHEN imp_a <> t THEN 'remove sensitive or flagged content' END
     ], x -> x IS NOT NULL), '; '), '') AS a_sugg
   FROM sig
 ), sc2 AS (
@@ -1591,29 +1608,20 @@ CROSS JOIN (SELECT unnest(range(4)) AS gen_idx) g
 # production sink is the parquet/append path (streaming/stream.py).
 
 def q_stream_windowed_agg(spark, sf_dir):
-    import json as _json
-    import os as _os
-    import uuid
-
     batch = _t(spark, sf_dir, "events")
     # The file stream source needs a DIRECTORY; stage the bounded input as
     # 4 files so maxFilesPerTrigger=1 yields 4 real micro-batches. The
     # staging is input plumbing, not the operator under test, so it is
     # idempotent like q_ivf_topk_indexed's index: a deterministic
-    # sf-keyed dir plus a spec marker, re-staged only when the input
-    # changes (mkdtemp-per-run accumulated unbounded /tmp copies).
+    # sf-keyed dir plus a spec marker (atomic publish, guarded read),
+    # re-staged only when the input changes (mkdtemp-per-run accumulated
+    # unbounded /tmp copies).
     stage = "/tmp/xdan_stream_events_" + sf_dir.strip("/").replace("/", "_")
     spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4}
-    marker = _os.path.join(stage, "_SPEC.json")
-    existing = None
-    if _os.path.exists(marker):
-        with open(marker) as fh:
-            existing = _json.load(fh)
-    if existing != spec:
+    marker = os.path.join(stage, "_SPEC.json")
+    if not _staged_spec_matches(marker, spec):
         batch.repartition(4).write.mode("overwrite").parquet(f"{stage}/events")
-        _os.makedirs(stage, exist_ok=True)
-        with open(marker, "w") as fh:
-            _json.dump(spec, fh)
+        _publish_spec(marker, spec)
     src = (
         spark.readStream.schema(batch.schema)  # streams cannot infer
         .option("maxFilesPerTrigger", "1")
@@ -1626,23 +1634,35 @@ def q_stream_windowed_agg(spark, sf_dir):
             _dec_sum(F.col("value"), "total_value"),
         )
     )
-    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    # Deterministic sink name (memory sink createOrReplaces its temp view,
+    # so reruns reuse ONE catalog slot); the result is detached into a
+    # local plan and the view dropped immediately — a uuid-per-run name
+    # with no drop leaked one driver-resident aggregate per invocation
+    # across a long session (bench min-of-2, repeated oracle sweeps).
+    name = "stream_win_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
     q = (
         agg.writeStream.outputMode("complete").format("memory")
         .queryName(name).trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    out = spark.table(name).select(
         F.col("w.start").alias("window_start"),
         "event_type", "n_events", "total_value",
     )
+    local = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+    return local
 
 
 # Spark's window() aligns 1-hour buckets to the epoch; mirror with an
-# explicit epoch floor (CAST back to naive TIMESTAMP — DuckDB's
-# to_timestamp returns TIMESTAMPTZ, which would stringify with an offset).
+# explicit epoch floor. make_timestamp(µs) builds the naive TIMESTAMP
+# straight from epoch microseconds — timezone-FREE, unlike
+# CAST(to_timestamp(..) AS TIMESTAMP), which converts TIMESTAMPTZ via the
+# DuckDB session TimeZone (system tz by default) and would shift every
+# window_start by the UTC offset on a non-UTC host while the Spark side
+# stays pinned to UTC.
 SQL_STREAM_WINDOWED_AGG = """
-SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS window_start,
        event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
@@ -1660,6 +1680,14 @@ FROM events GROUP BY 1, 2
 # a fresh mkdtemp per run, so repeated oracle/bench runs hold /tmp
 # usage constant. The dir must outlive the (lazy) returned plan, so no
 # cleanup here.
+#
+# Read-back uses the WRITER's schema: without it, Spark infers partition-
+# column types from directory names, so a numeric-looking partition value
+# ('123') would come back as int and break the identity claim. Hive
+# layout itself cannot represent an EMPTY/NULL partition value distinctly
+# (both map to __HIVE_DEFAULT_PARTITION__ → NULL on read) — that is
+# partitioned-storage semantics at any scale, not a sink bug; the claim
+# here covers non-null, non-empty partition keys (the fixtures' shape).
 
 def q_sink_roundtrip(spark, sf_dir):
     from ..sources.sinks import write_scored
@@ -1668,7 +1696,7 @@ def q_sink_roundtrip(spark, sf_dir):
     out = "/tmp/xdan_sink_roundtrip_" + sf_dir.strip("/").replace("/", "_")
     write_scored(docs, f"{out}/seg", fmt="parquet", mode="overwrite",
                  partition_by=("source",))
-    return spark.read.parquet(f"{out}/seg").select(
+    return spark.read.schema(docs.schema).parquet(f"{out}/seg").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
 
