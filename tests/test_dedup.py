@@ -106,24 +106,27 @@ def test_simhash_dedup(docs):
 
 
 def test_simhash_band_recall_vs_explicit_hamming(spark):
-    """4×15-bit band blocking must find EVERY pair at hamming ≤ 3
-    (pigeonhole: 3 flipped bits touch at most 3 of the 4 bands)."""
+    """4×16-bit band blocking must find EVERY pair at hamming ≤ 3
+    (pigeonhole: 3 flipped bits touch at most 3 of the 4 bands). The
+    fingerprint is a SIGNED 64-bit long (bit 63 rides the sign bit), so
+    hamming is popcount over the two's-complement xor masked to 64 bits."""
     from itertools import combinations
 
     from xdan_dqa_spark.operators.dedup import simhash_fingerprints
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     fps = {r["doc_id"]: r["_fp"] for r in simhash_fingerprints(docs).collect()}
+    mask64 = (1 << 64) - 1
     explicit = {
         (a, b)
         for a, b in combinations(sorted(fps), 2)
-        if bin(fps[a] ^ fps[b]).count("1") <= 3
+        if bin((fps[a] ^ fps[b]) & mask64).count("1") <= 3
     }
     # candidates via the same banding simhash_dedup uses
     bands = {}
     for i, fp in fps.items():
         for b in range(4):
-            bands.setdefault((b, (fp >> (15 * b)) & 0x7FFF), []).append(i)
+            bands.setdefault((b, (fp >> (16 * b)) & 0xFFFF), []).append(i)
     cand = {
         (a, b)
         for ids in bands.values()
@@ -151,7 +154,17 @@ def test_simhash_giant_doc_no_ansi_overflow(spark):
     )
     fps = {r["doc_id"]: r["_fp"] for r in simhash_fingerprints(df).collect()}
     assert set(fps) == {1, 2}
-    assert 0 <= fps[1] < 2**60 and 0 <= fps[2] < 2**60
+    # single repeated token ⇒ fp equals the token's 64-bit hash pattern:
+    # bits 0-31 from md5 hex[0:8], bits 32-63 from hex[8:16], as a SIGNED
+    # long (bit 63 rides the sign bit) — pins the two-half bit layout.
+    import hashlib
+
+    h = hashlib.md5(b"lorem").hexdigest()
+    expected = (int(h[8:16], 16) << 32) | int(h[:8], 16)
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert fps[1] == expected
+    assert -(1 << 63) <= fps[2] < 1 << 63
 
 
 def test_connected_components_chain(spark):
@@ -223,6 +236,78 @@ def test_minhash_hot_bucket_skew(spark):
     assert fast == slow
     assert 10_000 in fast and not any(i in fast for i in range(10_001, 10_200))
     assert fast_wall < 120, f"collapsed dedup took {fast_wall:.0f}s under skew"
+
+
+def test_simhash_hot_group_value_identity(spark):
+    """SimHash twin of test_minhash_hot_bucket_skew: 10% of the corpus is
+    ONE identical text (identical fingerprint ⇒ shares ALL four bands ⇒
+    quadratic candidate bucket without mitigation). Asserts the default
+    collapse_exact survivors are IDENTICAL to the uncollapsed policy's —
+    the value-identity claim in the docstring, checked under skew."""
+    base_rows = [
+        (i, " ".join(f"w{(i * 997 + j * 131) % 99991}" for j in range(20)))
+        for i in range(900)
+    ]
+    hot = [(10_000 + i, "the exact same viral boilerplate page text "
+                        "repeated across mirrors everywhere") for i in range(100)]
+    docs = spark.createDataFrame(base_rows + hot, "doc_id long, text string").cache()
+    docs.count()
+    fast = {r[0] for r in simhash_dedup(docs).select("doc_id").collect()}
+    slow = {r[0] for r in simhash_dedup(docs, collapse_exact=False)
+            .select("doc_id").collect()}
+    assert fast == slow
+    assert 10_000 in fast and not any(i in fast for i in range(10_001, 10_100))
+
+
+def _template_spam(spark, k: int = 240):
+    """K near-identical-but-NOT-byte-identical boilerplate pages: shared
+    30-token template + one varying trailing token, so exact-collapse
+    keeps all K yet they share most shingles (hence band keys)."""
+    template = " ".join(f"tok{j}" for j in range(30))
+    rows = [(i, f"{template} page{i}") for i in range(k)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def test_bucket_cap_bounds_template_spam(spark):
+    """Opt-in max_bucket bounds the candidate output of a near-identical
+    template cluster: every (band_id, band_key) bucket emits at most
+    C(max_bucket, 2) pairs, so total candidates are bounded regardless of
+    cluster size K (uncapped they are ~K² — exact-collapse can't help
+    because no two docs are byte-identical)."""
+    docs = _template_spam(spark, k=240)
+    uncapped = minhash_candidate_pairs(docs).count()
+    assert uncapped > 20_000  # the quadratic blow-up is real: ~C(240,2)/band
+
+    cap = 20
+    capped_pairs = minhash_candidate_pairs(docs, max_bucket=cap)
+    n = capped_pairs.count()
+    # 4 bands × (#buckets in this corpus is tiny — the cluster shares
+    # keys) × C(cap,2); generous slack for stray non-cluster buckets
+    assert n <= 4 * cap * (cap - 1) // 2 + 200, f"cap leaked: {n} pairs"
+    # deterministic membership: lowest ids are the kept representatives
+    kept_ids = {x for r in capped_pairs.collect() for x in (r["a"], r["b"])}
+    assert min(kept_ids) == 0 and max(kept_ids) < cap + 5
+
+
+def test_bucket_cap_above_corpus_is_value_identical(docs):
+    """A cap larger than any bucket changes nothing — pairs, jaccard
+    values, and dedup survivors are identical to the uncapped path (the
+    oracle queries run uncapped; this pins that max_bucket=BIG ≡ None)."""
+    uncapped = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs).collect()}
+    capped = {(r["a"], r["b"])
+              for r in minhash_candidate_pairs(docs, max_bucket=10_000).collect()}
+    assert uncapped == capped
+    kept_u = {r[0] for r in minhash_dedup(docs, threshold=0.5).select("doc_id").collect()}
+    kept_c = {r[0] for r in minhash_dedup(docs, threshold=0.5, max_bucket=10_000)
+              .select("doc_id").collect()}
+    assert kept_u == kept_c
+
+
+def test_bucket_cap_rejects_degenerate_cap(docs):
+    with pytest.raises(ValueError):
+        minhash_candidate_pairs(docs, max_bucket=1).count()
 
 
 def test_minhash_scales_on_documents_table(spark):

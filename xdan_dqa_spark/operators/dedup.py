@@ -17,14 +17,61 @@ Design notes for scale:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import WS_PLUS
 
+_LOG = logging.getLogger(__name__)
+
 # LSH geometry: K = BANDS * ROWS_PER_BAND min-hashes.
 MINHASH_BANDS = 4
 MINHASH_ROWS = 2
+
+
+def cap_band_buckets(bandsdf: DataFrame, id_col: str,
+                     max_bucket: int | None) -> DataFrame:
+    """Bound LSH band buckets to ``max_bucket`` members each (opt-in).
+
+    Exact-collapse removes byte-identical groups, but a cluster of K
+    near-identical-but-not-byte-identical boilerplate pages (template
+    spam) still shares band keys, so the bucket self-join emits ~K²
+    candidate pairs — at 100 TB such clusters reach millions of members.
+    The standard mitigation is a per-(band_id, band_key) representative
+    cap: keep the ``max_bucket`` LOWEST ids (deterministic, and the ids
+    the min-id survivor policy keeps anyway), drop the rest from the
+    candidate stage only. This bounds every bucket's pair output at
+    C(max_bucket, 2) at the cost of bounded recall: a dropped member can
+    still collide in its other bands, and anything it would have matched
+    is ~always also matched by a kept low-id rep of the same cluster.
+
+    No silent caps: the dropped-row and hot-bucket counts are computed
+    (one cheap aggregate over the materialized bands) and logged. The
+    bands input is localCheckpoint-ed first so the expensive signature
+    aggregate runs ONCE for the stats probe, the join's left side, and
+    its right side."""
+    if max_bucket is None:
+        return bandsdf
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2 (got {max_bucket}); "
+                         "a 1-member bucket can emit no pairs at all")
+    bandsdf = bandsdf.localCheckpoint(eager=True)
+    w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+    ranked = bandsdf.withColumn("_rn", F.row_number().over(w))
+    over = ranked.filter(F.col("_rn") > max_bucket)
+    stats = over.agg(
+        F.count("*").alias("rows_dropped"),
+        F.count_distinct("band_id", "band_key").alias("buckets_capped"),
+    ).collect()[0]
+    if stats["rows_dropped"]:
+        _LOG.warning(
+            "LSH bucket cap: dropped %d band rows across %d hot buckets "
+            "(max_bucket=%d) — bounded-recall mode, lowest ids kept",
+            stats["rows_dropped"], stats["buckets_capped"], max_bucket,
+        )
+    return ranked.filter(F.col("_rn") <= max_bucket).drop("_rn")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -117,12 +164,18 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate near-dup pairs (a<b) that collide in ≥1 LSH band.
 
     The self-join is per (band_id, band_key) bucket — linear in collisions,
-    never all-pairs. Returns columns (a, b)."""
-    bandsdf = minhash_bands(df, text_col, id_col)
+    never all-pairs. ``max_bucket`` (opt-in) additionally bounds each
+    bucket to its lowest-id members before the join, for template-spam
+    clusters whose members are near-identical without being byte-identical
+    (see cap_band_buckets — logged, bounded-recall). Returns (a, b)."""
+    bandsdf = cap_band_buckets(
+        minhash_bands(df, text_col, id_col), id_col, max_bucket
+    )
     left = bandsdf.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("a"))
     right = bandsdf.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("b"))
     return (
@@ -136,9 +189,19 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs; keeps pairs ≥ threshold.
-    Returns (a, b, jaccard)."""
+    Returns (a, b, jaccard).
+
+    Each shingle is md5-hashed before the pair join: equality-preserving
+    (distinct shingles keep distinct keys), so intersect/union sizes — and
+    hence the Jaccard value — are unchanged, while the pair join ships
+    fixed 32-char keys instead of full shingle strings, cutting verify
+    shuffle bytes severalfold on long documents. The DuckDB oracle twin
+    hashes identically."""
     sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col)).alias("_sh")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(text_col), lambda s: F.md5(s))
+        ).alias("_sh"),
     )
     a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
@@ -154,7 +217,8 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.7, collapse_exact: bool = True) -> DataFrame:
+                  threshold: float = 0.7, collapse_exact: bool = True,
+                  max_bucket: int | None = None) -> DataFrame:
     """Drop docs that are verified near-duplicates of a lower-id doc.
 
     Pair-based (not transitive-closure): b is dropped iff some a<b with
@@ -172,9 +236,12 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Jaccard to every other doc, and the min-id rep drops exactly the rows
     the pair policy would), removes the quadratic bucket, and skips
     shingling the duplicates. Verified value-identical under 10%-identical
-    skew in tests/test_dedup.py."""
+    skew in tests/test_dedup.py.
+
+    ``max_bucket`` opts into bounded LSH buckets for near-identical
+    template-spam clusters (see cap_band_buckets)."""
     base = exact_dedup(df, text_col, id_col) if collapse_exact else df
-    pairs = minhash_candidate_pairs(base, text_col, id_col)
+    pairs = minhash_candidate_pairs(base, text_col, id_col, max_bucket)
     dups = (
         jaccard_verify(base, pairs, text_col, id_col, threshold)
         .select(F.col("b").alias(id_col))
@@ -184,10 +251,11 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_bucket: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard via LSH candidates (the scalable route to
     'n-gram Jaccard dedup'); returns (a, b, jaccard)."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col)
+    pairs = minhash_candidate_pairs(df, text_col, id_col, max_bucket)
     return jaccard_verify(df, pairs, text_col, id_col, threshold)
 
 
@@ -247,7 +315,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
 
 
 def cc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             threshold: float = 0.7, collapse_exact: bool = True) -> DataFrame:
+             threshold: float = 0.7, collapse_exact: bool = True,
+             max_bucket: int | None = None) -> DataFrame:
     """Transitive near-dup dedup: verified MinHash pairs become edges, each
     connected component collapses to its minimum doc id. Unlike the
     pair-based policy (minhash_dedup), a chain A~B~C with J(A,C) < τ still
@@ -260,7 +329,9 @@ def cc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     quadratic hot band bucket AND its quadratic edge set from the CC
     input."""
     base = exact_dedup(df, text_col, id_col) if collapse_exact else df
-    pairs = jaccard_verify(base, minhash_candidate_pairs(base, text_col, id_col),
+    pairs = jaccard_verify(base,
+                           minhash_candidate_pairs(base, text_col, id_col,
+                                                   max_bucket),
                            text_col, id_col, threshold)
     labels = connected_components(pairs.select("a", "b"))
     drop = labels.filter(F.col("node") != F.col("comp")).select(
@@ -271,14 +342,22 @@ def cc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 # ---------------------------------------------------------------- SimHash
 
-# 60-bit fingerprints: hash_j(word) = int(md5(word)[:15 hex], 16) — fits a
-# signed long in any engine (DuckDB: CAST('0x'||substr(md5(w),1,15) AS
-# BIGINT)), so the whole construction is oracle-checkable, unlike the
-# round-1 xxhash64 variant. 4 bands × 15 bits: hamming ≤ 3 ⇒ ≥1 shared
-# band (pigeonhole). Round 1 used 32-bit fp / 8-bit bands — only 256
-# buckets per band, i.e. giant candidate buckets at web scale.
-SIMHASH_BITS = 60
-_SIMHASH_LANES = 15          # 4 bit-counters per long at 16-bit offsets
+# 64-bit fingerprints: the per-token hash is the first 16 md5 hex chars,
+# carried as TWO 32-bit halves (bits 0-31 from hex[1:8], bits 32-63 from
+# hex[9:16]) because the composed 64-bit value doesn't fit a signed long
+# unsigned — each half casts cleanly in any engine (DuckDB:
+# CAST('0x'||substr(md5(w),…,8) AS BIGINT)), so the whole construction
+# stays oracle-checkable. 4 bands × 16 bits: hamming ≤ 3 ⇒ ≥1 shared band
+# (pigeonhole), and each band keys 65 536 buckets. Capacity math: the
+# expected candidate-pair output of one band over n docs with uniformly
+# spread fingerprints is ~n²/2/2^16 per band — at 10⁸ docs that is ~10¹¹
+# pairs/band from RANDOM collisions alone, so at web scale the band key
+# must be composed with a pre-partitioning key (language, length bucket)
+# or bounded with ``max_bucket``; the earlier 60-bit/4×15-bit layout hit
+# the same wall 2× sooner (32 768 buckets/band). Round 1 used 32-bit fp /
+# 8-bit bands — only 256 buckets per band.
+SIMHASH_BITS = 64
+_SIMHASH_LANES = 16          # 4 bit-counters per long at 16-bit offsets
 # Counter headroom bound: the top (r=3) counter occupies bits 48-63 of the
 # packed long INCLUDING the sign bit, so the lane sum must stay < 2^63.
 # With <= 32767 tokens, max packed value = 32767 * (2^48 + 2^32 + 2^16 + 1)
@@ -291,28 +370,37 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """(id, _fp) SimHash fingerprint table (Charikar 2002).
 
-    Each token votes ±1 per bit using bits of its 60-bit md5 hash; the
-    fingerprint sets bit i iff the vote sum is positive (ones-count
-    strictly > half the tokens). Shaped as explode(words) → ONE
-    hash-aggregate of 15 packed lanes — each lane sums 4 bit-counters at
-    16-bit offsets of one long, so the aggregation buffer is 15 longs
-    + a count (the round-1 shape needed 32 separate conditional sums for
-    half the fingerprint width). Map-side combine keeps shuffle rows =
-    docs. Tokens beyond 32767 are ignored (sign-bit headroom on the top
-    packed counter — see _SIMHASH_MAX_TOKENS)."""
+    Each token votes ±1 per bit using bits of its 64-bit md5 hash (two
+    32-bit halves — see the capacity note above); the fingerprint sets
+    bit i iff the vote sum is positive (ones-count strictly > half the
+    tokens). Shaped as explode(words) → ONE hash-aggregate of 16 packed
+    lanes — each lane sums 4 bit-counters at 16-bit offsets of one long,
+    so the aggregation buffer is 16 longs + a count (the round-1 shape
+    needed 32 separate conditional sums for half the fingerprint width).
+    Map-side combine keeps shuffle rows = docs. Tokens beyond 32767 are
+    ignored (sign-bit headroom on the top packed counter — see
+    _SIMHASH_MAX_TOKENS). Bit 63 of the fingerprint lands in the long's
+    sign bit (its addend is −2^63, applied LAST so every ANSI-checked
+    partial sum stays in range); band extraction masks after the
+    arithmetic shift, so sign-fill never leaks into a band key."""
     words = F.slice(
         F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
                  lambda w: F.length(w) > 0),
         1, _SIMHASH_MAX_TOKENS,
     )
-    ex = df.select(F.col(id_col), F.explode(words).alias("_w")).withColumn(
-        "_h", F.conv(F.substring(F.md5(F.col("_w")), 1, 15), 16, 10).cast("long")
+    ex = (
+        df.select(F.col(id_col), F.explode(words).alias("_w"))
+        .withColumn("_md5", F.md5(F.col("_w")))
+        .withColumn("_hl", F.conv(F.substring(F.col("_md5"), 1, 8), 16, 10).cast("long"))
+        .withColumn("_hh", F.conv(F.substring(F.col("_md5"), 9, 8), 16, 10).cast("long"))
     )
     lanes = []
     for j in range(_SIMHASH_LANES):
         lane = None
         for r in range(4):
-            bit = F.shiftright(F.col("_h"), 4 * j + r).bitwiseAND(F.lit(1))
+            i = 4 * j + r
+            src, shift = ("_hl", i) if i < 32 else ("_hh", i - 32)
+            bit = F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1))
             term = bit.cast("long") * F.lit(1 << (16 * r)).cast("long")
             lane = term if lane is None else lane + term
         lanes.append(F.sum(lane).alias(f"l{j}"))
@@ -321,7 +409,10 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     for i in range(SIMHASH_BITS):
         j, r = divmod(i, 4)
         c = F.shiftright(F.col(f"l{j}"), 16 * r).bitwiseAND(F.lit(0xFFFF))
-        term = F.when(c * 2 > F.col("_n"), F.lit(1 << i).cast("long")).otherwise(
+        # bit 63's addend is int64 min; added last, partial sums of the
+        # lower 63 positive terms max out at 2^63-1 — no ANSI overflow.
+        addend = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(c * 2 > F.col("_n"), F.lit(addend).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         fp = term if fp is None else fp + term
@@ -329,16 +420,29 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, collapse_exact: bool = True,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup dedup on SimHash: candidates via 4-way band blocking
-    (docs within hamming distance d ≤ 3 share ≥1 of 4 15-bit bands), then
-    exact popcount verify. Keeps the lowest id per near-dup pair."""
-    fp = simhash_fingerprints(df, text_col, id_col)
+    (docs within hamming distance d ≤ 3 share ≥1 of 4 16-bit bands), then
+    exact popcount verify. Keeps the lowest id per near-dup pair.
+
+    ``collapse_exact`` (default on) exact-dedups BEFORE fingerprinting,
+    exactly like minhash_dedup/cc_dedup: byte-identical texts have
+    identical fingerprints, hence share ALL four bands, so an identical
+    group forms one hot bucket whose candidate-pair output is quadratic
+    in the group size — the join-OUTPUT blow-up AQE cannot split.
+    Value-identical: identical text ⇒ identical fingerprint ⇒ identical
+    hamming distance to every other doc, so the min-id rep drops exactly
+    the rows the pair policy would (verified under 10%-identical skew in
+    tests/test_dedup.py). ``max_bucket`` additionally bounds each band
+    bucket for near-identical template clusters (see cap_band_buckets)."""
+    base = exact_dedup(df, text_col, id_col) if collapse_exact else df
+    fp = simhash_fingerprints(base, text_col, id_col)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftright(F.col("_fp"), b * 15).bitwiseAND(F.lit(0x7FFF)).alias("band_key"),
+                F.shiftright(F.col("_fp"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
             )
             for b in range(4)
         ]
@@ -346,6 +450,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bandsdf = fp.select(F.col(id_col), F.explode(band_structs).alias("_b")).select(
         F.col(id_col), F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
     )
+    bandsdf = cap_band_buckets(bandsdf, id_col, max_bucket)
     left = bandsdf.select("band_id", "band_key", F.col(id_col).alias("a"))
     right = bandsdf.select("band_id", "band_key", F.col(id_col).alias("b"))
     cand = (
@@ -363,4 +468,4 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .select(F.col("b").alias(id_col))
         .distinct()
     )
-    return df.join(dups, id_col, "left_anti")
+    return base.join(dups, id_col, "left_anti")

@@ -627,7 +627,7 @@ cand AS (
   FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 ),
-shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sigs)
+shd AS (SELECT doc_id, list_distinct([md5(x) FOR x IN sh]) AS s FROM sigs)
 SELECT c.a, c.b,
        round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
              / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
@@ -947,7 +947,7 @@ cand AS (
   FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 ),
-shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sigs),
+shd AS (SELECT doc_id, list_distinct([md5(x) FOR x IN sh]) AS s FROM sigs),
 dups AS (
   SELECT DISTINCT c.b
   FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
@@ -979,7 +979,7 @@ cand AS (
   FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 ),
-shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sigs),
+shd AS (SELECT doc_id, list_distinct([md5(x) FOR x IN sh]) AS s FROM sigs),
 verified AS (
   SELECT c.a, c.b
   FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
@@ -1000,33 +1000,46 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
 """
 
 
-# SimHash dedup end-to-end: 60-bit md5-derived fingerprints with packed
-# 16-bit vote lanes, 4×15-bit band candidates, popcount verify, anti-join
-# — the DuckDB twin mirrors the packed-lane construction bit for bit.
+# SimHash dedup end-to-end: 64-bit md5-derived fingerprints (two 32-bit
+# token-hash halves) with packed 16-bit vote lanes, 4×16-bit band
+# candidates, popcount verify, exact-collapse pre-step, anti-join — the
+# DuckDB twin mirrors the packed-lane construction bit for bit, incl.
+# fingerprint bit 63 as the INT64_MIN addend applied last (partial sums
+# stay in range) and mask-after-arithmetic-shift band keys (sign-fill
+# never reaches a key; DuckDB >> on BIGINT is arithmetic like Spark's).
+# The collapse_exact pre-step needs NO twin-side counterpart: identical
+# text ⇒ identical fingerprint ⇒ hamming 0 ⇒ the band join + pair policy
+# drops exactly the same higher-id rows the collapse does.
 
 def _sql_dedup_simhash(max_hamming: int = 3) -> str:
     lanes = []
-    for j in range(15):
-        terms = " + ".join(
-            f"((h >> {4 * j + r}) & 1) * {1 << (16 * r)}" for r in range(4)
-        )
-        lanes.append(f"SUM({terms}) AS l{j}")
+    for j in range(16):
+        terms = []
+        for r in range(4):
+            i = 4 * j + r
+            src, shift = ("hl", i) if i < 32 else ("hh", i - 32)
+            terms.append(f"(({src} >> {shift}) & 1) * {1 << (16 * r)}")
+        lanes.append(f"SUM({' + '.join(terms)}) AS l{j}")
     fp_terms = []
-    for i in range(60):
+    for i in range(64):
         j, r = divmod(i, 4)
+        addend = str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
         fp_terms.append(
-            f"CASE WHEN ((l{j} >> {16 * r}) & 65535) * 2 > n THEN {1 << i} ELSE 0 END"
+            f"CASE WHEN ((l{j} >> {16 * r}) & 65535) * 2 > n THEN {addend} ELSE 0 END"
         )
     fp_expr = "\n       + ".join(fp_terms)
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, (fp >> {15 * b}) & 32767 AS band_key FROM fp"
+        f"SELECT doc_id, {b} AS band_id, (fp >> {16 * b}) & 65535 AS band_key FROM fp"
         for b in range(4)
     )
     return f"""
 WITH ex AS (
   SELECT doc_id, unnest(({_WORDS_WS_SQL})[1:32767]) AS w FROM documents
 ),
-h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM ex),
+h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hl,
+             CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS hh
+      FROM ex),
 votes AS (SELECT doc_id, count(*) AS n, {', '.join(lanes)} FROM h GROUP BY doc_id),
 fp AS (SELECT doc_id, {fp_expr} AS fp FROM votes),
 bands AS ({bands}),
