@@ -131,3 +131,16 @@ def test_fan_out_wide_n_dynamic_fold(spark):
         spark.createDataFrame([(10,)], "doc_id long"), n_generations=4
     ).collect()
     assert sorted(r["gen_seed"] for r in small) == [40, 41, 42, 43]
+
+
+def test_fan_out_rejects_absurd_n(spark):
+    """Sanity cap: a corrupted config (n past 2^20) fails with a clear
+    ValueError instead of a pmod-by-zero NULL (the fold bound reaches 0
+    at n >= 2^63) or a sequence() explode OOM."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="n_generations"):
+        fan_out_generations(df, n_generations=(1 << 20) + 1)
+    # the cap itself is allowed
+    assert fan_out_generations(df, n_generations=4).count() == 4

@@ -268,6 +268,11 @@ def fan_out_generations(df: DataFrame, n_generations: int = 4,
     n = int(n_generations)
     if n < 1:
         raise ValueError(f"n_generations must be >= 1, got {n}")
+    if n > (1 << 20):
+        # generous sanity bound: a corrupted config fails with a clear
+        # message instead of a pmod-by-zero (n >= 2^63 folds the seed
+        # bound to 0) or a sequence() explode OOM long before that
+        raise ValueError(f"n_generations must be <= {1 << 20}, got {n}")
     bound = GEN_SEED_BOUND if n <= 8 else ((1 << 63) - 1) // n
     gens = F.explode(
         F.sequence(F.lit(0), F.lit(n - 1))

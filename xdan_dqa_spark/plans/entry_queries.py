@@ -12,12 +12,17 @@ Parity discipline (so the driver's value-hash matches bit-for-bit):
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Per-process sequence for memory-sink streaming query names: concurrent
+# same-session invocations must not collide on an active query name.
+_STREAM_QUERY_SEQ = itertools.count()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,6 +49,25 @@ def _publish_spec(marker: str, spec: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(spec, fh)
     os.replace(tmp, marker)
+
+
+def _stage_with_spec(marker: str, spec: dict, stage) -> None:
+    """Idempotent staging protocol: skip when a valid matching marker
+    exists; otherwise UNLINK the marker FIRST, then restage the data,
+    then atomically publish the marker. The unlink closes the cross-
+    process race the atomic publish alone leaves open: without it,
+    process B can observe A's still-valid marker while A is mid-rewrite
+    of the data files and read a half-deleted parquet dir. With
+    marker-absent ⇒ restage/wait, the valid-marker window never overlaps
+    a data rewrite."""
+    if _staged_spec_matches(marker, spec):
+        return
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    stage()
+    _publish_spec(marker, spec)
 
 
 # ------------------------------------------------------------------ helpers
@@ -1230,13 +1254,13 @@ def q_ivf_topk_indexed(spark, sf_dir):
     # Idempotent build: the index is a pure function of (input, spec) —
     # seed centroids are deterministic — so an existing index whose
     # frozen spec matches is reused instead of rewritten (a correctness
-    # query must not carry a redundant write side effect). Marker is
-    # published atomically after the data, guarded on read.
+    # query must not carry a redundant write side effect). The staging
+    # protocol unlinks the marker before any rewrite and republishes it
+    # atomically after (see _stage_with_spec).
     spec = {"n_lists": 8, "centroids": cents}
     marker = os.path.join(path, "_SPEC.json")
-    if not _staged_spec_matches(marker, spec):
-        write_ivf_index(emb, path, centroids=cents)
-        _publish_spec(marker, spec)
+    _stage_with_spec(marker, spec,
+                     lambda: write_ivf_index(emb, path, centroids=cents))
     return ivf_topk_from_index(spark, path, cents, query, k=10,
                                n_probe=4).select("vec_id")
 
@@ -1632,9 +1656,11 @@ def q_stream_windowed_agg(spark, sf_dir):
     stage = "/tmp/xdan_stream_events_" + sf_dir.strip("/").replace("/", "_")
     spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4}
     marker = os.path.join(stage, "_SPEC.json")
-    if not _staged_spec_matches(marker, spec):
-        batch.repartition(4).write.mode("overwrite").parquet(f"{stage}/events")
-        _publish_spec(marker, spec)
+    _stage_with_spec(
+        marker, spec,
+        lambda: batch.repartition(4).write.mode("overwrite")
+        .parquet(f"{stage}/events"),
+    )
     src = (
         spark.readStream.schema(batch.schema)  # streams cannot infer
         .option("maxFilesPerTrigger", "1")
@@ -1647,12 +1673,14 @@ def q_stream_windowed_agg(spark, sf_dir):
             _dec_sum(F.col("value"), "total_value"),
         )
     )
-    # Deterministic sink name (memory sink createOrReplaces its temp view,
-    # so reruns reuse ONE catalog slot); the result is detached into a
-    # local plan and the view dropped immediately — a uuid-per-run name
-    # with no drop leaked one driver-resident aggregate per invocation
-    # across a long session (bench min-of-2, repeated oracle sweeps).
-    name = "stream_win_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # Per-invocation sink name (memory sink): the monotonic counter keeps
+    # two CONCURRENT same-session invocations from colliding on an
+    # already-active streaming query name, while the immediate detach +
+    # dropTempView below still frees every slot (the round-3 uuid scheme
+    # avoided collisions but leaked one driver-resident aggregate per
+    # invocation because nothing dropped the views).
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"stream_win_{key}_{next(_STREAM_QUERY_SEQ)}"
     q = (
         agg.writeStream.outputMode("complete").format("memory")
         .queryName(name).trigger(availableNow=True).start()
