@@ -57,3 +57,50 @@ def test_frame_sample_grid(media):
 def test_frame_sample_zero_duration(media):
     out = frame_sample(media.filter(F.col("doc_id") == 1), every_ms=1000)
     assert [r["frame_ms"] for r in out.collect()] == [0]
+
+
+def test_decoder_swap_point_contract(media, spark):
+    """Pins the codec swap-point signature (bytes|None -> 1-D uint8
+    ndarray): a fake "real" decoder injected through the ``decoder``
+    parameter must flow through the ENTIRE media_features / frame_sample
+    dataflow — same schema, same row set, values reflecting the injected
+    decode — so the stub boundary can't silently drift. The fake is
+    defined locally so cloudpickle ships it BY VALUE to the python
+    workers (the reason the swap point is a parameter, not a module
+    global to monkeypatch)."""
+    import numpy as np
+
+    from xdan_dqa_spark.operators.multimodal import MEDIA_FEATURES_SCHEMA
+
+    def fake_real_decoder(payload):
+        # stands in for PIL.Image.open(...): fixed 4x4 "image" whose
+        # pixels depend on payload length, so outputs provably came
+        # through THIS decoder
+        n = len(payload) if payload else 0
+        return np.full(16, n % 251, dtype=np.uint8)
+
+    out = media_features(media, decoder=fake_real_decoder)
+    assert out.schema == MEDIA_FEATURES_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for doc_id, payload_len in [(1, 1024), (2, 128), (3, 600), (4, 0)]:
+        r = rows[doc_id]
+        assert r["n_bytes"] == 16                       # decoded size, not payload size
+        assert r["byte_entropy"] == 0.0                 # constant pixels
+        emb = np.array(r["embedding"])
+        assert emb.shape == (EMBED_DIM,)
+        # one-hot-ish: all 16 identical pixels land in ONE histogram bucket
+        assert np.count_nonzero(emb) == 1 and emb.max() == pytest.approx(1.0)
+        bucket = (payload_len % 251) * EMBED_DIM // 256
+        assert emb[bucket] == pytest.approx(1.0)
+
+    frames = frame_sample(media.filter(F.col("doc_id") == 3), every_ms=1000,
+                          decoder=fake_real_decoder)
+    got = {r["frame_ms"]: r["frame_checksum"] for r in frames.collect()}
+    assert sorted(got) == [0, 1000, 2000, 3000]
+    # checksum = sum of the timestamp-keyed slice of the 16 constant fake
+    # pixels (slice start = ms % 16) — proves the FRAME path used the
+    # injected decode too
+    pix = 600 % 251
+    expected = {ms: (16 - ms % 16) * pix for ms in got}
+    assert got == expected

@@ -132,3 +132,59 @@ def test_host_state_survives_restart(spark, webtext, tmp_path):
     assert got == expected
     # state actually GREW across the restart (not recomputed from scratch)
     assert sum(d for d, _, _ in got.values()) > sum(s1.values())
+
+
+def test_update_mode_windowed_metrics_restart(spark, webtext, tmp_path):
+    """Production update-mode path: foreachBatch parquet deltas + last-wins
+    readback. A SECOND availableNow run over newly-landed files (same
+    checkpoint = restart) must continue batch ids and merge state, so the
+    final last-wins view equals a batch GROUP BY over ALL input — no
+    driver-resident state anywhere (the sink is parquet deltas, the
+    readback one row_number window)."""
+    from xdan_dqa_spark.streaming.stream import (
+        latest_windowed_metrics,
+        windowed_metrics_update_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = webtext.select("url", "warc_ts", "html", "text", "lang")
+    base.limit(300).write.parquet(inp)
+    # huge watermark: no state eviction, so the end state must equal the
+    # full batch aggregate (eviction correctness is append-mode's test)
+    q = windowed_metrics_update_stream(spark, inp, out, ckpt,
+                                       window="1 hour", watermark="3650 days")
+    q.awaitTermination(180)
+    mid = latest_windowed_metrics(spark, out)
+    n_mid = mid.count()
+    assert n_mid > 0
+
+    base.orderBy(F.desc("url")).limit(150).write.mode("append").parquet(inp)
+    q2 = windowed_metrics_update_stream(spark, inp, out, ckpt,
+                                        window="1 hour", watermark="3650 days")
+    q2.awaitTermination(180)
+
+    got = {
+        (r["window_start"], r["lang"]): (r["n_docs"],
+                                         round(r["avg_text_len"], 6))
+        for r in latest_windowed_metrics(spark, out).collect()
+    }
+    expected = {
+        (r["window_start"], r["lang"]): (r["n_docs"],
+                                         round(r["avg_text_len"], 6))
+        for r in spark.read.parquet(inp)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.avg(F.length("text")).alias("avg_text_len"))
+        .select(F.col("w.start").alias("window_start"), "lang",
+                "n_docs", "avg_text_len")
+        .collect()
+    }
+    assert got == expected
+    # updated windows were RE-emitted (delta log grew past the live set)
+    raw = spark.read.parquet(out)
+    assert raw.count() > len(got)
+    # batch ids continued across the restart — the last-wins order key
+    assert raw.select(F.max("_batch_id")).first()[0] >= 1

@@ -18,13 +18,18 @@ drop-the-blob-early rule the text pipeline applies to ``html``).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# The codec swap-point contract: payload bytes (None/empty allowed) to a
+# 1-D uint8 array of decoded samples. Real deployments pass e.g.
+# ``lambda b: np.asarray(PIL.Image.open(io.BytesIO(b))).ravel()``.
+DecoderFn = Callable[[bytes | None], np.ndarray]
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -84,17 +89,26 @@ def _stub_embedding(arr: np.ndarray) -> np.ndarray:
 
 
 def media_features(df: DataFrame, payload_col: str = "payload",
-                   meta_col: str = "media_meta") -> DataFrame:
+                   meta_col: str = "media_meta",
+                   decoder: "DecoderFn | None" = None) -> DataFrame:
     """Decode → featurize via ``mapInPandas`` (streaming per-batch iterator:
     only one Arrow batch of payloads is in memory per worker at a time —
     the right shape for multi-MB media blobs, unlike a scalar UDF that
-    would buffer whole columns)."""
+    would buffer whole columns).
+
+    ``decoder`` is the swap point: any ``bytes | None -> np.ndarray``
+    (1-D uint8) callable — e.g. a real PIL/ffmpeg decode on a cluster
+    that ships codecs. Defaults to the deterministic sandbox stub. Passed
+    as a value-captured closure so injection works across Python workers
+    (a module-global monkeypatch would only patch the driver process).
+    The contract test in tests/test_multimodal.py pins this signature."""
+    decode = decoder or _decode_image_stub
     mime = F.col(f"{meta_col}.mime")
     src = df.select("doc_id", mime.alias("mime"), F.col(payload_col).alias("payload"))
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            arrs = [_decode_image_stub(p) for p in pdf["payload"]]
+            arrs = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -110,13 +124,16 @@ def media_features(df: DataFrame, payload_col: str = "payload",
 
 def frame_sample(df: DataFrame, every_ms: int = 1000,
                  payload_col: str = "payload",
-                 meta_col: str = "media_meta") -> DataFrame:
+                 meta_col: str = "media_meta",
+                 decoder: "DecoderFn | None" = None) -> DataFrame:
     """Video frame sampling: one row per sampled frame timestamp.
 
     The timestamp grid is pure Column math (sequence over duration);
     only the (stubbed) per-frame decode is Python. Exploding BEFORE
     decoding keeps each output row small and lets Spark repartition
-    frames across executors for the decode stage."""
+    frames across executors for the decode stage. ``decoder`` is the
+    same ``bytes | None -> np.ndarray`` swap point as media_features."""
+    decode = decoder or _decode_image_stub
     frames = df.select(
         "doc_id",
         F.col(f"{meta_col}.duration_ms").alias("duration_ms"),
@@ -144,7 +161,7 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
         for pdf in batches:
             sums = []
             for payload, ms in zip(pdf["payload"], pdf["frame_ms"]):
-                arr = _decode_image_stub(payload)
+                arr = decode(payload)
                 # STUB "frame": a deterministic slice keyed by timestamp.
                 lo = int(ms) % max(arr.size, 1)
                 sums.append(int(arr[lo : lo + 64].sum()))

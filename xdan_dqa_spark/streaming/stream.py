@@ -21,7 +21,7 @@ micro-batch is just a DataFrame, so ``score_webtext`` is reused verbatim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -74,19 +74,11 @@ def score_stream(
     return writer.start()
 
 
-def windowed_metrics_stream(
-    spark: SparkSession,
-    input_dir: str,
-    output_dir: str,
-    checkpoint_dir: str,
-    window: str = "1 hour",
-    watermark: str = "2 hours",
-    available_now: bool = True,
-) -> StreamingQuery:
-    """Event-time intake metrics: docs + mean length per (warc_ts window,
-    lang). The watermark bounds state for late crawl records; append mode
-    writes a window only once it can no longer receive data."""
-    agg = (
+def _windowed_agg(spark: SparkSession, input_dir: str, window: str,
+                  watermark: str) -> DataFrame:
+    """Shared event-time aggregate: docs + mean length per (warc_ts
+    window, lang), watermarked for late crawl records."""
+    return (
         webtext_stream(spark, input_dir)
         .withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"), "lang")
@@ -100,6 +92,21 @@ def windowed_metrics_stream(
             "lang", "n_docs", "avg_text_len",
         )
     )
+
+
+def windowed_metrics_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Event-time intake metrics: docs + mean length per (warc_ts window,
+    lang). The watermark bounds state for late crawl records; append mode
+    writes a window only once it can no longer receive data."""
+    agg = _windowed_agg(spark, input_dir, window, watermark)
     writer = (
         agg.writeStream.outputMode("append")
         .format("parquet")
@@ -109,3 +116,54 @@ def windowed_metrics_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_metrics_update_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Update-mode twin of ``windowed_metrics_stream``: every micro-batch,
+    each CHANGED window's current aggregate is appended to parquet stamped
+    with the batch id — so still-open windows are observable before the
+    watermark finalizes them, with NO driver-resident state (the job the
+    oracle's complete-mode memory sink does only at fixture scale;
+    a complete-mode sink would be driver-resident and rewrite-everything
+    at 100 TB, update mode ships deltas only). Batch ids are monotonic
+    across restarts of the same checkpoint, so ``latest_windowed_metrics``
+    (last-wins per window) is restart-safe and exactly-once at read time
+    even when a killed run re-emits its last batch."""
+    agg = _windowed_agg(spark, input_dir, window, watermark)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_windowed_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Current per-window state from an update-mode metrics directory:
+    last-wins per (window, lang) by emitting batch id — one row_number
+    window over the compact metrics table, no driver-side state."""
+    w = Window.partitionBy("window_start", "window_end", "lang").orderBy(
+        F.desc("_batch_id")
+    )
+    return (
+        spark.read.parquet(output_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
