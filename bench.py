@@ -293,7 +293,8 @@ def _series_summary(rows: int, lo: int, hi: int) -> dict | None:
     }
 
 
-def measure_scaling(rows: int) -> dict:
+def measure_scaling(rows: int, cpus: tuple[int, int] | None = None,
+                    passes: int | None = None) -> dict:
     """Scaling-efficiency evidence (north rule: throughput at N vs 4N
     executors >= 0.8): the identical pipeline job in separate pinned JVMs
     at local[4] and local[16], lo/hi alternated within a pass so both
@@ -307,17 +308,22 @@ def measure_scaling(rows: int) -> dict:
     captures only a short tail of stdout, which voided round 3's
     artifact): per-window detail and the full sample series live in
     SCALING_STATE + bench_state/bench_full_last.json; the printed block
-    carries the headline numbers plus summary statistics over windows."""
-    lo, hi = SCALING_CPUS
+    carries the headline numbers plus summary statistics over windows.
+
+    ``cpus``/``passes`` override the env-selected series — used by the
+    canary-gated opportunistic 4→16 capture (one extra pass on an
+    idle-ish box while the configured series is 2→8)."""
+    lo, hi = levels = cpus or SCALING_CPUS
+    n_passes = SCALING_PASSES if passes is None else passes
     new: list[dict] = []
-    for _pass in range(SCALING_PASSES):
+    for _pass in range(n_passes):
         # Explicit pass id: lo/hi samples of one pass are paired by THIS,
         # not by a coarse timestamp bucket (a pass's lo/hi runs are
         # minutes apart and used to be dropped/mispaired when they
         # straddled a bucket boundary).
         pass_id = f"{os.getpid()}-{int(time.time())}-{_pass}"
         pass_new: list[dict] = []
-        for cpus in SCALING_CPUS:
+        for level in levels:
             # A sample lost to a pathological window (subprocess timeout /
             # crash) is SKIPPED, never fatal: round 4 saw one 900-s hung
             # local[4] window abort the whole bench before the payload
@@ -325,15 +331,15 @@ def measure_scaling(rows: int) -> dict:
             # oversized line did. best-per-level over the round's samples
             # tolerates missing samples; a missing ARTIFACT it cannot.
             try:
-                calib = _run_pinned(cpus, "--calib")
-                res = _run_pinned(cpus, "--pipeline-once", str(rows))
+                calib = _run_pinned(level, "--calib")
+                res = _run_pinned(level, "--pipeline-once", str(rows))
             except (subprocess.TimeoutExpired,
                     subprocess.CalledProcessError) as exc:
-                print(f"scaling sample skipped (cpus={cpus}, pass={pass_id}): "
+                print(f"scaling sample skipped (cpus={level}, pass={pass_id}): "
                       f"{type(exc).__name__}", file=sys.stderr)
                 continue
             pass_new.append({
-                "ts": int(time.time()), "cpus": cpus, "rows": rows,
+                "ts": int(time.time()), "cpus": level, "rows": rows,
                 "shape": PIPELINE_SHAPE, "pass_id": pass_id,
                 "secs": res["secs"], "trials": res["trials"],
                 "calib_hps": calib["hashes_per_sec"],
@@ -345,20 +351,20 @@ def measure_scaling(rows: int) -> dict:
         new.extend(pass_new)
     samples = [s for s in _load_samples()
                if s["rows"] == rows and s.get("shape") == PIPELINE_SHAPE
-               and s["cpus"] in SCALING_CPUS] or new
-    if any(not [s for s in samples if s["cpus"] == c] for c in SCALING_CPUS):
+               and s["cpus"] in levels] or new
+    if any(not [s for s in samples if s["cpus"] == c] for c in levels):
         # a level with zero samples (fresh state + every sample skipped)
         # degrades to a diagnostic block — never an exception
-        return {"rows": rows, "passes": SCALING_PASSES, "shape": PIPELINE_SHAPE,
+        return {"rows": rows, "passes": n_passes, "shape": PIPELINE_SHAPE,
                 "samples_total": len(samples), "error": "insufficient_samples"}
 
     best = {c: min(s["secs"] for s in samples if s["cpus"] == c)
-            for c in SCALING_CPUS}
+            for c in levels}
     calib_best = {c: max(s["calib_hps"] for s in samples if s["cpus"] == c)
-                  for c in SCALING_CPUS}
+                  for c in levels}
     mem_vals = {c: [s["calib_mem_gbps"] for s in samples
                     if s["cpus"] == c and s.get("calib_mem_gbps")]
-                for c in SCALING_CPUS}
+                for c in levels}
     mem_best = {c: (max(v) if v else None) for c, v in mem_vals.items()}
     window_pairs = []
     # Chronological by the hi leg's ts — lexicographic pass_id order would
@@ -386,9 +392,9 @@ def measure_scaling(rows: int) -> dict:
                 entry["engine_speedup"] / mr, 3)
         window_pairs.append(entry)
     speedup = best[lo] / best[hi]
-    out: dict = {"rows": rows, "passes": SCALING_PASSES,
+    out: dict = {"rows": rows, "passes": n_passes,
                  "shape": PIPELINE_SHAPE, "samples_total": len(samples)}
-    for c in SCALING_CPUS:
+    for c in levels:
         out[f"local{c}_sec"] = best[c]
         out[f"local{c}_docs_per_sec"] = round(rows / best[c], 1)
     out["speedup"] = round(speedup, 3)
@@ -422,7 +428,7 @@ def measure_scaling(rows: int) -> dict:
     }
     # Alternate 2→8 series (BASELINE.md criterion 3): raw N→4N efficiency
     # measured where the socket's bandwidth ceiling doesn't bind.
-    if SCALING_CPUS != (2, 8):
+    if levels != (2, 8):
         alt = _series_summary(rows, 2, 8)
         if alt:
             out["alt_raw_series"] = alt
@@ -473,14 +479,117 @@ def _write_full_detail(payload: dict, scaling_full: dict | None,
             }) + "\n")
 
 
+# Regression gate over the persisted per-run history
+# (bench_state/query_timings.jsonl). A query is flagged only when BOTH
+# hold, each on canary-rescaled walls (historical walls are rescaled UP
+# to this window's throttling level, never down):
+#   1. now > REGRESSION_FACTOR × the cross-round BEST — the criterion
+#      proper (a real slowdown relative to the code's demonstrated
+#      capability);
+#   2. now > the cross-round WORST — the noise floor. Measured on this
+#      host, per-query walls spread 3-30× across windows at near-equal
+#      canary readings (steal hits individual queries, not the whole
+#      run), so condition 1 alone would flag half the suite every run.
+#      Requiring "worse than EVERY window ever observed" makes a flagged
+#      entry mean a genuine shift, not a known-bad window.
+# Expected: []. The thorough cross-round per-query comparison remains
+# the BASELINE.md table; this gate is the automated tripwire.
+REGRESSION_FACTOR = float(os.environ.get("BENCH_REGRESSION_FACTOR", "1.3"))
+
+
+def _query_regressions(timings: dict, canary_sec: float,
+                       sf: str | None = None) -> list[dict]:
+    hist_path = os.path.join(os.path.dirname(SCALING_STATE),
+                             "query_timings.jsonl")
+    try:
+        with open(hist_path) as f:
+            runs = [json.loads(line) for line in f if line.strip()]
+    except (FileNotFoundError, ValueError):
+        return []
+    # like-for-like only: a smoke run at another scale factor must not
+    # become the "best" a full run is gated against
+    runs = [r for r in runs if sf is None or r.get("sf") == sf]
+    out = []
+    for name, now in timings.items():
+        best = worst = None
+        for r in runs:
+            t = (r.get("queries") or {}).get(name)
+            c = r.get("canary_sec")
+            if not t or not c:
+                continue
+            expect = t * max(1.0, canary_sec / c)
+            best = expect if best is None else min(best, expect)
+            worst = expect if worst is None else max(worst, expect)
+        if best is not None and now > REGRESSION_FACTOR * best and now > worst:
+            out.append({"query": name, "sec": now,
+                        "best_rescaled": round(best, 3),
+                        "worst_rescaled": round(worst, 3)})
+    # worst first, bounded so a pathological window can't blow the
+    # payload line past the driver's stdout-tail capture
+    out.sort(key=lambda r: r["sec"] / r["best_rescaled"], reverse=True)
+    return out[:8]
+
+
+# Opportunistic 4→16 capture (BASELINE.md criterion): the 4→16 series is
+# bandwidth-capped on a contended socket, so a raw ≥0.8 window is only
+# observable when the box is near-idle. Gate ONE extra 4→16 pass on the
+# canary (an idle-ish box reads ≲0.55 s; a throttled one 1 s+) whenever
+# the configured series is something else; every attempt — taken or
+# declined — is appended to bench_state/opportunistic_416.jsonl so a
+# round where the host never idles still carries the documented attempt
+# log rather than silence.
+GATE_CANARY_SEC = float(os.environ.get("BENCH_GATE_CANARY_SEC", "0.55"))
+
+
+def _opportunistic_416(canary_sec: float | None) -> dict | None:
+    if canary_sec is None or SCALING_CPUS == (4, 16):
+        return None  # the primary series already measures 4→16
+    attempt: dict = {"ts": int(time.time()), "canary_sec": canary_sec,
+                     "gate_sec": GATE_CANARY_SEC, "ran": False}
+    if canary_sec < GATE_CANARY_SEC:
+        try:
+            extra = measure_scaling(SCALING_ROWS, cpus=(4, 16), passes=1)
+            _split_full(extra)
+            attempt["ran"] = True
+            for k in ("local4_sec", "local16_sec", "efficiency",
+                      "bw_normalized_speedup_best"):
+                if k in extra:
+                    attempt[k] = extra[k]
+        except Exception as exc:  # noqa: BLE001 — attempt log, never void
+            attempt["error"] = type(exc).__name__
+    os.makedirs(os.path.dirname(SCALING_STATE), exist_ok=True)
+    with open(os.path.join(os.path.dirname(SCALING_STATE),
+                           "opportunistic_416.jsonl"), "a") as f:
+        f.write(json.dumps(attempt) + "\n")
+    return attempt
+
+
+def _measure_canary(spark, sf_dir: str) -> float:
+    """Fixed JVM-only environment probe: dedup_exact on the sf documents
+    table, min-of-3 after warmups (see the canary note in main)."""
+    from xdan_dqa_spark.plans import entry_queries as eq
+
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    fn = eq.QUERIES["dedup_exact"]
+    force(fn(spark, sf_dir))                                 # cache warmup
+    best = 1e18
+    for _ in range(3):
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def scaling_only() -> None:
     """Scaling measurement alone (BENCH_ONLY_SCALING=1): used to re-sample
     until an uncapped hypervisor window is caught (BASELINE.md criterion);
-    prints the same JSON shape with only the scaling block."""
+    prints the same JSON shape with only the scaling block. Also takes a
+    canary reading and, on an idle-ish box, the opportunistic 4→16 pass."""
     from xdan_dqa_spark.session import get_spark
 
     spark = get_spark("bench_gen", master="local[8]")
     ensure_webtext(spark, SCALING_ROWS)
+    canary_sec = _measure_canary(spark, SF_DIR)
     spark.stop()
     try:
         scaling = measure_scaling(SCALING_ROWS)
@@ -488,7 +597,10 @@ def scaling_only() -> None:
         print(f"scaling measurement failed: {exc!r}", file=sys.stderr)
         scaling = {"error": f"{type(exc).__name__}"}
     full = _split_full(scaling)
-    payload = {"scaling": scaling}
+    payload = {"scaling": scaling, "canary_sec": canary_sec}
+    gate = _opportunistic_416(canary_sec)
+    if gate:
+        payload["scaling_4_16_gate"] = gate
     # Scaling-only runs keep their own snapshot so they never clobber the
     # last FULL run's suite timings in bench_full_last.json.
     _write_full_detail(payload, full, filename="bench_scaling_last.json")
@@ -533,15 +645,7 @@ def main() -> None:
     # ~0.6 s at sf0.1), this round's absolute numbers were taken in a
     # throttled hypervisor window and must be read against the canary
     # ratio rather than across rounds.
-    spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-    fn_canary = eq.QUERIES["dedup_exact"]
-    force(fn_canary(spark, SF_DIR))                          # cache warmup
-    canary = 1e18
-    for _ in range(3):
-        t0 = time.time()
-        force(fn_canary(spark, SF_DIR))
-        canary = min(canary, time.time() - t0)
-    canary_sec = round(canary, 3)
+    canary_sec = _measure_canary(spark, SF_DIR)
 
     # ---- flagship: full pipeline over webtext (extract→score→scrub) ----
     # Shuffle-free since r3 (see pipeline_once docstring): map-only scoring
@@ -613,6 +717,10 @@ def main() -> None:
         "canary_sec": canary_sec,
         "canary_note": "dedup_exact@sf min-of-3; uncapped wall in "
                        "BASELINE.md — rescale cross-round by canary ratio",
+        # Automated per-query regression gate vs the canary-rescaled
+        # cross-round best (expected: []). History is read BEFORE
+        # _write_full_detail appends this run.
+        "regressions": _query_regressions(timings, canary_sec, sf),
     }
     scaling_full = _split_full(scaling)
     if scaling:
@@ -631,6 +739,9 @@ def main() -> None:
         )
         if best_s:
             payload["docs_per_sec_best_pinned_sample"] = best_s
+        gate = _opportunistic_416(canary_sec)
+        if gate:
+            payload["scaling_4_16_gate"] = gate
     _write_full_detail(payload, scaling_full)
     # Hard guard: the driver records only a short tail of stdout; a
     # payload past ~2000 chars voided round 3's artifact. The blocks that
@@ -643,6 +754,9 @@ def main() -> None:
         lambda p: p.get("scaling", {}).get("alt_raw_series", {})
                    .pop("window_efficiencies", None),
         lambda p: p.get("scaling", {}).pop("calibration", None),
+        # the gate attempt stays on disk (opportunistic_416.jsonl) even
+        # when shed from the line
+        lambda p: p.pop("scaling_4_16_gate", None),
         lambda p: p.get("scaling", {}).pop("alt_raw_series", None),
         lambda p: p.get("scaling", {}).pop("windows", None),
     ]

@@ -651,7 +651,7 @@ cand AS (
   FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 ),
-shd AS (SELECT doc_id, list_distinct([md5(x) FOR x IN sh]) AS s FROM sigs)
+shd AS (SELECT doc_id, list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN sh]) AS s FROM sigs)
 SELECT c.a, c.b,
        round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
              / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
@@ -971,7 +971,7 @@ cand AS (
   FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 ),
-shd AS (SELECT doc_id, list_distinct([md5(x) FOR x IN sh]) AS s FROM sigs),
+shd AS (SELECT doc_id, list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN sh]) AS s FROM sigs),
 dups AS (
   SELECT DISTINCT c.b
   FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
@@ -1003,7 +1003,7 @@ cand AS (
   FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 ),
-shd AS (SELECT doc_id, list_distinct([md5(x) FOR x IN sh]) AS s FROM sigs),
+shd AS (SELECT doc_id, list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN sh]) AS s FROM sigs),
 verified AS (
   SELECT c.a, c.b
   FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
