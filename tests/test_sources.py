@@ -170,3 +170,19 @@ def test_partition_roundtrip_numeric_looking_values(spark, tmp_path):
     got = sorted((r.doc_id, r.source) for r in back.collect())
     # '007' survives byte-identically; inference would read it back as 7
     assert got == [(1, "123"), (2, "007"), (3, "src")]
+
+
+def test_s8_output_naming_matches_python_convention(spark):
+    """The distributed S8 naming query (one output name per source
+    partition) must agree with the driver-side output_name() convention
+    on every fixture source — ties the oracle-paired column expression
+    to the Python function sinks actually use."""
+    from xdan_dqa_spark.plans.entry_queries import q_s8_output_naming
+    from xdan_dqa_spark.sources.sinks import output_name
+
+    rows = q_s8_output_naming(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["output_name"] == output_name(
+            "assessment", r["source"], r["n_rows"]
+        )

@@ -1186,6 +1186,40 @@ FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
 """
 
 
+# S8 output naming, oracle-paired: the sinks.output_name convention
+# (task_dataset_count with [^A-Za-z0-9_.-]+ squashed to '-',
+# sources/sinks.py:29-39, reference generate_output_filename
+# src/data_loader.py:143-171) computed DISTRIBUTED — one output name per
+# source partition with its row count baked in, the shape a per-segment
+# sink would use. tests/test_sources.py pins column-expr ≡ the driver-side
+# Python function on every fixture source.
+
+def q_s8_output_naming(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "source",
+            F.concat(
+                F.lit("assessment_"),
+                F.regexp_replace(F.col("source"), "[^A-Za-z0-9_.-]+", "-"),
+                F.lit("_"), F.col("n_rows").cast("string"),
+            ).alias("output_name"),
+            "n_rows",
+        )
+    )
+
+
+SQL_S8_OUTPUT_NAMING = """
+SELECT source,
+       'assessment_' || regexp_replace(source, '[^A-Za-z0-9_.-]+', '-', 'g')
+           || '_' || CAST(count(*) AS VARCHAR) AS output_name,
+       count(*) AS n_rows
+FROM documents GROUP BY source
+"""
+
+
 def q_pipeline_score_documents(spark, sf_dir):
     """Flagship: full deterministic scoring pipeline over `documents`."""
     from ..operators.score import QualityConfig
@@ -1786,6 +1820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen_fanout": q_gen_fanout,
     "stream_windowed_agg": q_stream_windowed_agg,
     "sink_roundtrip": q_sink_roundtrip,
+    "s8_output_naming": q_s8_output_naming,
     # rows-only (non-SQL-expressible)
     "pipeline_score_documents": q_pipeline_score_documents,
     "dedup_minhash_full": q_dedup_minhash_full,
@@ -1838,6 +1873,7 @@ def oracle_map() -> dict[str, str]:
         "gen_fanout": SQL_GEN_FANOUT,
         "stream_windowed_agg": SQL_STREAM_WINDOWED_AGG,
         "sink_roundtrip": SQL_SINK_ROUNDTRIP,
+        "s8_output_naming": SQL_S8_OUTPUT_NAMING,
         "dedup_minhash_full": SQL_DEDUP_MINHASH_FULL,
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_cc": SQL_DEDUP_CC,
