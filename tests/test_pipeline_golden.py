@@ -86,3 +86,20 @@ def test_partitioning_invariance(spark, webtext):
         .sort_index()
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_uid64_md5_matches_python(spark):
+    import hashlib
+
+    from xdan_dqa_spark.pipeline import uid64_md5
+
+    df = spark.createDataFrame(
+        [("web", 7), ("web", -3), ("news", 7)], "source string, doc_id long"
+    )
+    got = {(r["source"], r["doc_id"]): r["uid"]
+           for r in df.select("source", "doc_id",
+                              uid64_md5("source", "doc_id").alias("uid")).collect()}
+    for (src, did), uid in got.items():
+        want = int(hashlib.md5(f"{src}:{did}".encode()).hexdigest()[:15], 16)
+        assert uid == want
+    assert len(set(got.values())) == 3

@@ -186,3 +186,27 @@ def test_s8_output_naming_matches_python_convention(spark):
         assert r["output_name"] == output_name(
             "assessment", r["source"], r["n_rows"]
         )
+
+
+def test_stratified_hash_sample_deterministic_and_rated(spark):
+    import hashlib
+
+    from xdan_dqa_spark.sources.readers import stratified_hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    picked = stratified_hash_sample(
+        docs, key_col="doc_id", strata_col="lang", pct={"en": 0}, default_pct=100
+    )
+    langs = {r["lang"] for r in picked.select("lang").distinct().collect()}
+    assert "en" not in langs and langs          # en fully dropped, rest fully kept
+
+    # the bucket is md5-derived: recompute one row's membership in python
+    sample = stratified_hash_sample(docs, pct=None, default_pct=37)
+    ids = {r["doc_id"] for r in sample.select("doc_id").collect()}
+    for r in docs.select("doc_id").limit(50).collect():
+        bucket = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) % 100
+        assert (r["doc_id"] in ids) == (bucket < 37)
+
+    # stable across cluster layouts
+    again = stratified_hash_sample(docs.repartition(13), pct=None, default_pct=37)
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} == ids

@@ -60,3 +60,42 @@ def test_text_profile_on_documents(spark):
     ).collect()[0]
     assert row[0] >= 0 and row[1] <= 1.0
     assert row[2] > 0
+
+
+def test_top_terms_counts_and_ties(spark):
+    from xdan_dqa_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame(
+        [("a b a",), ("b a c",), (None,), ("d d b",)], "text string"
+    )
+    rows = top_terms(df, k=3).collect()
+    # a:3 b:3 d:2 c:1 — tie at the top broken by term ASC; k cuts c
+    assert [(r["term"], r["cnt"]) for r in rows] == [("a", 3), ("b", 3), ("d", 2)]
+
+
+def test_token_count_quantiles_match_numpy_type7(spark):
+    import numpy as np
+
+    from xdan_dqa_spark.operators.textstats import token_count_quantiles
+
+    # groups with even/odd sizes, duplicates, and a singleton stratum
+    data = [("en", "w " * n) for n in [1, 2, 2, 3, 10, 50, 50]]
+    data += [("fr", "w " * n) for n in [4, 7]]
+    data += [("zh", "w " * 9)]
+    df = spark.createDataFrame(data, "lang string, text string")
+    got = {r["lang"]: (r["p50"], r["p90"], r["p99"])
+           for r in token_count_quantiles(df).collect()}
+    counts = {"en": [1, 2, 2, 3, 10, 50, 50], "fr": [4, 7], "zh": [9]}
+    for lang, vals in counts.items():
+        want = np.percentile(np.array(vals, dtype=float), [50, 90, 99],
+                             method="linear")
+        assert got[lang] == tuple(round(float(w), 6) for w in want), lang
+
+
+def test_token_count_quantiles_partitioning_invariant(spark):
+    from xdan_dqa_spark.operators.textstats import token_count_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, token_count_quantiles(docs).collect()))
+    b = sorted(map(tuple, token_count_quantiles(docs.repartition(7)).collect()))
+    assert a == b

@@ -101,3 +101,92 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "lang_pred": langid_heuristic_expr(text_col),
         }
     )
+
+
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus top-k terms by frequency (vocabulary heavy hitters — the
+    sanity report a web-corpus curation run prints before training).
+
+    Shape at scale: explode → hash aggregate (map-side partial combine on
+    the term key, ONE shuffle of partial counts, not of tokens) →
+    ``orderBy().limit(k)`` which Spark compiles to TakeOrderedAndProject
+    (per-partition top-k heaps, no global sort). The tie at rank k is
+    broken by term ASC so the selected SET is deterministic in any
+    engine/partitioning (the driver's value-hash compare is
+    order-insensitive but set-sensitive).
+    """
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: w != F.lit(""),
+    )
+    return (
+        df.select(F.explode(words).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def token_count_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles of whitespace token counts, computed
+    over a value-compressed histogram instead of Spark's
+    ``percentile(...)`` aggregate.
+
+    Why not the built-in exact ``percentile``: it buffers EVERY value of
+    the group in executor memory (an OpenHashMap of raw values) — at
+    10^12 documents that is the aggregation-state OOM, which is why only
+    ``approx_percentile`` is normally usable at scale. But token counts
+    are small integers with tiny cardinality (≤ max doc length ≪ rows),
+    so the distribution compresses losslessly: groupBy (lang, n_tokens)
+    → count is a map-side-combined aggregate whose result is a few
+    thousand rows per language no matter how many documents fed it.
+    Type-7 linear interpolation (h = p·(total−1); v_lo + frac·(v_hi −
+    v_lo) — the same definition as Spark ``percentile`` and DuckDB
+    ``quantile_cont``) is then a window cum-sum + one conditional
+    aggregate over the histogram. Exact answer, bounded state, two small
+    shuffles.
+    """
+    n_tok = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+    hist = (
+        df.select(F.col(group_col).alias("g"), n_tok.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("g").orderBy("v")
+    w_all = Window.partitionBy("g")
+    hist = (
+        hist.withColumn("cum", F.sum("c").over(w_ord))
+        .withColumn("total", F.sum("c").over(w_all))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+    )
+    aggs, finals = [], [F.col("g").alias(group_col)]
+    for p in ps:
+        tag = str(int(round(p * 100)))
+        h = F.lit(float(p)) * (F.col("total") - F.lit(1)).cast("double")
+        j = F.floor(h).cast("long")
+        frac = h - j.cast("double")
+        in_row = lambda idx: (F.col("cum_prev") <= idx) & (idx < F.col("cum"))  # noqa: E731
+        aggs += [
+            F.max(frac).alias(f"_f{tag}"),  # constant within the group
+            F.max(F.when(in_row(j), F.col("v"))).alias(f"_lo{tag}"),
+            F.max(F.when(in_row(j + 1), F.col("v"))).alias(f"_hi{tag}"),
+        ]
+        lo = F.col(f"_lo{tag}").cast("double")
+        hi = F.coalesce(F.col(f"_hi{tag}"), F.col(f"_lo{tag}")).cast("double")
+        finals.append(
+            F.round(lo + F.col(f"_f{tag}") * (hi - lo), 6).alias(f"p{tag}")
+        )
+    return hist.groupBy("g").agg(*aggs).select(*finals)

@@ -46,6 +46,17 @@ def with_doc_id(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("doc_id", F.xxhash64(F.col(url_col)))
 
 
+def uid64_md5(*cols: str) -> F.Column:
+    """P5 oracle-portable variant: 60-bit uid from the first 15 hex chars
+    of md5 over ':'-joined key columns. The production path keeps
+    xxhash64 (faster, JVM-native, but absent from other engines); this
+    md5 form computes the IDENTICAL value in any engine with md5 —
+    the cross-engine-checkable id for interchange tables. Same
+    determinism/resume contract as ``with_doc_id``."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
 def salted_repartition(df: DataFrame, n_partitions: int | None = None,
                        url_col: str = "url") -> DataFrame:
     """URL-hash repartition with a salt term so one heavy host (Zipf head)

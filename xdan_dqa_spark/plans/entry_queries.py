@@ -728,6 +728,81 @@ def q_token_count(spark, sf_dir):
 # tables (single-space text) but must not be conflated.
 SQL_TOKEN_COUNT = f"SELECT doc_id, len({_WORDS_WS_SQL}) AS n_ws_tokens FROM documents"
 
+# Corpus top-k terms (vocabulary heavy hitters) — explode → map-side-
+# combined count → TakeOrderedAndProject; tie at rank k broken by term
+# ASC so the selected SET is engine-deterministic.
+
+def q_tf_top_terms(spark, sf_dir):
+    from ..operators.textstats import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), k=20)
+
+
+SQL_TF_TOP_TERMS = f"""
+SELECT term, COUNT(*) AS cnt
+FROM (SELECT unnest({_WORDS_WS_SQL}) AS term FROM documents)
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
+"""
+
+# Per-language EXACT token-count quantiles over a value-compressed
+# histogram (operators/textstats.py token_count_quantiles): Spark's
+# exact percentile() buffers every group value in executor memory — the
+# 10^12-doc OOM — while the histogram form is two bounded shuffles.
+# Twin: DuckDB quantile_cont, the same type-7 h = p·(n−1) interpolation.
+
+def q_a6_token_quantiles(spark, sf_dir):
+    from ..operators.textstats import token_count_quantiles
+
+    return token_count_quantiles(_t(spark, sf_dir, "documents"))
+
+
+SQL_A6_TOKEN_QUANTILES = f"""
+SELECT lang,
+       round(quantile_cont(v, 0.5), 6)  AS p50,
+       round(quantile_cont(v, 0.9), 6)  AS p90,
+       round(quantile_cont(v, 0.99), 6) AS p99
+FROM (SELECT lang, len({_WORDS_WS_SQL}) AS v FROM documents)
+GROUP BY lang
+"""
+
+# S3 variant: per-stratum deterministic hash sampling (md5 bucket mod
+# 100 < per-language rate) — map-only, no shuffle, engine-portable.
+
+def q_s3_stratified_sample(spark, sf_dir):
+    from ..sources.readers import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id", strata_col="lang",
+        pct={"en": 5, "zh": 25}, default_pct=10,
+    ).select("doc_id", "lang", "source")
+
+
+SQL_S3_STRATIFIED = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 25 ELSE 10 END
+"""
+
+# P5 unique-id generation, oracle-portable form (pipeline.uid64_md5):
+# production keeps xxhash64(url) (JVM-native, not in DuckDB); this md5
+# 60-bit variant pins the id CONSTRUCTION (stable key join → hash →
+# long) against the oracle so P5 is no longer tests-only.
+
+def q_p5_uid64(spark, sf_dir):
+    from ..pipeline import uid64_md5
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", uid64_md5("source", "doc_id").alias("uid64")
+    )
+
+
+SQL_P5_UID64 = """
+SELECT doc_id,
+       CAST('0x' || substr(md5(concat_ws(':', source, CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT) AS uid64
+FROM documents
+"""
+
 # PII/profanity scrub (JVM regexp chain — P7 replacement)
 
 def q_p7_scrub(spark, sf_dir):
@@ -1811,6 +1886,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count": q_token_count,
+    "tf_top_terms": q_tf_top_terms,
+    "a6_token_quantiles": q_a6_token_quantiles,
+    "s3_stratified_sample": q_s3_stratified_sample,
+    "p5_uid64": q_p5_uid64,
     "p7_scrub": q_p7_scrub,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_neardup": q_embedding_neardup,
@@ -1864,6 +1943,10 @@ def oracle_map() -> dict[str, str]:
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
+        "tf_top_terms": SQL_TF_TOP_TERMS,
+        "a6_token_quantiles": SQL_A6_TOKEN_QUANTILES,
+        "s3_stratified_sample": SQL_S3_STRATIFIED,
+        "p5_uid64": SQL_P5_UID64,
         "p7_scrub": _scrub_sql(),
         "knn_bruteforce": SQL_KNN,
         "embedding_neardup": SQL_EMB_NEARDUP,

@@ -96,6 +96,33 @@ def deterministic_sample(df: DataFrame, n: int, key_col: str = "url") -> DataFra
     return df.orderBy(F.xxhash64(F.col(key_col)), F.col(key_col)).limit(n)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    pct: dict[str, int] | None = None,
+    default_pct: int = 10,
+) -> DataFrame:
+    """S3 variant: per-stratum deterministic sampling (e.g. keep 5% of
+    the dominant language, 20% of the tail languages when rebalancing a
+    training mix).
+
+    The bucket is ``md5(key) mod 100`` — a pure map-side filter, no
+    shuffle, stable across runs, cluster layouts, and engines (md5 is
+    engine-portable, unlike xxhash64, so the selected SET is
+    oracle-checkable). Rates are integer percents per stratum value.
+    """
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    rate: F.Column = F.lit(int(default_pct))
+    for value, r in (pct or {}).items():
+        rate = F.when(F.col(strata_col) == value, F.lit(int(r))).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
 def read_source(spark: SparkSession, cfg: SourceConfig,
                 enforce_webtext: bool = False) -> DataFrame:
     """S1/S2: one lazy scan. ``enforce_webtext`` pins the input_hint schema
