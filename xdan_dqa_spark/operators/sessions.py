@@ -1,0 +1,74 @@
+"""Gap-based sessionization over event streams (the classic web-log
+operator a 100 TB training-data pipeline needs for behavioral filtering
+— e.g. dropping docs whose crawl sessions look like bot bursts).
+
+Spark-first shape: ONE shuffle on the user key, then two window passes
+inside each partition (lag → new-session flag → running sum = session
+ordinal) and a hash aggregate — no self-joins, no UDFs, whole-stage
+codegen throughout. Timestamps are compared as epoch MICROSECONDS
+(``unix_micros``) so arithmetic is integral and engine-portable (the
+session timezone is pinned UTC in session.py).
+
+Skew note: a single pathological user's events all land in one task
+(window semantics require it). Real deployments cap per-user history
+first (``max_events_per_user`` via the same row_number trick as the
+bounded LSH buckets); the cap is opt-in here and logged, never silent.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_sec: int = 1800,
+    max_events_per_user: int | None = None,
+) -> DataFrame:
+    """One row per (user, session): event count, start/end epoch-µs,
+    duration. A session breaks when the gap to the previous event of the
+    same user exceeds ``gap_sec``. Ordering ties on ``ts`` are broken by
+    ``id_col`` so the session assignment is deterministic under any
+    partitioning (and matches the SQL twin exactly)."""
+    # NTZ→LTZ cast first: unix_micros needs an instant, and with the
+    # session tz pinned UTC the NTZ wall-clock IS the UTC instant — the
+    # same convention DuckDB's epoch_us applies to naive timestamps.
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("tus", id_col)
+    e = df.select(F.col(user_col), F.col(id_col), tus.alias("tus"))
+    if max_events_per_user is not None:
+        e = e.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_events_per_user
+        ).drop("_rn")
+        log.info("sessionize: capped users at %d events", max_events_per_user)
+    prev = F.lag("tus").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("tus") - prev) > gap_sec * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        e.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sess.groupBy(F.col(user_col), F.col("session_seq"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+        )
+        .withColumn(
+            "duration_sec",
+            (F.col("end_us") - F.col("start_us")).cast("double") / F.lit(1e6),
+        )
+    )

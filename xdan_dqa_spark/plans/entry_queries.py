@@ -551,6 +551,81 @@ def q_o1_sort_limit(spark, sf_dir):
 
 SQL_O1 = "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id LIMIT 100"
 
+# O2 top-N per group (row_number window — the per-language "best docs"
+# report; one shuffle on lang, per-partition heap, deterministic
+# tie-break on doc_id ASC)
+
+def q_o2_topn_per_group(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )
+
+
+SQL_O2_TOPN = """
+SELECT lang, doc_id, n_chars,
+       row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+FROM documents
+QUALIFY rn <= 3
+"""
+
+# Gap-based sessionization over events (operators/sessions.py): one
+# shuffle on user_id, lag → flag → running-sum windows, hash agg.
+# Timestamps compared as epoch-µs longs (session tz pinned UTC) so the
+# arithmetic is integral and engine-portable.
+
+def q_sessionize_events(spark, sf_dir):
+    from ..operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+m AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT user_id, tus,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(tus) AS start_us, MAX(tus) AS end_us,
+       CAST(MAX(tus) - MIN(tus) AS DOUBLE) / 1e6 AS duration_sec
+FROM s GROUP BY user_id, session_seq
+"""
+
+# A7 per-user event-type pivot (Spark relational pivot with an EXPLICIT
+# value list — an inferred list would add a driver-side distinct scan
+# and make the output schema data-dependent)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_a7_event_pivot(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+SQL_A7_PIVOT = "SELECT user_id, " + ", ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
 # S3 deterministic sampling (reference src/data_loader.py:97-100, seed=42)
 
 def q_s3_sample(spark, sf_dir):
@@ -1888,6 +1963,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "tf_top_terms": q_tf_top_terms,
     "a6_token_quantiles": q_a6_token_quantiles,
+    "o2_topn_per_group": q_o2_topn_per_group,
+    "sessionize_events": q_sessionize_events,
+    "a7_event_pivot": q_a7_event_pivot,
     "s3_stratified_sample": q_s3_stratified_sample,
     "p5_uid64": q_p5_uid64,
     "p7_scrub": q_p7_scrub,
@@ -1945,6 +2023,9 @@ def oracle_map() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "tf_top_terms": SQL_TF_TOP_TERMS,
         "a6_token_quantiles": SQL_A6_TOKEN_QUANTILES,
+        "o2_topn_per_group": SQL_O2_TOPN,
+        "sessionize_events": SQL_SESSIONIZE,
+        "a7_event_pivot": SQL_A7_PIVOT,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "p5_uid64": SQL_P5_UID64,
         "p7_scrub": _scrub_sql(),
