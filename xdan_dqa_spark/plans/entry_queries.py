@@ -604,6 +604,80 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
 FROM s GROUP BY user_id, session_seq
 """
 
+# As-of join (operators/asof.py): attach the most recent purchase at or
+# before each click, per user — union+window carry, ONE shuffle on the
+# key; twin is DuckDB's native ASOF LEFT JOIN. Nullable outputs are
+# coalesced to sentinels on BOTH sides (a nullable BIGINT round-trips
+# as float64-NaN in one engine and object-None in the other, which
+# would break the value hash, not the semantics).
+
+def q_asof_purchase_attach(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tus", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tus"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("tus"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases,
+        key_col="user_id", time_col="tus",
+        value_cols=["purchase_id", "purchase_value"], tie_col="purchase_id",
+    )
+    return out.select(
+        "event_id", "user_id", "tus",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+SQL_ASOF = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value, event_type FROM events),
+l AS (SELECT event_id, user_id, tus FROM ev WHERE event_type = 'click'),
+r0 AS (SELECT user_id, tus, event_id AS purchase_id, value AS purchase_value,
+              row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) AS rn
+       FROM ev WHERE event_type = 'purchase'),
+r AS (SELECT user_id, tus, purchase_id, purchase_value FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.tus,
+       COALESCE(r.purchase_id, -1) AS purchase_id,
+       COALESCE(r.purchase_value, 0.0) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+"""
+
+# J3 star-schema dim join with EXPLICIT broadcast hints: region and
+# nation are bounded dims (25/5 rows at any scale), so both joins are
+# map-side BroadcastHashJoins — zero shuffle of the fact table.
+
+def q_j3_dim_broadcast(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+SQL_J3_DIM = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
 # A7 per-user event-type pivot (Spark relational pivot with an EXPLICIT
 # value list — an inferred list would add a driver-side distinct scan
 # and make the output schema data-dependent)
@@ -1966,6 +2040,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o2_topn_per_group": q_o2_topn_per_group,
     "sessionize_events": q_sessionize_events,
     "a7_event_pivot": q_a7_event_pivot,
+    "asof_purchase_attach": q_asof_purchase_attach,
+    "j3_dim_broadcast": q_j3_dim_broadcast,
     "s3_stratified_sample": q_s3_stratified_sample,
     "p5_uid64": q_p5_uid64,
     "p7_scrub": q_p7_scrub,
@@ -2026,6 +2102,8 @@ def oracle_map() -> dict[str, str]:
         "o2_topn_per_group": SQL_O2_TOPN,
         "sessionize_events": SQL_SESSIONIZE,
         "a7_event_pivot": SQL_A7_PIVOT,
+        "asof_purchase_attach": SQL_ASOF,
+        "j3_dim_broadcast": SQL_J3_DIM,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "p5_uid64": SQL_P5_UID64,
         "p7_scrub": _scrub_sql(),
