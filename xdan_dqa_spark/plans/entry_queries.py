@@ -651,6 +651,51 @@ SELECT l.event_id, l.user_id, l.tus,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
 """
 
+# Bucketed range join (operators/rangejoin.py): clicks falling inside
+# the 6-hour window after each error, per user. The naive inequality
+# join is a nested loop; bucketizing time makes it ONE equi-shuffle
+# (bucket + user key) plus an exact refine filter. Twin: DuckDB plain
+# BETWEEN join (fine at oracle scale).
+
+def q_range_join_error_windows(spark, sf_dir):
+    from ..operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tus", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "tus"
+    )
+    window_us = 21600 * 1_000_000
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("tus").alias("start_us"),
+        (F.col("tus") + F.lit(window_us)).alias("end_us"),
+    )
+    out = interval_join(
+        clicks, errors, time_col="tus", start_col="start_us",
+        end_col="end_us", bucket_width=window_us, by_cols=["user_id"],
+    )
+    return out.select(
+        "click_id", "user_id", "err_id",
+        ((F.col("tus") - F.col("start_us")).cast("double") / F.lit(1e6))
+        .alias("delay_sec"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+c AS (SELECT event_id AS click_id, user_id, tus FROM ev WHERE event_type = 'click'),
+e AS (SELECT event_id AS err_id, user_id, tus AS start_us,
+             tus + 21600000000 AS end_us
+      FROM ev WHERE event_type = 'error')
+SELECT c.click_id, c.user_id, e.err_id,
+       CAST(c.tus - e.start_us AS DOUBLE) / 1e6 AS delay_sec
+FROM c JOIN e ON c.user_id = e.user_id
+             AND c.tus BETWEEN e.start_us AND e.end_us
+"""
+
 # J3 star-schema dim join with EXPLICIT broadcast hints: region and
 # nation are bounded dims (25/5 rows at any scale), so both joins are
 # map-side BroadcastHashJoins — zero shuffle of the fact table.
@@ -2042,6 +2087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_event_pivot": q_a7_event_pivot,
     "asof_purchase_attach": q_asof_purchase_attach,
     "j3_dim_broadcast": q_j3_dim_broadcast,
+    "range_join_error_windows": q_range_join_error_windows,
     "s3_stratified_sample": q_s3_stratified_sample,
     "p5_uid64": q_p5_uid64,
     "p7_scrub": q_p7_scrub,
@@ -2104,6 +2150,7 @@ def oracle_map() -> dict[str, str]:
         "a7_event_pivot": SQL_A7_PIVOT,
         "asof_purchase_attach": SQL_ASOF,
         "j3_dim_broadcast": SQL_J3_DIM,
+        "range_join_error_windows": SQL_RANGE_JOIN,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "p5_uid64": SQL_P5_UID64,
         "p7_scrub": _scrub_sql(),
