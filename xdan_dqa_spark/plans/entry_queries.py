@@ -319,6 +319,29 @@ SELECT lang,
 FROM documents GROUP BY lang
 """
 
+# A8 per-source language roster: sorted-distinct set agg rendered as a
+# canonical CSV string. collect_set here is BOUNDED (≤ #languages per
+# group — an enum, not row-scaled), so the aggregation state stays tiny
+# at any corpus size; the sort canonicalizes engine-dependent set order.
+
+def q_a8_langs_per_source(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+SQL_A8_LANGS = """
+SELECT source,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
 # P2 topical category classification (reference DataCategory
 # src/models.py:6-15, config/category.yaml:2-41) — deterministic 8-way
 # marker-scoring replacement for the LLM's category pick.
@@ -723,6 +746,43 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY r_name, n_name
 """
 
+# Rolling time-range aggregate: per-user trailing-1-hour mean of
+# `value` at each event — a RANGE-frame window (rangeBetween on
+# epoch-µs), the streaming-features primitive for rate/velocity
+# signals. One shuffle on the key; the frame is evaluated with a
+# sliding two-pointer pass inside each partition, never a self-join.
+# DECIMAL(20,6) sum discipline keeps the mean bit-identical in both
+# engines.
+
+def q_rolling_value_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    vdec = F.col("value").cast("decimal(20,6)")
+    return ev.select(
+        "event_id", "user_id", "tus",
+        (F.sum(vdec).over(w).cast("double")
+         / F.count("*").over(w).cast("double")).alias("avg_value_1h"),
+    )
+
+
+SQL_ROLLING_AVG = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+SELECT event_id, user_id, tus,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+       / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_value_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
 # A7 per-user event-type pivot (Spark relational pivot with an EXPLICIT
 # value list — an inferred list would add a driver-side distinct scan
 # and make the output schema data-dependent)
@@ -976,6 +1036,30 @@ SQL_S3_STRATIFIED = """
 SELECT doc_id, lang, source FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
       < CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 25 ELSE 10 END
+"""
+
+# S3 variant 2: EXACTLY-N-per-stratum sample — row_number over an
+# md5-keyed order inside each stratum (deterministic "shuffle"), ≤ N
+# kept. One shuffle on the stratum key; rate-based sampling can't
+# guarantee exact counts, this can (the reference's num_samples knob
+# per dataset, re-expressed per-stratum).
+
+def q_s3_fixed_n_per_group(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("doc_id", "lang")
+    )
+
+
+SQL_S3_FIXED_N = """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
 """
 
 # P5 unique-id generation, oracle-portable form (pipeline.uid64_md5):
@@ -2085,10 +2169,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o2_topn_per_group": q_o2_topn_per_group,
     "sessionize_events": q_sessionize_events,
     "a7_event_pivot": q_a7_event_pivot,
+    "a8_langs_per_source": q_a8_langs_per_source,
     "asof_purchase_attach": q_asof_purchase_attach,
     "j3_dim_broadcast": q_j3_dim_broadcast,
     "range_join_error_windows": q_range_join_error_windows,
+    "rolling_value_avg": q_rolling_value_avg,
     "s3_stratified_sample": q_s3_stratified_sample,
+    "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
     "p7_scrub": q_p7_scrub,
     "knn_bruteforce": q_knn_bruteforce,
@@ -2148,10 +2235,13 @@ def oracle_map() -> dict[str, str]:
         "o2_topn_per_group": SQL_O2_TOPN,
         "sessionize_events": SQL_SESSIONIZE,
         "a7_event_pivot": SQL_A7_PIVOT,
+        "a8_langs_per_source": SQL_A8_LANGS,
         "asof_purchase_attach": SQL_ASOF,
         "j3_dim_broadcast": SQL_J3_DIM,
         "range_join_error_windows": SQL_RANGE_JOIN,
+        "rolling_value_avg": SQL_ROLLING_AVG,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
+        "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
         "p7_scrub": _scrub_sql(),
         "knn_bruteforce": SQL_KNN,
