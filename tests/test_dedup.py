@@ -317,3 +317,50 @@ def test_minhash_scales_on_documents_table(spark):
     n = pairs.count()
     total = docs.count()
     assert n < total * total / 4     # nowhere near all-pairs
+
+
+# ------------------------------------------------------ levenshtein refine
+
+def test_levenshtein_refine_values_and_threshold(spark):
+    from xdan_dqa_spark.operators.dedup import levenshtein_refine
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fax"),
+         (3, "totally different text here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    got = {(r["a"], r["b"]): r["lev"]
+           for r in levenshtein_refine(docs, pairs, max_ratio=0.4).collect()}
+    # fox→fax is one substitution; the unrelated pair exceeds 0.4×len
+    assert got == {(1, 2): 1}
+
+
+def test_levenshtein_refine_prefix_bounds_cost(spark):
+    """Divergence past the prefix window is invisible — the refine is
+    O(prefix²) per pair by construction, not O(doc²)."""
+    from xdan_dqa_spark.operators.dedup import levenshtein_refine
+
+    head = "x" * 200
+    docs = spark.createDataFrame(
+        [(1, head + "AAAA" * 500), (2, head + "ZZZZ" * 500)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    rows = levenshtein_refine(docs, pairs, prefix=200).collect()
+    assert len(rows) == 1 and rows[0]["lev"] == 0
+
+
+def test_levenshtein_pairs_end_to_end_near_dup(spark):
+    """LSH banding must surface a near-identical pair, and the refine must
+    keep it with the exact edit distance."""
+    from xdan_dqa_spark.operators.dedup import levenshtein_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("iota", "iotb")),
+         (3, "completely unrelated words about other topics entirely now")],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["lev"] for r in levenshtein_pairs(docs).collect()}
+    assert got.get((1, 2)) == 1 and (1, 3) not in got and (2, 3) not in got

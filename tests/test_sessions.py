@@ -42,3 +42,50 @@ def test_sessionize_partitioning_invariant_and_cap(spark):
     assert a == b
     capped = sessionize(df, max_events_per_user=10)
     assert capped.agg({"n_events": "sum"}).collect()[0][0] == 5 * 10
+
+
+# ----------------------------------------------------------------- funnel
+
+def _typed_events(spark, rows):
+    """rows: (user, sec, type)"""
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, 1.0)
+         for i, (u, s, t) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+
+
+def test_funnel_hand_computed(spark):
+    from xdan_dqa_spark.operators.sessions import funnel_conversion
+
+    df = _typed_events(spark, [
+        # user 1: click@10 → purchase@70 (converted, 60s delay); an earlier
+        # purchase@5 must NOT count (before the first click)
+        (1, 5, "purchase"), (1, 10, "click"), (1, 70, "purchase"),
+        # user 2: click, never purchases
+        (2, 0, "click"), (2, 50, "view"),
+        # user 3: purchase only, never clicks → not converted, no first_a
+        (3, 30, "purchase"),
+        # user 4: purchase at the SAME instant as the click → counts (>=)
+        (4, 100, "click"), (4, 100, "purchase"),
+    ])
+    got = {r["user_id"]: (r["first_a_us"], r["first_b_after_us"],
+                          r["converted"], r["delay_sec"])
+           for r in funnel_conversion(df).collect()}
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert got[1] == (base + 10_000_000, base + 70_000_000, 1, 60.0)
+    assert got[2] == (base, -1, 0, 0.0)
+    assert got[3] == (-1, -1, 0, 0.0)
+    assert got[4] == (base + 100_000_000, base + 100_000_000, 1, 0.0)
+
+
+def test_funnel_same_instant_tiebreak_deterministic(spark):
+    """Click and purchase share a timestamp; the running-min carry orders
+    by (ts, event_id), so the purchase sees the click regardless of
+    partitioning — repartition must not change the answer."""
+    from xdan_dqa_spark.operators.sessions import funnel_conversion
+
+    df = _typed_events(spark, [(1, 100, "click"), (1, 100, "purchase")])
+    a = sorted(map(tuple, funnel_conversion(df).collect()))
+    b = sorted(map(tuple, funnel_conversion(df.repartition(7)).collect()))
+    assert a == b and a[0][3] == 1

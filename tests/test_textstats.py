@@ -99,3 +99,38 @@ def test_token_count_quantiles_partitioning_invariant(spark):
     a = sorted(map(tuple, token_count_quantiles(docs).collect()))
     b = sorted(map(tuple, token_count_quantiles(docs.repartition(7)).collect()))
     assert a == b
+
+
+# ------------------------------------------------- exact-moment correlation
+
+def test_feature_correlation_exact_lines(spark):
+    from xdan_dqa_spark.operators.metrics import feature_correlation
+
+    rows = (
+        # g=pos: y = 3x exactly → r = 1.0 (exact moments, no FP drift)
+        [("pos", x, 3 * x) for x in range(1, 50)]
+        # g=neg: y = -2x + 1000 → r = -1.0
+        + [("neg", x, 1000 - 2 * x) for x in range(1, 50)]
+        # g=flat: zero variance in y → guarded 0.0, never NaN/NULL
+        + [("flat", x, 7) for x in range(1, 50)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: (r["n"], r["pearson_r"])
+           for r in feature_correlation(df, "x", "y", by="g").collect()}
+    # moments are exact; the closed-form division/sqrt still rounds once,
+    # so ±1 ulp around the true value is the correct expectation
+    assert got["pos"][0] == 49 and abs(got["pos"][1] - 1.0) < 1e-12
+    assert got["neg"][0] == 49 and abs(got["neg"][1] + 1.0) < 1e-12
+    assert got["flat"] == (49, 0.0)
+
+
+def test_feature_correlation_order_independent(spark):
+    """The moment sums are exact decimals, so the result is bit-identical
+    under any partitioning — the property F.corr cannot give."""
+    from xdan_dqa_spark.operators.metrics import feature_correlation
+
+    rows = [("g", x, (x * 7919) % 1000) for x in range(1, 400)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    a = feature_correlation(df, "x", "y", by="g").collect()[0]["pearson_r"]
+    b = feature_correlation(df.repartition(13), "x", "y", by="g").collect()[0]["pearson_r"]
+    assert a == b

@@ -254,6 +254,47 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return base.join(dups, id_col, "left_anti")
 
 
+def levenshtein_refine(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", prefix: int = 200,
+                       max_ratio: float = 0.4) -> DataFrame:
+    """Edit-distance verify of candidate near-dup pairs (the fuzzy-dedup
+    refine for small character-level edits — boilerplate with injected
+    dates/ids — that set-based Jaccard over-penalizes).
+
+    Keeps (a, b, lev) where levenshtein(prefix_a, prefix_b) ≤ max_ratio ×
+    max(len_a, len_b). Two scale guards: (1) candidates come from LSH
+    banding, never all-pairs; (2) the comparison window is a fixed
+    ``prefix`` (default 200 chars), bounding per-pair cost at O(prefix²)
+    regardless of document length — full-text edit distance on a pair of
+    100 KB docs is 10¹⁰ cell updates, a per-pair cost no cluster survives.
+    The prefix substring is projected BEFORE the pair join so the shuffle
+    ships ≤ prefix chars per side, not whole documents. ``levenshtein`` is
+    a JVM built-in on the Spark side and computes the classic
+    (unit-cost) distance — identical to DuckDB's, so the values are
+    oracle-checkable bit-for-bit."""
+    p = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, prefix)
+    t = df.select(F.col(id_col), p.alias("_p"))
+    a = t.select(F.col(id_col).alias("a"), F.col("_p").alias("_pa"))
+    b = t.select(F.col(id_col).alias("b"), F.col("_p").alias("_pb"))
+    joined = pairs.join(a, "a").join(b, "b").select(
+        "a", "b",
+        F.levenshtein("_pa", "_pb").alias("lev"),
+        F.greatest(F.length("_pa"), F.length("_pb")).alias("_mx"),
+    )
+    keep = joined.filter(
+        F.col("lev").cast("double") <= F.lit(max_ratio) * F.col("_mx").cast("double")
+    )
+    return keep.select("a", "b", "lev")
+
+
+def levenshtein_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      prefix: int = 200, max_ratio: float = 0.4,
+                      max_bucket: int | None = None) -> DataFrame:
+    """LSH candidates + edit-distance refine end-to-end; (a, b, lev)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, max_bucket)
+    return levenshtein_refine(df, pairs, text_col, id_col, prefix, max_ratio)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
                         max_bucket: int | None = None) -> DataFrame:

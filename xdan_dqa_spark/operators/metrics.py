@@ -97,3 +97,44 @@ def batch_metrics(scored: DataFrame) -> DataFrame:
         F.avg(F.col("keep").cast("double")).alias("success_rate"),
         F.sum(F.col("scrub_count").cast("long")).alias("scrub_count"),
     )
+
+
+def feature_correlation(df: DataFrame, x_col: str, y_col: str,
+                        by: str) -> DataFrame:
+    """Per-group Pearson correlation of two integer feature columns via
+    EXACT moment sums — the feature-QA primitive (e.g. chars-vs-tokens
+    drift per language flags tokenizer or extraction regressions).
+
+    Why not ``F.corr``: the built-in streams doubles through Welford-style
+    running updates, so the result depends on row order and partitioning —
+    non-deterministic across runs and never bit-equal across engines.
+    Here the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are accumulated as
+    DECIMAL(38,0) — exact integer arithmetic in both Spark and DuckDB
+    (hugeint), order-independent, map-side-combinable — and only the final
+    closed-form r = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²)·√(nΣy²−(Σy)²) runs in
+    doubles, where every op (mul/sub/div/sqrt) is IEEE-754
+    correctly-rounded and therefore bit-identical given identical inputs.
+    One map-side-combined hash aggregate; output is one bounded row per
+    group. Zero-variance groups yield 0.0 (guarded), not NULL/NaN."""
+    xd = F.col(x_col).cast("decimal(19,0)")
+    yd = F.col(y_col).cast("decimal(19,0)")
+    m = df.groupBy(by).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(F.col(x_col).cast("decimal(38,0)")).cast("double").alias("_sx"),
+        F.sum(F.col(y_col).cast("decimal(38,0)")).cast("double").alias("_sy"),
+        F.sum((xd * F.col(y_col).cast("decimal(18,0)")).cast("decimal(38,0)"))
+        .cast("double").alias("_sxy"),
+        F.sum((xd * F.col(x_col).cast("decimal(18,0)")).cast("decimal(38,0)"))
+        .cast("double").alias("_sxx"),
+        F.sum((yd * F.col(y_col).cast("decimal(18,0)")).cast("decimal(38,0)"))
+        .cast("double").alias("_syy"),
+    )
+    vx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    return m.select(
+        F.col(by),
+        F.col("_n").cast("long").alias("n"),
+        F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
+        .otherwise(F.lit(0.0)).alias("pearson_r"),
+    )

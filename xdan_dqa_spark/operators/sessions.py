@@ -72,3 +72,61 @@ def sessionize(
             (F.col("end_us") - F.col("start_us")).cast("double") / F.lit(1e6),
         )
     )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    step_a: str = "click",
+    step_b: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-step funnel: for each user, the first ``step_a`` event and the
+    first ``step_b`` event AT OR AFTER it (A→B conversion + delay) — the
+    sequential-pattern primitive behind engagement/bot-quality signals.
+
+    Spark-first shape: ONE shuffle on the user key. A running-min window
+    (``min(case when A then t end)`` over rows-unbounded-preceding)
+    carries "earliest A so far" past every event, so a single hash
+    aggregate can then take ``min(t where B and t >= first_A_so_far)`` —
+    no self-join of A-events against B-events (which would be a second
+    shuffle plus a range-join blow-up on busy users). Ordering ties on
+    ``ts`` break by ``id_col`` so the carry is deterministic under any
+    partitioning and matches the SQL twin. Nullable outputs are
+    sentinel-coalesced (-1 / 0 / 0.0) — the portable null convention used
+    by the as-of join. Returns one bounded row per user:
+    (user, first_a_us, first_b_after_us, converted, delay_sec)."""
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = df.select(F.col(user_col), F.col(id_col), F.col(type_col), tus.alias("tus"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("tus", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    a_so_far = F.min(
+        F.when(F.col(type_col) == step_a, F.col("tus"))
+    ).over(w)
+    carried = e.withColumn("_a_seen", a_so_far)
+    agg = carried.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == step_a, F.col("tus"))).alias("_fa"),
+        F.min(
+            F.when(
+                (F.col(type_col) == step_b)
+                & F.col("_a_seen").isNotNull()
+                & (F.col("tus") >= F.col("_a_seen")),
+                F.col("tus"),
+            )
+        ).alias("_fb"),
+    )
+    converted = F.col("_fb").isNotNull()
+    return agg.select(
+        F.col(user_col),
+        F.coalesce(F.col("_fa"), F.lit(-1)).alias("first_a_us"),
+        F.coalesce(F.col("_fb"), F.lit(-1)).alias("first_b_after_us"),
+        converted.cast("int").alias("converted"),
+        F.when(
+            converted, (F.col("_fb") - F.col("_fa")).cast("double") / F.lit(1e6)
+        ).otherwise(F.lit(0.0)).alias("delay_sec"),
+    )

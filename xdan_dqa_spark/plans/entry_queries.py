@@ -2132,6 +2132,233 @@ def q_sink_roundtrip(spark, sf_dir):
 SQL_SINK_ROUNDTRIP = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 
+# ------------------------------------------------------------- round-5 batch 2
+# A9 ROLLUP report: the (source × lang) ingest cube with subtotal and
+# grand-total levels in ONE pass — Spark's rollup() emits all levels from
+# a single shuffle with partial aggregation; computing each level as its
+# own groupBy would re-scan the fact table three times. grouping_id()
+# disambiguates rollup-NULLs from data-NULLs engine-portably (Spark's
+# bit order matches SQL-standard GROUPING(source, lang)).
+
+def q_a9_rollup_report(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _dec_sum(F.col("n_chars"), "total_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "gid", "n_docs", "total_chars",
+        )
+    )
+
+
+SQL_A9_ROLLUP = """
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(20,6))) AS DOUBLE) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+# A10 equal-count quality tiles: ntile(4) PER LANGUAGE over (n_chars,
+# doc_id) — the quality-tier bucketing step of a training-mix builder
+# (keep top quartile, downsample the rest). The window partitions by
+# lang, so the sort is per-stratum, never global; at extreme scale where
+# one language dominates, derive tile BOUNDARIES from the
+# a6_token_quantiles histogram instead and assign map-only (approximate
+# equal-count); ntile is kept for its exact equal-count semantics on
+# bounded strata. Output is the bounded (lang × 4) tier report.
+
+def q_a10_quality_tiles(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    tiled = _t(spark, sf_dir, "documents").select(
+        "lang", "n_chars", F.ntile(4).over(w).cast("long").alias("tile")
+    )
+    return tiled.groupBy("lang", "tile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_A10_TILES = """
+SELECT lang, tile, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM (SELECT lang, n_chars,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tile
+      FROM documents)
+GROUP BY lang, tile
+"""
+
+# U2 set-operation audience split: users who clicked but never purchased
+# (EXCEPT) vs users who did both (INTERSECT) — the retarget/holdout split.
+# Spark plans both as hash-aggregate + shuffle on user_id (distinct
+# semantics, same as SQL EXCEPT/INTERSECT); the two branches share the
+# deduped click set.
+
+def q_u2_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clicks.subtract(buys).select(
+        F.lit("click_only").alias("segment"), "user_id"
+    )
+    both = clicks.intersect(buys).select(
+        F.lit("click_and_purchase").alias("segment"), "user_id"
+    )
+    return click_only.unionByName(both)
+
+
+SQL_U2_SET_OPS = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'click_only' AS segment, user_id
+FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+UNION ALL
+SELECT 'click_and_purchase' AS segment, user_id
+FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+"""
+
+# Edit-distance near-dup refine (operators/dedup.py levenshtein_pairs):
+# LSH candidates verified by levenshtein on a fixed 200-char prefix —
+# the character-level complement to set-based Jaccard for boilerplate
+# with injected dates/ids. Both engines compute classic unit-cost edit
+# distance, so the VALUES are oracle-checked, not just the keep set.
+
+def q_dedup_lev_pairs(spark, sf_dir):
+    from ..operators.dedup import levenshtein_pairs
+
+    return levenshtein_pairs(_t(spark, sf_dir, "documents")).select(
+        "a", "b", F.col("lev").cast("long").alias("lev")
+    )
+
+
+SQL_DEDUP_LEV = f"""
+WITH sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+pre AS (SELECT doc_id, substr(coalesce(text, ''), 1, 200) AS p FROM documents)
+SELECT c.a, c.b, CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS lev
+FROM cand c JOIN pre pa ON pa.doc_id = c.a JOIN pre pb ON pb.doc_id = c.b
+WHERE CAST(levenshtein(pa.p, pb.p) AS DOUBLE)
+      <= 0.4 * CAST(greatest(length(pa.p), length(pb.p)) AS DOUBLE)
+"""
+
+# Two-step funnel (operators/sessions.py funnel_conversion): first click →
+# first purchase at-or-after it, per user. One shuffle; the running-min
+# window carries "earliest click so far" so no click×purchase self-join.
+
+def q_funnel_conversion(spark, sf_dir):
+    from ..operators.sessions import funnel_conversion
+
+    return funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL = """
+WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+w AS (
+  SELECT user_id, event_type, tus,
+         MIN(CASE WHEN event_type = 'click' THEN tus END) OVER
+           (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) AS a_seen
+  FROM ev
+),
+agg AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN tus END) AS fa,
+         MIN(CASE WHEN event_type = 'purchase' AND a_seen IS NOT NULL
+                       AND tus >= a_seen THEN tus END) AS fb
+  FROM w GROUP BY user_id
+)
+SELECT user_id,
+       COALESCE(fa, -1) AS first_a_us,
+       COALESCE(fb, -1) AS first_b_after_us,
+       CAST(fb IS NOT NULL AS INTEGER) AS converted,
+       CASE WHEN fb IS NOT NULL THEN CAST(fb - fa AS DOUBLE) / 1e6
+            ELSE 0.0 END AS delay_sec
+FROM agg
+"""
+
+# A11 per-language feature correlation (operators/metrics.py
+# feature_correlation): Pearson r of chars vs whitespace tokens from
+# EXACT decimal moment sums — order-independent (F.corr is not), so the
+# value is oracle-checked bit-for-bit.
+
+def q_a11_feature_corr(spark, sf_dir):
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.metrics import feature_correlation
+
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS, -1),
+            lambda w: w != F.lit(""),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "n_chars", n_tokens.alias("n_tokens")
+    )
+    return feature_correlation(d, "n_chars", "n_tokens", by="lang")
+
+
+SQL_A11_CORR = f"""
+WITH d AS (SELECT lang, n_chars, len({_WORDS_WS_SQL}) AS nt FROM documents),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(nt AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(n_chars AS HUGEINT) * nt) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(nt AS HUGEINT) * nt) AS DOUBLE) AS syy
+  FROM d GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            ELSE 0.0 END AS pearson_r
+FROM m
+"""
+
+# P11 semi-structured props ingestion: per-type stats of a JSON-extracted
+# field — the open-schema sidecar pattern (absorb what you need, leave
+# the blob). get_json_object is a JVM-side path evaluator (no UDF);
+# exact DECIMAL(38,0) sum matches DuckDB's hugeint SUM.
+
+def q_p11_json_props(spark, sf_dir):
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(k).alias("n_with_k"),
+            F.coalesce(F.min(k), F.lit(-1)).alias("min_k"),
+            F.coalesce(F.max(k), F.lit(-1)).alias("max_k"),
+            F.coalesce(F.sum(k.cast("decimal(38,0)")).cast("long"), F.lit(0)).alias("sum_k"),
+        )
+    )
+
+
+SQL_P11_JSON = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+       COALESCE(MIN(CAST(props->>'$.k' AS BIGINT)), -1) AS min_k,
+       COALESCE(MAX(CAST(props->>'$.k' AS BIGINT)), -1) AS max_k,
+       COALESCE(CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT), 0) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -2174,6 +2401,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_dim_broadcast": q_j3_dim_broadcast,
     "range_join_error_windows": q_range_join_error_windows,
     "rolling_value_avg": q_rolling_value_avg,
+    "a9_rollup_report": q_a9_rollup_report,
+    "a10_quality_tiles": q_a10_quality_tiles,
+    "u2_set_ops": q_u2_set_ops,
+    "dedup_lev_pairs": q_dedup_lev_pairs,
+    "funnel_conversion": q_funnel_conversion,
+    "a11_feature_corr": q_a11_feature_corr,
+    "p11_json_props": q_p11_json_props,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -2240,6 +2474,13 @@ def oracle_map() -> dict[str, str]:
         "j3_dim_broadcast": SQL_J3_DIM,
         "range_join_error_windows": SQL_RANGE_JOIN,
         "rolling_value_avg": SQL_ROLLING_AVG,
+        "a9_rollup_report": SQL_A9_ROLLUP,
+        "a10_quality_tiles": SQL_A10_TILES,
+        "u2_set_ops": SQL_U2_SET_OPS,
+        "dedup_lev_pairs": SQL_DEDUP_LEV,
+        "funnel_conversion": SQL_FUNNEL,
+        "a11_feature_corr": SQL_A11_CORR,
+        "p11_json_props": SQL_P11_JSON,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
