@@ -42,7 +42,7 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    only = set(sys.argv[2:]) or None
 
     import __spark_entry__ as e
     from xdan_dqa_spark.session import get_spark
@@ -57,7 +57,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()

@@ -89,3 +89,36 @@ def test_funnel_same_instant_tiebreak_deterministic(spark):
     a = sorted(map(tuple, funnel_conversion(df).collect()))
     b = sorted(map(tuple, funnel_conversion(df.repartition(7)).collect()))
     assert a == b and a[0][3] == 1
+
+
+# ------------------------------------------------------------- retention
+
+def test_cohort_retention_hand_computed(spark):
+    from xdan_dqa_spark.operators.sessions import cohort_retention
+
+    week = 604800  # seconds
+    df = _events(spark, [
+        # user 1: active in weeks w, w+1, w+3 (relative to epoch-week grid)
+        (1, 0), (1, 10), (1, week + 5), (1, 3 * week + 1),
+        # user 2: same cohort week, returns week +1 only
+        (2, 20), (2, week + 50),
+        # user 3: cohort one week later, never returns
+        (3, week + 100),
+    ])
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // week
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    assert got == {
+        (base, 0): 2, (base, 1): 2, (base, 3): 1,
+        (base + 1, 0): 1,
+    }
+
+
+def test_cohort_retention_partitioning_invariant(spark):
+    from xdan_dqa_spark.operators.sessions import cohort_retention
+
+    df = _events(spark, [(u, (u * 37 + k * 99_999) % (30 * 86400))
+                         for u in range(1, 30) for k in range(5)])
+    a = sorted(map(tuple, cohort_retention(df).collect()))
+    b = sorted(map(tuple, cohort_retention(df.repartition(11)).collect()))
+    assert a == b

@@ -210,3 +210,31 @@ def test_stratified_hash_sample_deterministic_and_rated(spark):
     # stable across cluster layouts
     again = stratified_hash_sample(docs.repartition(13), pct=None, default_pct=37)
     assert {r["doc_id"] for r in again.select("doc_id").collect()} == ids
+
+
+def test_j4_reconcile_exercises_all_three_segments(spark, tmp_path):
+    """The sf fixtures are referentially intact (only 'both' appears), so
+    pin the customer_only / order_only branches on a synthetic mismatch."""
+    import datetime as dt
+
+    from xdan_dqa_spark.plans.entry_queries import q_j4_reconcile
+
+    spark.createDataFrame(
+        [(1, "a", 0, 1.0, "SEG"), (2, "b", 0, 2.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+         (11, 1, "O", 50.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+         (12, 99, "O", 7.0, dt.datetime(2024, 1, 3), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {r["segment"]: (r["n_keys"], r["n_orders"], r["order_value"])
+           for r in q_j4_reconcile(spark, str(tmp_path)).collect()}
+    assert got == {
+        "both": (1, 2, 150.0),          # customer 1 with two orders
+        "customer_only": (1, 0, 0.0),   # customer 2, no orders
+        "order_only": (1, 1, 7.0),      # order for unknown custkey 99
+    }

@@ -134,3 +134,51 @@ def test_feature_correlation_order_independent(spark):
     a = feature_correlation(df, "x", "y", by="g").collect()[0]["pearson_r"]
     b = feature_correlation(df.repartition(13), "x", "y", by="g").collect()[0]["pearson_r"]
     assert a == b
+
+
+# ------------------------------------------------------ shingle prevalence
+
+def test_shingle_prevalence_hand_computed(spark):
+    from xdan_dqa_spark.operators.textstats import shingle_prevalence
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the trigram "a b c"; each has one private one
+            (1, "a b c d"),          # shingles: "a b c", "b c d"
+            (2, "a b c e"),          # shingles: "a b c", "b c e"
+            (3, "x y z w"),          # fully private
+            (4, "短 文"),             # <3 words → single joined shingle, private
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_shingles"], r["n_shared"], r["shared_frac"])
+           for r in shingle_prevalence(docs).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_shingle_prevalence_repeated_shingle_counted_once(spark):
+    """A shingle repeated WITHIN one doc is one distinct shingle — it must
+    not count as cross-document sharing on its own."""
+    from xdan_dqa_spark.operators.textstats import shingle_prevalence
+
+    docs = spark.createDataFrame(
+        [(1, "p q r p q r p q r")],  # "p q r" occurs 3×, plus rotations
+        "doc_id long, text string",
+    )
+    row = shingle_prevalence(docs).collect()[0]
+    assert row["n_shared"] == 0 and row["shared_frac"] == 0.0
+
+
+def test_shingle_prevalence_partitioning_invariant(spark):
+    from xdan_dqa_spark.operators.textstats import shingle_prevalence
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words here tail{i} tail{i + 1}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, shingle_prevalence(docs).collect()))
+    b = sorted(map(tuple, shingle_prevalence(docs.repartition(7)).collect()))
+    assert a == b and all(r[2] > 0 for r in a)   # shared prefix shingles detected

@@ -130,3 +130,33 @@ def funnel_conversion(
             converted, (F.col("_fb") - F.col("_fa")).cast("double") / F.lit(1e6)
         ).otherwise(F.lit(0.0)).alias("delay_sec"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention matrix: users cohorted by their first-activity
+    week, counted once per (cohort_week, week_offset) they return in —
+    the engagement-quality table behind "does this source's audience
+    stick around" corpus triage.
+
+    Weeks are integral epoch-µs arithmetic (``unix_micros div 604.8e9``)
+    — no calendar/timezone semantics to disagree across engines. Shape:
+    dedup to (user, week) grain (map-side-combinable distinct — state is
+    one row per user-week, never per event), a min-over-user window
+    carries the cohort week without a groupBy+join round trip, then one
+    hash aggregate to the bounded (cohort × offset) matrix where a plain
+    count(*) IS the distinct-user count (each user contributes at most
+    one row per cell by construction — no count-distinct state needed).
+    Three shuffles, every intermediate bounded.
+    """
+    week = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 604800000000")
+    uw = df.select(F.col(user_col).alias("u"), week.alias("week")).distinct()
+    cohort = F.min("week").over(Window.partitionBy("u"))
+    return (
+        uw.withColumn("cohort_week", cohort)
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -190,3 +190,55 @@ def token_count_quantiles(
             F.round(lo + F.col(f"_f{tag}") * (hi - lo), 6).alias(f"p{tag}")
         )
     return hist.groupBy("g").agg(*aggs).select(*finals)
+
+
+def shingle_prevalence(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a doc's distinct
+    word n-gram shingles that also occur in at least one OTHER document
+    (the inter-document repetition ratio behind Gopher-style boilerplate
+    filtering — navigation chrome, cookie banners, templated footers
+    score high; original prose scores low).
+
+    Spark shape (two shuffles, both bounded): distinct shingles per doc
+    (map-side array_distinct — no shuffle), explode to (doc, key), then
+    ONE window count over the shingle key gives "how many docs contain
+    this shingle" without the groupBy+join-back round trip a naive plan
+    would pay, then ONE hash aggregate back to the doc grain. Shingles
+    travel as 60-bit md5-derived longs (same fixed 8-byte key discipline
+    as the Jaccard verify, operators/dedup.py) — the shuffle ships longs,
+    never shingle strings. Per-doc output stays linear in corpus size;
+    per-shingle state is a single running count (no buffered lists).
+
+    Reference scope: the reference scores documents in isolation
+    (src/processor.py); corpus-level repetition is part of this repo's
+    beyond-reference LLM-pipeline surface.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import shingles
+
+    key = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(shingles(text_col, n), key))
+        ).alias("_k"),
+    )
+    # rows are distinct per (doc, key), so count-over-key = #docs containing
+    n_docs = F.count("*").over(Window.partitionBy("_k"))
+    per_doc = (
+        sh.withColumn("_docs", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("_docs") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"))
+        .alias("shared_frac"),
+    )

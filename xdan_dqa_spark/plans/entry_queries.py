@@ -2359,6 +2359,212 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------------------------------- round-5 batch 3
+# J4 full-outer reconcile audit: customer ↔ orders discrepancy report —
+# the data-quality join (which keys exist on only one side, and how much
+# value rides on them). Orders are pre-aggregated to the custkey grain
+# BEFORE the full-outer join, so the join's shuffle carries one bounded
+# row per key per side (skew-resistant) instead of every order row; the
+# classification then folds to three bounded audit rows.
+
+def q_j4_reconcile(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ord_agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n_orders"),
+             _dec_sum(F.col("o_totalprice"), "_value"))
+    )
+    joined = cust.join(ord_agg, cust.c_custkey == ord_agg.o_custkey, "full_outer")
+    segment = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return joined.groupBy(segment.alias("segment")).agg(
+        F.count("*").alias("n_keys"),
+        F.coalesce(F.sum("_n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(
+            F.sum(F.col("_value").cast("decimal(38,6)")).cast("double"), F.lit(0.0)
+        ).alias("order_value"),
+    )
+
+
+SQL_J4_RECONCILE = """
+WITH oa AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS value
+  FROM orders GROUP BY o_custkey
+)
+SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+            WHEN oa.o_custkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS segment,
+       COUNT(*) AS n_keys,
+       COALESCE(SUM(n_orders), 0) AS n_orders,
+       COALESCE(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS order_value
+FROM customer c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
+GROUP BY 1
+"""
+
+# A12 multi-distinct audit: per event type, exact distinct users and
+# distinct active days in ONE statement. Spark plans multiple COUNT
+# DISTINCTs via the Expand operator (one input row fans to one row per
+# distinct spec, each partially aggregated map-side) — still a single
+# shuffle, no per-group value buffering, vs approx_count_distinct which
+# could never be oracle-paired bit-for-bit. Day index is integral
+# epoch-µs arithmetic (no calendar semantics to disagree cross-engine).
+
+def q_a12_distinct_exact(spark, sf_dir):
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "user_id", day.alias("_day"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("_day").alias("n_days"),
+        )
+    )
+
+
+SQL_A12_DISTINCT = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+FROM events GROUP BY event_type
+"""
+
+# Weekly retention cohorts (operators/sessions.py cohort_retention):
+# first-activity week × return-week offset, distinct users per cell.
+
+def q_cohort_retention(spark, sf_dir):
+    from ..operators.sessions import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+c AS (SELECT u, week, MIN(week) OVER (PARTITION BY u) AS cohort_week FROM uw)
+SELECT cohort_week, week - cohort_week AS week_offset, COUNT(*) AS n_users
+FROM c GROUP BY cohort_week, week - cohort_week
+"""
+
+# Boilerplate shingle prevalence (operators/textstats.py
+# shingle_prevalence): fraction of each doc's distinct 3-gram shingles
+# appearing in ≥2 documents — the inter-document repetition signal.
+# shared_frac is one double division of two exact longs, so the VALUES
+# are oracle-checked.
+
+def q_boilerplate_shingles(spark, sf_dir):
+    from ..operators.textstats import shingle_prevalence
+
+    return shingle_prevalence(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_shingles", "n_shared",
+        F.round(F.col("shared_frac"), 9).alias("shared_frac"),
+    )
+
+
+SQL_BOILERPLATE = f"""
+WITH sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                               FOR x IN sh])) AS k
+  FROM sigs
+),
+cnt AS (SELECT doc_id, k, COUNT(*) OVER (PARTITION BY k) AS docs FROM ex)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       SUM(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+       round(CAST(SUM(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS shared_frac
+FROM cnt GROUP BY doc_id
+"""
+
+# A13 trimmed mean (robust per-language length statistic): drop the
+# bottom and top 5% BY RANK (deterministic (n_chars, doc_id) order —
+# value-threshold trims are ambiguous on ties), then an exact DECIMAL
+# mean over the kept band. One window shuffle on the stratum key + one
+# hash aggregate; at extreme stratum sizes, derive the trim boundaries
+# from the a6-style value-compressed histogram instead (bounded state)
+# and trim map-only.
+
+def q_a13_trimmed_mean(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "n_chars", "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+    )
+    cut = F.floor(F.col("_n") * F.lit(0.05)).cast("long")
+    kept = d.filter((F.col("_rn") > cut) & (F.col("_rn") <= F.col("_n") - cut))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        (F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double")
+         / F.count("*").cast("double")).alias("trimmed_mean_chars"),
+    )
+
+
+SQL_A13_TRIMMED = """
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS trimmed_mean_chars
+FROM r
+WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
+GROUP BY lang
+"""
+
+# A14 share-of-total mix report: each source's share of corpus chars,
+# ranked. The unpartitioned window runs over the ALREADY-AGGREGATED
+# bounded source table (≤ #sources rows), never the fact table — the
+# grand total rides the same window pass as exact DECIMAL, so the share
+# division is one correctly-rounded double op per row.
+
+def q_a14_source_share(spark, sf_dir):
+    agg = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("_chars"),
+             F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy()
+    share = (F.col("_chars").cast("double")
+             / F.sum("_chars").over(w).cast("double"))
+    rnk = F.rank().over(
+        Window.partitionBy().orderBy(F.col("_chars").desc(), F.col("source"))
+    )
+    return agg.select(
+        "source", "n_docs",
+        F.col("_chars").cast("double").alias("total_chars"),
+        F.round(share, 9).alias("share"),
+        rnk.cast("long").alias("rank"),
+    )
+
+
+SQL_A14_SHARE = """
+WITH a AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(CAST(n_chars AS HUGEINT)) AS chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, CAST(chars AS DOUBLE) AS total_chars,
+       round(CAST(chars AS DOUBLE) / CAST(SUM(chars) OVER () AS DOUBLE), 9) AS share,
+       CAST(RANK() OVER (ORDER BY chars DESC, source) AS BIGINT) AS rank
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -2408,6 +2614,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "a11_feature_corr": q_a11_feature_corr,
     "p11_json_props": q_p11_json_props,
+    "j4_reconcile": q_j4_reconcile,
+    "a12_distinct_exact": q_a12_distinct_exact,
+    "cohort_retention": q_cohort_retention,
+    "boilerplate_shingles": q_boilerplate_shingles,
+    "a13_trimmed_mean": q_a13_trimmed_mean,
+    "a14_source_share": q_a14_source_share,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -2481,6 +2693,12 @@ def oracle_map() -> dict[str, str]:
         "funnel_conversion": SQL_FUNNEL,
         "a11_feature_corr": SQL_A11_CORR,
         "p11_json_props": SQL_P11_JSON,
+        "j4_reconcile": SQL_J4_RECONCILE,
+        "a12_distinct_exact": SQL_A12_DISTINCT,
+        "cohort_retention": SQL_COHORT_RETENTION,
+        "boilerplate_shingles": SQL_BOILERPLATE,
+        "a13_trimmed_mean": SQL_A13_TRIMMED,
+        "a14_source_share": SQL_A14_SHARE,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
