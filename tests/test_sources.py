@@ -238,3 +238,24 @@ def test_j4_reconcile_exercises_all_three_segments(spark, tmp_path):
         "customer_only": (1, 0, 0.0),   # customer 2, no orders
         "order_only": (1, 1, 7.0),      # order for unknown custkey 99
     }
+
+
+def test_a15_zscore_outliers_hand_computed(spark, tmp_path):
+    import math
+
+    from xdan_dqa_spark.plans.entry_queries import q_a15_zscore_outliers
+
+    # lang 'en': nine docs at 100 chars, one at 1000 — the 1000 is the
+    # only |z| > 2 outlier; lang 'fr' is uniform → no outliers.
+    rows = [(i, "t", "en", "s", 100) for i in range(9)] + [(9, "t", "en", "s", 1000)]
+    rows += [(10 + i, "t", "fr", "s", 50 + i) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = q_a15_zscore_outliers(spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["lang"], r["n_chars"]) for r in got] == [(9, "en", 1000)]
+    n, sx, sx2 = 10, 9 * 100 + 1000, 9 * 100**2 + 1000**2
+    mean = sx / n
+    var = (sx2 - sx * sx / n) / (n - 1)
+    assert got[0]["z"] == round((1000 - mean) / math.sqrt(var), 9)

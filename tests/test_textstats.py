@@ -182,3 +182,108 @@ def test_shingle_prevalence_partitioning_invariant(spark):
     a = sorted(map(tuple, shingle_prevalence(docs).collect()))
     b = sorted(map(tuple, shingle_prevalence(docs.repartition(7)).collect()))
     assert a == b and all(r[2] > 0 for r in a)   # shared prefix shingles detected
+
+
+# ------------------------------------------------------ lexical diversity
+
+def test_lexical_diversity_hand_computed(spark):
+    from xdan_dqa_spark.operators.textstats import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),      # tokens 4, types 3 (a:2 b:1 c:1), hapax 2
+            (2, "x x x x"),      # tokens 4, types 1, hapax 0
+            (3, "one"),          # tokens 1, types 1, hapax 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["n_hapax"],
+                         r["ttr"], r["hapax_ratio"])
+           for r in lexical_diversity(docs).collect()}
+    assert got[1] == (4, 3, 2, 0.75, round(2 / 3, 9))
+    assert got[2] == (4, 1, 0, 0.25, 0.0)
+    assert got[3] == (1, 1, 1, 1.0, 1.0)
+
+
+def test_lexical_diversity_empty_doc_drops(spark):
+    from xdan_dqa_spark.operators.textstats import lexical_diversity
+
+    docs = spark.createDataFrame([(1, "  \t "), (2, "w")],
+                                 "doc_id long, text string")
+    assert [r["doc_id"] for r in lexical_diversity(docs).collect()] == [2]
+
+
+# ------------------------------------------------------------------ tf-idf
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from xdan_dqa_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["term"]): r for r in
+            tfidf_top_terms(docs, k=2).collect()}
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=1 beats shared tf=1 df=2
+    assert set(rows) == {(1, "apple"), (1, "banana"), (2, "shared"), (2, "cherry")}
+    r = rows[(1, "apple")]
+    assert (r["tf"], r["df"]) == (2, 1)
+    assert r["tfidf"] == round(2 * math.log(2 / 1), 6)
+    # 'shared' appears in both docs → idf = ln(1) = 0
+    assert rows[(2, "shared")]["tfidf"] == 0.0
+
+
+def test_tfidf_tie_break_and_partitioning_invariant(spark):
+    from xdan_dqa_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    # all terms tie on (tf=1, df=8) → alphabetical wins
+    got = sorted((r["doc_id"], r["term"]) for r in
+                 tfidf_top_terms(docs, k=2).collect())
+    assert got == sorted([(i, "alpha") for i in range(1, 9)]
+                         + [(i, "beta") for i in range(1, 9)])
+    again = sorted((r["doc_id"], r["term"]) for r in
+                   tfidf_top_terms(docs.repartition(7), k=2).collect())
+    assert again == got
+
+
+# -------------------------------------------------------------------- pmi
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    from xdan_dqa_spark.operators.textstats import pmi_bigrams
+
+    # "big data" 3×; unigrams: big 3, data 3, plus 2 fillers
+    docs = spark.createDataFrame(
+        [(1, "big data big data"), (2, "big data filler other")],
+        "doc_id long, text string",
+    )
+    rows = pmi_bigrams(docs, min_count=3, k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["x"], r["y"], r["c_xy"], r["c_x"], r["c_y"]) == ("big", "data", 3, 3, 3)
+    # T_bi = 3 + 2 + 1 + 2 = ... bigrams: doc1: (big,data),(data,big),(big,data) =3
+    # doc2: (big,data),(data,filler),(filler,other) =3 → T_bi=6; T_uni=8
+    t_bi, t_u = 6.0, 8.0
+    want = math.log((3 / t_bi) / ((3 / t_u) * (3 / t_u)))
+    assert r["pmi"] == round(want, 6)
+
+
+def test_pmi_bigrams_single_word_docs_contribute_no_pairs(spark):
+    from xdan_dqa_spark.operators.textstats import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "solo") for i in range(10)] + [(100, "a b"), (101, "a b")],
+        "doc_id long, text string",
+    )
+    rows = pmi_bigrams(docs, min_count=2, k=5).collect()
+    assert [(r["x"], r["y"], r["c_xy"]) for r in rows] == [("a", "b", 2)]

@@ -6,7 +6,7 @@ definitions serve both the engine and the DuckDB oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import WS_CHARS, WS_PLUS
@@ -241,4 +241,144 @@ def shingle_prevalence(df: DataFrame, text_col: str = "text",
         "n_shared",
         (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"))
         .alias("shared_frac"),
+    )
+
+
+def _words(text_col: str) -> F.Column:
+    """Whitespace tokens (shared explicit-class split discipline)."""
+    return F.filter(F.split(F.col(text_col), WS_PLUS), lambda w: F.length(w) > 0)
+
+
+def lexical_diversity(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical-diversity signals: type-token ratio and
+    hapax-legomena ratio (fraction of distinct terms occurring exactly
+    once). Gopher-style repetition filters use exactly these — spam and
+    keyword-stuffed pages have low TTR; boilerplate has few hapaxes.
+
+    Spark shape: explode → ONE combinable hash aggregate to the
+    (doc, term) grain (the combiner runs map-side because doc_id is in
+    the key — a partition holding one doc's rows pre-folds them), then a
+    second agg back to the doc grain. Per-group state is three counters;
+    nothing buffers term lists. Docs with zero tokens drop (explode),
+    matching the oracle's unnest semantics.
+    """
+    ex = df.select(F.col(id_col), F.explode(_words(text_col)).alias("_w"))
+    tc = ex.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
+    return (
+        tc.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("_c") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            id_col, "n_tokens", "n_types", "n_hapax",
+            F.round(F.col("n_types").cast("double")
+                    / F.col("n_tokens").cast("double"), 9).alias("ttr"),
+            F.round(F.col("n_hapax").cast("double")
+                    / F.col("n_types").cast("double"), 9).alias("hapax_ratio"),
+        )
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document with their tf-idf weight
+    (keyword extraction for corpus triage / topic mix reports).
+
+    Ranking is INTEGRAL — (tf DESC, df ASC, term ASC) — so the selected
+    set never depends on a cross-engine floating-point ULP; the tf-idf
+    value itself (tf·ln(N/df), one ln at the end) is a reported, rounded
+    column. Spark shape: one (doc, term) hash aggregate, document
+    frequency as a count-over-term window on that SAME table (no
+    join-back), the corpus doc count as a 1-row broadcast cross join,
+    then a per-doc row_number window. df state is one counter per term;
+    the top-k window sorts within docs only, never globally.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    n_row = tf.agg(F.countDistinct(id_col).alias("_N"))
+    ranked = (
+        tf.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col)
+                .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+    )
+    return ranked.select(
+        id_col, "term", "tf", "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.col("_N").cast("double") / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+
+
+def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 20,
+                text_col: str = "text") -> DataFrame:
+    """Top-k bigram collocations by frequency with pointwise mutual
+    information — the classic multi-word-expression detector ("new york",
+    "machine learning") used to spot templated word salads (high-count,
+    near-zero PMI) vs genuine collocations.
+
+    Ranking is integral (c_xy DESC, x, y); PMI = ln((c_xy/T_bi) /
+    ((c_x/T_uni)·(c_y/T_uni))) is a reported rounded column with a fixed
+    IEEE op sequence. Spark shape: unigram and bigram count tables (both
+    map-side combinable), two shuffle joins keyed on the word to attach
+    c_x/c_y (vocab-sized build sides — never broadcast blindly at web
+    scale), totals ride 1-row broadcast cross joins. The bigram array is
+    built with arrays_zip over two shifted slices — O(1) per element, no
+    per-element re-tokenization.
+    """
+    words = _words(text_col)
+    cnt = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(words, 1, cnt), F.slice(words, 2, cnt))
+    bi = (
+        df.select(F.explode(zipped).alias("_b"))
+        .select(F.col("_b")["0"].alias("x"), F.col("_b")["1"].alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    t_uni = uni.agg(F.sum("c_w").cast("double").alias("_tu"))
+    t_bi = bi.agg(F.sum("c_xy").cast("double").alias("_tb"))
+    top = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("c_xy").desc(), F.col("x").asc(), F.col("y").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+    )
+    cx = uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))
+    cy = uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("_tb"))
+        / ((F.col("c_x").cast("double") / F.col("_tu"))
+           * (F.col("c_y").cast("double") / F.col("_tu")))
+    )
+    return (
+        top.join(cx, "x").join(cy, "y")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select("x", "y", "c_xy", "c_x", "c_y", F.round(pmi, 6).alias("pmi"))
     )

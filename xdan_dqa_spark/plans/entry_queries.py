@@ -2565,6 +2565,131 @@ FROM a
 """
 
 
+
+
+# ------------------------------------------------------------- round-5 batch 4
+# Lexical diversity (operators/textstats.py lexical_diversity): type-token
+# and hapax-legomena ratios — the Gopher-style repetition/diversity signal.
+
+def q_lexical_diversity(spark, sf_dir):
+    from ..operators.textstats import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH ex AS (SELECT doc_id, unnest({_WORDS_WS_SQL}) AS w FROM documents),
+tc AS (SELECT doc_id, w, COUNT(*) AS c FROM ex GROUP BY doc_id, w)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9) AS ttr,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS hapax_ratio
+FROM tc GROUP BY doc_id
+"""
+
+# Top-3 characteristic terms per doc by tf-idf (operators/textstats.py
+# tfidf_top_terms). Selection is integral (tf DESC, df ASC, term ASC);
+# the tf-idf weight is a reported rounded column.
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from ..operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF = f"""
+WITH ex AS (SELECT doc_id, unnest({_WORDS_WS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+d AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf)
+SELECT doc_id, term, tf, df,
+       round(CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+         AS tfidf
+FROM d, n
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, df ASC, term ASC) <= 3
+"""
+
+# Top-20 bigram collocations with PMI (operators/textstats.py pmi_bigrams).
+
+def q_pmi_bigrams(spark, sf_dir):
+    from ..operators.textstats import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+SQL_PMI = f"""
+WITH w AS (SELECT {_WORDS_WS_SQL} AS ws FROM documents),
+bi AS (
+  SELECT x, y, COUNT(*) AS c_xy FROM (
+    SELECT unnest([{{'x': ws[i], 'y': ws[i+1]}} FOR i IN range(1, len(ws))],
+                  recursive := true)
+    FROM w
+  ) GROUP BY x, y
+),
+uni AS (
+  SELECT w AS word, COUNT(*) AS c_w
+  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w
+),
+tu AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS t_uni FROM uni),
+tb AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS t_bi FROM bi),
+top AS (
+  SELECT * FROM bi WHERE c_xy >= 5
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c_xy DESC, x ASC, y ASC) <= 20
+)
+SELECT x, y, c_xy, ux.c_w AS c_x, uy.c_w AS c_y,
+       round(ln((CAST(c_xy AS DOUBLE) / t_bi)
+                / ((CAST(ux.c_w AS DOUBLE) / t_uni)
+                   * (CAST(uy.c_w AS DOUBLE) / t_uni))), 6) AS pmi
+FROM top JOIN uni ux ON top.x = ux.word
+         JOIN uni uy ON top.y = uy.word, tu, tb
+"""
+
+# A15 per-language length outliers: |z| > 2 docs by exact-moment z-score.
+# The per-language moment table (≤ #langs rows, exact DECIMAL sums) is
+# broadcast back onto the fact table — the scan never shuffles; every
+# per-row op afterwards is an IEEE-determined (+,-,*,/,sqrt) sequence,
+# identical in both engines, so even the FILTER BOUNDARY is portable.
+
+def q_a15_zscore_outliers(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    x = F.col("n_chars").cast("decimal(19,0)")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("_n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("_sx2"),
+    )
+    mean = F.col("_sx") / F.col("_n").cast("double")
+    var = (F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("_n").cast("double")) \
+        / (F.col("_n") - 1).cast("double")
+    z = (F.col("n_chars").cast("double") - mean) / F.sqrt(var)
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("doc_id", "lang", "n_chars", F.round("z", 9).alias("z"))
+    )
+
+
+SQL_A15_ZSCORE = """
+WITH s AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS DOUBLE)
+           AS sx2
+  FROM documents GROUP BY lang
+),
+zz AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         (CAST(d.n_chars AS DOUBLE) - sx / CAST(n AS DOUBLE))
+           / sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS z
+  FROM documents d JOIN s ON d.lang = s.lang
+)
+SELECT doc_id, lang, n_chars, round(z, 9) AS z FROM zz WHERE abs(z) > 2.0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -2620,6 +2745,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_shingles": q_boilerplate_shingles,
     "a13_trimmed_mean": q_a13_trimmed_mean,
     "a14_source_share": q_a14_source_share,
+    "lexical_diversity": q_lexical_diversity,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pmi_bigrams": q_pmi_bigrams,
+    "a15_zscore_outliers": q_a15_zscore_outliers,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -2699,6 +2828,10 @@ def oracle_map() -> dict[str, str]:
         "boilerplate_shingles": SQL_BOILERPLATE,
         "a13_trimmed_mean": SQL_A13_TRIMMED,
         "a14_source_share": SQL_A14_SHARE,
+        "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+        "tfidf_top_terms": SQL_TFIDF,
+        "pmi_bigrams": SQL_PMI,
+        "a15_zscore_outliers": SQL_A15_ZSCORE,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
