@@ -259,3 +259,71 @@ def test_a15_zscore_outliers_hand_computed(spark, tmp_path):
     mean = sx / n
     var = (sx2 - sx * sx / n) / (n - 1)
     assert got[0]["z"] == round((1000 - mean) / math.sqrt(var), 9)
+
+
+def _write_events(spark, tmp_path, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).replace(tzinfo=None)
+    data = [(i, base + dt.timedelta(seconds=sec), uid, et, val, "{}")
+            for i, (sec, uid, et, val) in enumerate(rows)]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+
+def test_a16_daily_gapfill_zero_fills_missing_day(spark, tmp_path):
+    from xdan_dqa_spark.plans.entry_queries import q_a16_daily_gapfill
+
+    day = 86400
+    # 'click': days 0 and 2 active, day 1 silent → must appear as zeros
+    _write_events(spark, tmp_path, [
+        (10, 1, "click", 1.5), (20, 2, "click", 2.5),
+        (2 * day + 30, 1, "click", 4.0),
+        (5, 9, "buy", 10.0),          # single-day type → one row, no fill
+    ])
+    got = {(r["event_type"], r["day"]): (r["n_events"], r["total_value"])
+           for r in q_a16_daily_gapfill(spark, str(tmp_path)).collect()}
+    d0 = 19723  # 2024-01-01 epoch days
+    assert got[("click", d0)] == (2, 4.0)
+    assert got[("click", d0 + 1)] == (0, 0.0)
+    assert got[("click", d0 + 2)] == (1, 4.0)
+    assert got[("buy", d0)] == (1, 10.0)
+    assert len(got) == 4
+
+
+def test_a17_user_percentile_hand_computed(spark, tmp_path):
+    from xdan_dqa_spark.plans.entry_queries import q_a17_user_percentile
+
+    # user event counts: u1=1, u2=1, u3=2, u4=4  (N=4, N-1=3)
+    counts = {1: 1, 2: 1, 3: 2, 4: 4}
+    rows = [(u * 100 + k, u, "e", 0.0)
+            for u, n in counts.items() for k in range(n)]
+    _write_events(spark, tmp_path, rows)
+    got = {r["user_id"]: (r["n_events"], r["pct_rank"], r["tier"])
+           for r in q_a17_user_percentile(spark, str(tmp_path)).collect()}
+    assert got[1] == (1, 0.0, "light")          # 0 smaller / 3
+    assert got[2] == (1, 0.0, "light")          # tie shares the rank
+    assert got[3] == (2, round(2 / 3, 9), "normal")
+    assert got[4] == (4, 1.0, "heavy")
+
+
+def test_cc_cluster_histogram_identical_pair_plus_singletons(spark, tmp_path):
+    from xdan_dqa_spark.plans.entry_queries import q_cc_cluster_histogram
+
+    long_a = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, long_a, "en", "s", len(long_a)),
+        (2, long_a, "en", "s", len(long_a)),                # J(1,2)=1 → cluster
+        (3, " ".join(f"other{i}" for i in range(40)), "en", "s", 10),
+        (4, "completely different words here entirely", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+           for r in q_cc_cluster_histogram(spark, str(tmp_path)).collect()}
+    assert got == {2: (1, 2), 1: (2, 2)}

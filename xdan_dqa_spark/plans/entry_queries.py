@@ -1348,7 +1348,10 @@ def q_dedup_cc(spark, sf_dir):
     return cc_dedup(_t(spark, sf_dir, "documents"), threshold=0.7).select("doc_id")
 
 
-SQL_DEDUP_CC = f"""
+# Shared recursive-CTE prefix: verified near-dup edges -> per-node
+# component labels (min reachable id). Composed by SQL_DEDUP_CC (keep
+# set) and SQL_CC_HISTOGRAM (cluster-size census).
+_CC_COMP_SQL = f"""
 WITH RECURSIVE sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
 bands AS ({_BANDS_SQL}),
 cand AS (
@@ -1371,9 +1374,21 @@ reach(u, r) AS (
   UNION
   SELECT e.v, reach.r FROM reach JOIN edges e ON reach.u = e.u
 ),
-comp AS (SELECT u AS node, min(r) AS comp FROM reach GROUP BY u)
+comp AS (SELECT u AS node, min(r) AS comp FROM reach GROUP BY u)"""
+
+SQL_DEDUP_CC = f"""{_CC_COMP_SQL}
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+"""
+
+SQL_CC_HISTOGRAM = f"""{_CC_COMP_SQL},
+allc AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+sizes AS (SELECT comp, COUNT(*) AS n FROM allc GROUP BY comp)
+SELECT n AS cluster_size, COUNT(*) AS n_clusters, CAST(SUM(n) AS BIGINT) AS n_docs
+FROM sizes GROUP BY n
 """
 
 
@@ -2690,6 +2705,140 @@ SELECT doc_id, lang, n_chars, round(z, 9) AS z FROM zz WHERE abs(z) > 2.0
 """
 
 
+
+
+# ------------------------------------------------------------- round-5 batch 5
+# Near-dup cluster-size census: how much of the corpus sits in clusters
+# of 1, 2, 3... — the corpus-health headline behind any dedup rollout
+# decision ("12% of docs live in 2+-member near-dup clusters"). Composes
+# the existing verified-pair + connected-components machinery; singleton
+# docs fall out of the left join, never a driver-side subtraction.
+# Parity note: computed over the FULL corpus (no exact-collapse) to match
+# the recursive-CTE twin node-for-node; the production variant composes
+# exact_dedup first and adds each identical-group's size to its rep's
+# cluster — value-identical, minus the quadratic hot bucket.
+
+def q_cc_cluster_histogram(spark, sf_dir):
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_verify(docs, minhash_candidate_pairs(docs),
+                           threshold=0.7)
+    labels = connected_components(pairs.select("a", "b"))
+    comp = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(F.coalesce("comp", "doc_id").alias("comp"))
+    )
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"),
+             F.sum("cluster_size").cast("long").alias("n_docs"))
+    )
+
+
+# A16 gap-filled daily series: per event type, one row per calendar day
+# between that type's first and last activity, zero-filled — the report
+# shape monitoring dashboards need (a missing day must show AS a zero,
+# not vanish). Days are integral epoch-µs arithmetic. The sequence()
+# explode runs over the BOUNDED (type × span) table — span is calendar
+# time, never row count — and the left join back is keyed on the same
+# bounded grain.
+
+def q_a16_daily_gapfill(spark, sf_dir):
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    agg = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", day.alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_events"), _dec_sum(F.col("value"), "_v"))
+    )
+    span = agg.groupBy("event_type").agg(F.min("day").alias("_d0"),
+                                         F.max("day").alias("_d1"))
+    grid = span.select(
+        "event_type", F.explode(F.sequence("_d0", "_d1")).alias("day")
+    )
+    return grid.join(agg, ["event_type", "day"], "left").select(
+        "event_type", "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("_v", F.lit(0.0)).alias("total_value"),
+    )
+
+
+SQL_A16_GAPFILL = """
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value FROM events),
+a AS (
+  SELECT event_type, day, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+  FROM e GROUP BY event_type, day
+),
+s AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM a GROUP BY event_type),
+g AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM s)
+SELECT g.event_type, g.day, COALESCE(n, 0) AS n_events,
+       COALESCE(v, 0.0) AS total_value
+FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.day = a.day
+"""
+
+# A17 per-user activity percentile (bot/power-user triage). A naive
+# percent_rank() is an UNPARTITIONED window over one row per user — a
+# single-task sort at 10⁹ users. Same values, scale-safe shape: the
+# cumulative "how many users are less active" count runs over the BOUNDED
+# activity-count histogram (distinct n_events values ≤ max activity,
+# never user-scaled), broadcast back onto the user table — the user table
+# itself never total-orders. percent_rank ≡ (#smaller)/(N-1) with ties
+# sharing the value, exactly the window function's definition.
+
+def q_a17_user_percentile(spark, sf_dir):
+    cnts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    hist = cnts.groupBy("n_events").agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy().orderBy("n_events")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "n_events",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_smaller"),
+    )
+    total = cnts.agg(F.count("*").alias("_N"))
+    out = (
+        cnts.join(F.broadcast(cum), "n_events")
+        .crossJoin(F.broadcast(total))
+    )
+    pr = F.when(
+        F.col("_N") > 1,
+        F.col("_smaller").cast("double") / (F.col("_N") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    tier = (
+        F.when(pr >= 0.9, "heavy").when(pr >= 0.5, "normal").otherwise("light")
+    )
+    return out.select(
+        "user_id", "n_events",
+        F.round(pr, 9).alias("pct_rank"), tier.alias("tier"),
+    )
+
+
+SQL_A17_PERCENTILE = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+p AS (SELECT user_id, n_events,
+             percent_rank() OVER (ORDER BY n_events) AS pr
+      FROM c)
+SELECT user_id, n_events, round(pr, 9) AS pct_rank,
+       CASE WHEN pr >= 0.9 THEN 'heavy'
+            WHEN pr >= 0.5 THEN 'normal'
+            ELSE 'light' END AS tier
+FROM p
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -2749,6 +2898,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_bigrams": q_pmi_bigrams,
     "a15_zscore_outliers": q_a15_zscore_outliers,
+    "cc_cluster_histogram": q_cc_cluster_histogram,
+    "a16_daily_gapfill": q_a16_daily_gapfill,
+    "a17_user_percentile": q_a17_user_percentile,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -2832,6 +2984,9 @@ def oracle_map() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF,
         "pmi_bigrams": SQL_PMI,
         "a15_zscore_outliers": SQL_A15_ZSCORE,
+        "cc_cluster_histogram": SQL_CC_HISTOGRAM,
+        "a16_daily_gapfill": SQL_A16_GAPFILL,
+        "a17_user_percentile": SQL_A17_PERCENTILE,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
