@@ -357,17 +357,15 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 20,
     )
     t_uni = uni.agg(F.sum("c_w").cast("double").alias("_tu"))
     t_bi = bi.agg(F.sum("c_xy").cast("double").alias("_tb"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps, no single-task global sort — an unpartitioned row_number
+    # window here would funnel every surviving bigram through one task).
+    # (c_xy DESC, x, y) is a TOTAL order ((x, y) is the group key), so
+    # the selected set is deterministic without a tie-break hack.
     top = (
         bi.filter(F.col("c_xy") >= min_count)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy().orderBy(
-                    F.col("c_xy").desc(), F.col("x").asc(), F.col("y").asc()
-                )
-            ),
-        )
-        .filter(F.col("_rn") <= k)
+        .orderBy(F.col("c_xy").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(k)
     )
     cx = uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))
     cy = uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))
