@@ -327,3 +327,29 @@ def test_cc_cluster_histogram_identical_pair_plus_singletons(spark, tmp_path):
     got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
            for r in q_cc_cluster_histogram(spark, str(tmp_path)).collect()}
     assert got == {2: (1, 2), 1: (2, 2)}
+
+
+def test_gopher_stats_hand_computed(spark, tmp_path):
+    from xdan_dqa_spark.plans.entry_queries import q_gopher_stats
+
+    rows = [
+        # 4 words, 14 non-ws chars, one @ symbol, dup line 'foo' (3 lines,
+        # 1 dup), all words alphabetic
+        (1, "foo bar\nfoo\n@ok x", "en", "s", 0),
+        (2, "", "en", "s", 0),                       # empty → zero ratios
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r.asDict() for r in q_gopher_stats(spark, str(tmp_path)).collect()}
+    r = got[1]
+    # tokens: foo bar foo @ok x → 5 words; non-ws chars = 13
+    assert r["n_words"] == 5
+    assert r["mean_word_len"] == round(13 / 5, 9)
+    assert r["symbol_ratio"] == round(1 / 5, 9)
+    # lines after trim-split: foo bar / foo / @ok x → no dups (line1 != line2)
+    assert r["dup_line_frac"] == 0.0
+    # '@ok' contains a letter → 5/5 alpha
+    assert r["alpha_ratio"] == 1.0
+    assert r["distinct_word_ratio"] == round(4 / 5, 9)
+    assert got[2]["n_words"] == 0 and got[2]["mean_word_len"] == 0.0

@@ -2839,6 +2839,75 @@ FROM p
 """
 
 
+
+
+# Gopher/C4 heuristic signals over REAL text, directly oracle-paired —
+# the per-doc quality features themselves, not just the downstream ramp
+# tree that score_core pins on synthetic fixtures. Portable subset only:
+# stopword_ratio is excluded because its Spark form needs Java's
+# (?U)-unicode word boundary, which RE2 (DuckDB) cannot express — it
+# stays covered by goldens + unit tests and by score_core's ramp oracle.
+# translate() (identical delete semantics in both engines) carries the
+# whitespace/symbol strips; \p{{L}} is RE2-portable for alpha_ratio.
+
+def q_gopher_stats(spark, sf_dir):
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    return docs.select(
+        "doc_id",
+        h["n_words"].cast("long").alias("n_words"),
+        F.round(h["mean_word_len"], 9).alias("mean_word_len"),
+        F.round(h["symbol_ratio"], 9).alias("symbol_ratio"),
+        F.round(h["dup_line_frac"], 9).alias("dup_line_frac"),
+        F.round(h["alpha_ratio"], 9).alias("alpha_ratio"),
+        F.round(h["cjk_ratio"], 9).alias("cjk_ratio"),
+        F.round(h["distinct_word_ratio"], 9).alias("distinct_word_ratio"),
+    )
+
+
+# The 6 Java-\s chars for translate() as SQL chr() concat (no escape
+# ambiguity across dialects); the symbol class has no quote chars.
+_WS_TRANSLATE_SQL = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+_SYM_TRANSLATE_SQL = "'@#$%^&*{}<>|\\~`=+'"
+
+SQL_GOPHER_STATS = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws FROM documents
+),
+ln AS (
+  SELECT doc_id, t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+)
+SELECT doc_id,
+       len(ws) AS n_words,
+       round(CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(length(translate(t, {_WS_TRANSLATE_SQL}, ''))
+                            AS DOUBLE) / len(ws) END, 9) AS mean_word_len,
+       round(CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                            AS DOUBLE) / len(ws) END, 9) AS symbol_ratio,
+       round(CASE WHEN len(lines) <= 1 THEN 0.0
+                  ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / len(lines) END, 9) AS dup_line_frac,
+       round(CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(t,
+                         '[^\\p{{L}} \t\n\x0B\f\r]*\\p{{L}}[^ \t\n\x0B\f\r]*'))
+                            AS DOUBLE) / len(ws) END, 9) AS alpha_ratio,
+       round(CASE WHEN length(t) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(t, '[一-鿿぀-ヿ]'))
+                            AS DOUBLE) / length(t) END, 9) AS cjk_ratio,
+       round(CASE WHEN len(ws) = 0 THEN 1.0
+                  ELSE CAST(len(list_distinct([lower(x) FOR x IN ws])) AS DOUBLE)
+                       / len(ws) END, 9) AS distinct_word_ratio
+FROM ln
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -2901,6 +2970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_cluster_histogram": q_cc_cluster_histogram,
     "a16_daily_gapfill": q_a16_daily_gapfill,
     "a17_user_percentile": q_a17_user_percentile,
+    "gopher_stats": q_gopher_stats,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -2987,6 +3057,7 @@ def oracle_map() -> dict[str, str]:
         "cc_cluster_histogram": SQL_CC_HISTOGRAM,
         "a16_daily_gapfill": SQL_A16_GAPFILL,
         "a17_user_percentile": SQL_A17_PERCENTILE,
+        "gopher_stats": SQL_GOPHER_STATS,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
