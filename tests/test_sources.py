@@ -353,3 +353,34 @@ def test_gopher_stats_hand_computed(spark, tmp_path):
     assert r["alpha_ratio"] == 1.0
     assert r["distinct_word_ratio"] == round(4 / 5, 9)
     assert got[2]["n_words"] == 0 and got[2]["mean_word_len"] == 0.0
+
+
+def test_a19_event_lift_hand_computed(spark, tmp_path):
+    from xdan_dqa_spark.plans.entry_queries import q_a19_event_lift
+
+    # users: 1 {x,y}, 2 {x,y}, 3 {x}, 4 {y,z} → N=4
+    # n_x=3, n_y=3, n_z=1; pairs: (x,y)=2, (y,z)=1
+    rows = [(0, 1, "x", 0.0), (1, 1, "y", 0.0), (2, 2, "x", 0.0),
+            (3, 2, "y", 0.0), (4, 3, "x", 0.0), (5, 4, "y", 0.0),
+            (6, 4, "z", 0.0), (7, 1, "x", 0.0)]   # dup (1,x) must not count
+    _write_events(spark, tmp_path, rows)
+    got = {(r["type_a"], r["type_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+           for r in q_a19_event_lift(spark, str(tmp_path)).collect()}
+    assert got[("x", "y")] == (2, 3, 3, round((2 / 4) / ((3 / 4) * (3 / 4)), 9))
+    assert got[("y", "z")] == (1, 3, 1, round((1 / 4) / ((3 / 4) * (1 / 4)), 9))
+    assert ("x", "z") not in got
+
+
+def test_a20_log2_hist_bucket_edges(spark, tmp_path):
+    from xdan_dqa_spark.plans.entry_queries import q_a20_length_log2_hist
+
+    # n_chars 1→bucket 1, 2,3→2, 4..7→3, 1024→11 (exact power of two —
+    # the case where floor(log2) would be ULP-fragile)
+    rows = [(i, "t", "en", "s", n) for i, n in
+            enumerate([1, 2, 3, 4, 7, 1024])]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["log2_bucket"]: (r["n_docs"], r["min_chars"], r["max_chars"])
+           for r in q_a20_length_log2_hist(spark, str(tmp_path)).collect()}
+    assert got == {1: (1, 1, 1), 2: (2, 2, 3), 3: (2, 4, 7), 11: (1, 1024, 1024)}

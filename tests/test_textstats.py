@@ -287,3 +287,30 @@ def test_pmi_bigrams_single_word_docs_contribute_no_pairs(spark):
     )
     rows = pmi_bigrams(docs, min_count=2, k=5).collect()
     assert [(r["x"], r["y"], r["c_xy"]) for r in rows] == [("a", "b", 2)]
+
+
+# -------------------------------------------------------------------- MAD
+
+def test_median_abs_deviation_hand_computed(spark):
+    from xdan_dqa_spark.operators.textstats import median_abs_deviation
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 10)] + [("b", v) for v in (5, 5, 5)],
+        "lang string, n_chars long",
+    )
+    got = {r["lang"]: (r["median_val"], r["mad_val"])
+           for r in median_abs_deviation(df).collect()}
+    # a: median = 2.5 (type-7), diffs [1.5, 0.5, 0.5, 7.5] → MAD = 1.0
+    assert got["a"] == (2.5, 1.0)
+    assert got["b"] == (5.0, 0.0)
+
+
+def test_median_abs_deviation_partitioning_invariant(spark):
+    from xdan_dqa_spark.operators.textstats import median_abs_deviation
+
+    df = spark.createDataFrame(
+        [("g", (i * 37) % 101) for i in range(50)], "lang string, n_chars long"
+    )
+    a = median_abs_deviation(df).collect()[0]
+    b = median_abs_deviation(df.repartition(7)).collect()[0]
+    assert (a["median_val"], a["mad_val"]) == (b["median_val"], b["mad_val"])

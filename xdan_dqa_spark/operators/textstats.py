@@ -158,13 +158,19 @@ def token_count_quantiles(
             lambda w: w != F.lit(""),
         )
     ).cast("long")
-    hist = (
-        df.select(F.col(group_col).alias("g"), n_tok.alias("v"))
-        .groupBy("g", "v")
-        .agg(F.count("*").alias("c"))
-    )
-    from pyspark.sql import Window
+    gv = df.select(F.col(group_col).alias("g"), n_tok.alias("v"))
+    out = exact_quantiles_histogram(gv, ps)
+    return out.select(F.col("g").alias(group_col),
+                      *[c for c in out.columns if c != "g"])
 
+
+def exact_quantiles_histogram(gv: DataFrame,
+                              ps: tuple[float, ...]) -> DataFrame:
+    """EXACT type-7 quantiles per group over a (g, v) DataFrame via the
+    value-compressed histogram (see token_count_quantiles' rationale:
+    bounded aggregation state where built-in ``percentile`` buffers every
+    value). Returns one row per g with ``p{int(p*100)}`` columns."""
+    hist = gv.groupBy("g", "v").agg(F.count("*").alias("c"))
     w_ord = Window.partitionBy("g").orderBy("v")
     w_all = Window.partitionBy("g")
     hist = (
@@ -172,7 +178,7 @@ def token_count_quantiles(
         .withColumn("total", F.sum("c").over(w_all))
         .withColumn("cum_prev", F.col("cum") - F.col("c"))
     )
-    aggs, finals = [], [F.col("g").alias(group_col)]
+    aggs, finals = [], [F.col("g")]
     for p in ps:
         tag = str(int(round(p * 100)))
         h = F.lit(float(p)) * (F.col("total") - F.lit(1)).cast("double")
@@ -190,6 +196,38 @@ def token_count_quantiles(
             F.round(lo + F.col(f"_f{tag}") * (hi - lo), 6).alias(f"p{tag}")
         )
     return hist.groupBy("g").agg(*aggs).select(*finals)
+
+
+def median_abs_deviation(df: DataFrame, value_col: str = "n_chars",
+                         by: str = "lang") -> DataFrame:
+    """Per-group median and MAD (median absolute deviation) — the robust
+    center/spread pair for skew-heavy web-doc length distributions where
+    mean/stddev are dominated by the tail.
+
+    Two exact-histogram quantile passes (bounded state each; see
+    exact_quantiles_histogram): p50 of the value, then p50 of
+    |value − median| with the per-group median attached via a broadcast
+    of the ≤#groups median table — the fact table is scanned twice but
+    never buffered per group. Deviations are exact halves at worst
+    (type-7 median of integers), so the second histogram's keys stay a
+    small exact-double set.
+    """
+    gv = df.select(F.col(by).alias("g"), F.col(value_col).cast("double").alias("v"))
+    med = exact_quantiles_histogram(gv, (0.5,)).select(
+        "g", F.col("p50").alias("_med")
+    )
+    dev = (
+        gv.join(F.broadcast(med), "g")
+        .select("g", F.abs(F.col("v") - F.col("_med")).alias("v"))
+    )
+    mad = exact_quantiles_histogram(dev, (0.5,)).select(
+        "g", F.col("p50").alias("_mad")
+    )
+    return med.join(mad, "g").select(
+        F.col("g").alias(by),
+        F.col("_med").alias("median_val"),
+        F.col("_mad").alias("mad_val"),
+    )
 
 
 def shingle_prevalence(df: DataFrame, text_col: str = "text",

@@ -2908,6 +2908,116 @@ FROM ln
 """
 
 
+
+
+# ------------------------------------------------------------- round-5 batch 6
+# A18 robust center/spread: per-language median + MAD of doc length
+# (operators/textstats.py median_abs_deviation — two exact-histogram
+# type-7 quantile passes, bounded state; DuckDB's mad() implements the
+# identical interpolated definition).
+
+def q_a18_median_mad(spark, sf_dir):
+    from ..operators.textstats import median_abs_deviation
+
+    return median_abs_deviation(
+        _t(spark, sf_dir, "documents"), value_col="n_chars", by="lang"
+    ).select(
+        "lang",
+        F.round("median_val", 6).alias("median_chars"),
+        F.round("mad_val", 6).alias("mad_chars"),
+    )
+
+
+SQL_A18_MAD = """
+SELECT lang,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars,
+       round(mad(CAST(n_chars AS DOUBLE)), 6) AS mad_chars
+FROM documents GROUP BY lang
+"""
+
+# A19 event co-occurrence lift (market-basket over user sessions): for
+# each event-type pair, how much more often do the two co-occur in one
+# user's history than independence predicts. The self-join is keyed on
+# user_id with each side pre-deduped to the (user, type) grain — per-user
+# type sets are bounded by the type ENUM, so join output is linear in
+# users × C(T,2), never event-count-squared. Totals and per-type counts
+# ride broadcast joins (≤#types rows).
+
+def q_a19_event_lift(spark, sf_dir):
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n_users = ut.select("user_id").distinct().agg(
+        F.count("*").alias("_n")
+    )
+    per_type = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    na = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n_t").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n_t").alias("n_b"))
+    nd = F.col("_n").cast("double")
+    lift = (F.col("n_ab").cast("double") / nd) / (
+        (F.col("n_a").cast("double") / nd) * (F.col("n_b").cast("double") / nd)
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select("type_a", "type_b", "n_ab", "n_a", "n_b",
+                F.round(lift, 9).alias("lift"))
+    )
+
+
+SQL_A19_LIFT = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nd FROM ut),
+t AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+       round((CAST(n_ab AS DOUBLE) / nd)
+             / ((CAST(ta.n_t AS DOUBLE) / nd) * (CAST(tb.n_t AS DOUBLE) / nd)),
+             9) AS lift
+FROM p JOIN t ta ON p.type_a = ta.event_type
+       JOIN t tb ON p.type_b = tb.event_type, n
+"""
+
+# A20 doc-length magnitude histogram: per (lang, power-of-two bucket)
+# counts. The bucket index is length(bin(n_chars)) = floor(log2)+1 —
+# INTEGRAL in both engines, where floor(log2(x)) itself can straddle a
+# ULP at exact powers of two and disagree cross-engine.
+
+def q_a20_length_log2_hist(spark, sf_dir):
+    bucket = F.length(F.bin(F.col("n_chars"))).cast("long")
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", bucket.alias("log2_bucket"))
+        .agg(F.count("*").alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+SQL_A20_LOG2 = """
+SELECT lang, CAST(length(bin(n_chars)) AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang, length(bin(n_chars))
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -2971,6 +3081,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a16_daily_gapfill": q_a16_daily_gapfill,
     "a17_user_percentile": q_a17_user_percentile,
     "gopher_stats": q_gopher_stats,
+    "a18_median_mad": q_a18_median_mad,
+    "a19_event_lift": q_a19_event_lift,
+    "a20_length_log2_hist": q_a20_length_log2_hist,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -3058,6 +3171,9 @@ def oracle_map() -> dict[str, str]:
         "a16_daily_gapfill": SQL_A16_GAPFILL,
         "a17_user_percentile": SQL_A17_PERCENTILE,
         "gopher_stats": SQL_GOPHER_STATS,
+        "a18_median_mad": SQL_A18_MAD,
+        "a19_event_lift": SQL_A19_LIFT,
+        "a20_length_log2_hist": SQL_A20_LOG2,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
