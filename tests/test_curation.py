@@ -1,0 +1,162 @@
+"""Curation operator invariants (operators/curation.py): the
+decontamination join must broadcast the benchmark side, chunking and
+packing must conserve token counts exactly, OOV/mixture outputs obey
+their algebraic identities, and the Simpson gibberish signal hits its
+closed-form extremes. Value-level cross-engine identity is pinned by
+the DuckDB twins (decon/oov/mixture/chunk/pack/char_diversity in
+plans/entry_queries.py); these tests pin the invariants and plan shapes
+the oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+            (2, "pack my box with five dozen liquor jugs", "en", "a"),
+            (3, "el rapido zorro marron salta sobre el perro", "es", "b"),
+            (4, "", "en", "b"),
+            (5, None, "en", "b"),
+            (6, "aaaa aaaa aaaa", "en", "c"),
+        ],
+    ).cache()
+
+
+def test_benchmark_overlap_flags_leak_and_broadcasts(spark, small):
+    from xdan_dqa_spark.operators.curation import benchmark_overlap
+
+    bench = _docs(spark, [(100, "over the lazy dog today", "en", "x")])
+    out = benchmark_overlap(small, bench, n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 shares the "over the lazy" / "the lazy dog" trigrams; nothing
+    # else overlaps the benchmark text.
+    assert set(rows) == {1}
+    assert rows[1]["n_hits"] == 2
+    assert 0.0 < rows[1]["hit_frac"] <= 1.0
+    # The benchmark key set must ride a broadcast — the corpus side of
+    # the contamination probe never shuffles.
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_benchmark_overlap_self_is_total(spark, small):
+    from xdan_dqa_spark.operators.curation import benchmark_overlap
+
+    docs = small.filter("text is not null and length(text) > 0")
+    out = benchmark_overlap(docs, docs, n=3).collect()
+    # Every doc with >=3 words is 100% contaminated against itself.
+    assert all(r["hit_frac"] == 1.0 for r in out)
+    assert all(r["n_hits"] == r["n_shingles"] for r in out)
+
+
+def test_chunk_plan_conserves_tokens_and_is_map_only(spark, small):
+    from xdan_dqa_spark.operators.curation import chunk_plan
+
+    out = chunk_plan(small, chunk_tokens=4)
+    rows = out.collect()
+    # doc 1: 9 tokens -> chunks of 4,4,1; doc 2: 8 -> 4,4; doc 6: 3 -> 3.
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(c["chunk_tokens"] for c in by_doc[1]) == [1, 4, 4]
+    assert sorted(c["chunk_tokens"] for c in by_doc[2]) == [4, 4]
+    assert sorted(c["chunk_tokens"] for c in by_doc[6]) == [3]
+    # Empty / NULL text documents emit zero chunks, not 0-length rows.
+    assert 4 not in by_doc and 5 not in by_doc
+    # Every chunk is positive, every non-tail chunk is full, chunk_ids
+    # are 0..n_chunks-1.
+    for doc, cs in by_doc.items():
+        cs = sorted(cs, key=lambda c: c["chunk_id"])
+        assert [c["chunk_id"] for c in cs] == list(range(len(cs)))
+        assert all(c["n_chunks"] == len(cs) for c in cs)
+        assert all(c["chunk_tokens"] == 4 for c in cs[:-1])
+        assert cs[-1]["chunk_tokens"] > 0
+    # Map-only: no Exchange anywhere in the chunking plan.
+    assert "Exchange" not in _plan(out)
+
+
+def test_pack_bins_conserves_tokens_and_orders(spark, small):
+    from xdan_dqa_spark.operators.curation import pack_bins
+
+    out = pack_bins(small, capacity_tokens=10)
+    rows = {(r["source"], r["bin_id"]): r for r in out.collect()}
+    # source a: doc1 (9 tok) then doc2 (8 tok): doc2's exclusive prefix
+    # is 9 -> bin 0; both land in bin 0 (offset packing fills past the
+    # boundary with the doc that straddles it).
+    assert rows[("a", 0)]["n_docs"] == 2
+    assert rows[("a", 0)]["bin_tokens"] == 17
+    assert rows[("a", 0)]["first_doc"] == 1 and rows[("a", 0)]["last_doc"] == 2
+    # Token conservation per source.
+    import collections
+
+    tot = collections.Counter()
+    for (src, _), r in rows.items():
+        tot[src] += r["bin_tokens"]
+    assert tot["a"] == 17 and tot["b"] == 8 and tot["c"] == 3
+
+
+def test_oov_rate_bounds(spark, small):
+    from xdan_dqa_spark.operators.curation import oov_rate
+
+    # Vocabulary covering every term -> zero OOV everywhere.
+    full = {r["lang"]: r for r in oov_rate(small, vocab_size=10_000).collect()}
+    assert all(r["n_oov"] == 0 and r["oov_rate"] == 0.0 for r in full.values())
+    # A 1-term vocabulary ("aaaa" x3 ties with "el" x3, term ASC keeps
+    # "aaaa"): rates stay in (0, 1] and token counts are unchanged.
+    tiny = {r["lang"]: r for r in oov_rate(small, vocab_size=1).collect()}
+    assert tiny["en"]["n_tokens"] == full["en"]["n_tokens"]
+    for r in tiny.values():
+        assert 0.0 < r["oov_rate"] <= 1.0
+        assert r["n_oov"] <= r["n_tokens"]
+
+
+def test_mixture_plan_algebra(spark, small):
+    from xdan_dqa_spark.operators.curation import mixture_plan
+
+    rows = mixture_plan(small).collect()
+    assert {r["source"] for r in rows} == {"a", "b", "c"}
+    assert abs(sum(r["current_share"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        # epochs = target_share / current_share; sampling_rate caps at 1.
+        assert r["epochs"] == pytest.approx(
+            r["target_share"] / r["current_share"], rel=1e-6
+        )
+        assert r["sampling_rate"] == pytest.approx(min(1.0, r["epochs"]), rel=1e-6)
+    # a=17, b=8, c=3 tokens: 'c' is under-represented -> epochs > 1.
+    by = {r["source"]: r for r in rows}
+    assert by["c"]["epochs"] > 1.0 > by["a"]["epochs"]
+
+
+def test_char_diversity_extremes(spark):
+    from xdan_dqa_spark.operators.curation import char_diversity
+
+    df = _docs(
+        spark,
+        [
+            (1, "aaaaaaaa", "spam", "s"),
+            (2, "abcdefgh", "prose", "s"),
+        ],
+    )
+    rows = {r["lang"]: r for r in char_diversity(df).collect()}
+    # Repeated-character spam: P(two draws equal) == 1 exactly.
+    assert rows["spam"]["mean_simpson"] == 1.0
+    assert rows["spam"]["sum_distinct_chars"] == 1
+    # All-distinct text: Simpson == 1/n.
+    assert rows["prose"]["mean_simpson"] == pytest.approx(1 / 8, abs=1e-9)
+    assert rows["prose"]["sum_distinct_chars"] == 8

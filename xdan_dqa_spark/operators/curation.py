@@ -1,0 +1,269 @@
+"""Training-data curation operators beyond per-document quality scoring:
+benchmark decontamination, vocabulary/OOV profiling, source-mixture
+rebalancing, context-window chunking, greedy sequence packing, and
+character-diversity gibberish signals.
+
+Reference scope: the reference (src/processor.py, src/data_transformer.py)
+scores and rewrites documents in isolation via remote LLM calls; none of
+these corpus-level curation steps exist there. They are part of this
+repo's beyond-reference LLM-training-pipeline surface (SURVEY.md §2.6),
+built Spark-first: every operator below is pure DataFrame expressions —
+no Python UDFs anywhere — so the hot path stays in whole-stage codegen.
+
+Cross-engine determinism discipline (same as operators/dedup.py):
+tokenization uses the explicit 6-char whitespace class
+(functions/tokenize.py), shingle/bucket keys are md5-derived 60-bit
+longs, and every emitted ratio is integer-exact arithmetic divided once
+at the end — no accumulated float sums — so each query's DuckDB oracle
+twin matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import WS_PLUS
+from .dedup import shingles
+
+
+def _words(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: w != F.lit(""),
+    )
+
+
+def _shingle_keys(text_col: str, n: int) -> F.Column:
+    """Distinct word-n-gram shingles as 60-bit md5-derived longs (the
+    fixed 8-byte shuffle-key discipline from operators/dedup.py — keys
+    ship as longs, never as shingle strings)."""
+    key = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return F.array_distinct(F.transform(shingles(text_col, n), key))
+
+
+def benchmark_overlap(docs: DataFrame, bench: DataFrame, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: for each corpus document, how many of
+    its distinct word n-gram shingles also appear in the benchmark set
+    (eval-set leakage detection — the pre-training hygiene step that
+    drops documents containing test-set n-grams).
+
+    Spark shape at scale: the benchmark side is tiny relative to the
+    corpus (eval suites are ~10⁶ n-grams vs 10¹² corpus docs), so its
+    distinct key set is BROADCAST and the corpus side never shuffles —
+    explode(distinct shingle keys) → broadcast left join → one hash
+    aggregate back to the doc grain. Output is only the contaminated
+    docs (n_hits > 0), linear in actual contamination, never in corpus
+    size.
+
+    Returns (doc_id, n_shingles, n_hits, hit_frac) for contaminated docs.
+    """
+    bench_keys = (
+        bench.select(F.explode(_shingle_keys(text_col, n)).alias("k"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode(_shingle_keys(text_col, n)).alias("k")
+    )
+    return (
+        ex.join(F.broadcast(bench_keys), "k", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .withColumn(
+            "hit_frac",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"),
+                9,
+            ),
+        )
+    )
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 200,
+             text_col: str = "text", by: str = "lang") -> DataFrame:
+    """Per-group out-of-vocabulary token rate against the corpus top-V
+    vocabulary (tokenizer-coverage profiling: a slice with high OOV rate
+    is gibberish, the wrong language, or needs its own vocab).
+
+    Two passes, both bounded: (1) corpus term counts — explode → hash
+    aggregate with map-side combine (shuffle ships partial counts, not
+    tokens) → TakeOrderedAndProject top-V with a deterministic
+    (count DESC, term ASC) tie at rank V; (2) the V-row vocabulary is
+    BROADCAST back and per-group OOV is token-weighted integer sums —
+    sum(oov_tokens)/sum(tokens), one exact division at the end, never a
+    float mean of per-doc ratios.
+    """
+    words = _words(text_col)
+    vocab = (
+        docs.select(F.explode(words).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_in"))
+    )
+    ex = docs.select(F.col(by), F.explode(words).alias("term"))
+    return (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 9),
+        )
+    )
+
+
+def mixture_plan(docs: DataFrame, text_col: str = "text",
+                 by: str = "source") -> DataFrame:
+    """Source-mixture rebalancing plan: per-source token counts, the
+    current corpus share, a uniform target share, and the epoch factor
+    (target/current — >1 means upsample/repeat, <1 means downsample)
+    that a data-mixing stage feeds into weighted sampling.
+
+    One hash aggregate to the source grain (bounded: #sources rows),
+    then totals ride a broadcast of that bounded table — the document
+    table is scanned exactly once. All shares/epochs are exact integer
+    sums divided once at the end.
+    """
+    per = docs.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_words(text_col)).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_t"), F.count("*").alias("_s")
+    )
+    cur = F.col("n_tokens").cast("double") / F.col("_t").cast("double")
+    tgt = F.lit(1.0) / F.col("_s").cast("double")
+    epochs = F.col("_t").cast("double") / (
+        F.col("_s").cast("double") * F.col("n_tokens").cast("double")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            by, "n_docs", "n_tokens",
+            F.round(cur, 9).alias("current_share"),
+            F.round(tgt, 9).alias("target_share"),
+            F.round(epochs, 9).alias("epochs"),
+            F.round(F.least(F.lit(1.0), epochs), 9).alias("sampling_rate"),
+        )
+    )
+
+
+def chunk_plan(docs: DataFrame, chunk_tokens: int = 64,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Context-window chunking plan: split each document into fixed-size
+    token windows — (doc_id, chunk_id, chunk_tokens) with the tail chunk
+    carrying the remainder. The sharding step before tokenized training
+    examples are materialized.
+
+    Map-only: ceil-divide in integer arithmetic, explode a bounded
+    sequence(0, n_chunks−1) — output rows are linear in total tokens /
+    chunk size, NO shuffle anywhere in the plan. Zero-token documents
+    produce zero chunks (filtered, not a 0-length chunk row).
+    """
+    n_tok = F.size(_words(text_col)).cast("long")
+    d = docs.select(F.col(id_col), n_tok.alias("n_tok")).filter(F.col("n_tok") > 0)
+    # integral ceil-divide (DIV) — float division then truncate would be
+    # exact only below 2^53 tokens
+    n_chunks = F.expr(f"(n_tok + {chunk_tokens - 1}) DIV {chunk_tokens}")
+    return (
+        d.withColumn("n_chunks", n_chunks)
+        .select(
+            id_col, "n_tok", "n_chunks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.least(F.lit(chunk_tokens),
+                    F.col("n_tok") - F.col("chunk_id") * F.lit(chunk_tokens)),
+        )
+        .select(id_col, "chunk_id", "chunk_tokens", "n_chunks")
+    )
+
+
+def pack_bins(docs: DataFrame, capacity_tokens: int = 2048,
+              text_col: str = "text", id_col: str = "doc_id",
+              by: str = "source") -> DataFrame:
+    """Greedy offset-based sequence packing: within each stream
+    (source), documents in doc_id order are laid head-to-tail and the
+    bin index is floor(exclusive-prefix-tokens / capacity) — the
+    deterministic packing a pre-training shard writer uses to fill
+    context windows without a sequential driver loop.
+
+    One window shuffle on the stream key (running sum over ROWS
+    UNBOUNDED PRECEDING → 1 PRECEDING — O(1) state per row, never a
+    buffered partition), then a hash aggregate to the (stream, bin)
+    grain. At 10¹² docs the stream key must be finer than `source`
+    (source × shard-date), keeping every window partition bounded; the
+    packing definition is unchanged because bins never cross streams.
+
+    Returns per (stream, bin): n_docs, bin_tokens, first/last doc_id.
+    """
+    n_tok = F.size(_words(text_col)).cast("long")
+    w = (
+        Window.partitionBy(by).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (
+        docs.select(F.col(by), F.col(id_col), n_tok.alias("n_tok"))
+        .withColumn("_cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("bin_id", F.expr(f"_cum_before DIV {capacity_tokens}"))
+    )
+    return d.groupBy(by, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def char_diversity(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", by: str = "lang") -> DataFrame:
+    """Per-group character-diversity profile: distinct-character count
+    and the Simpson index (probability two randomly drawn characters are
+    equal — near 1.0 for repeated-character spam, low for natural prose).
+    The gibberish/obfuscation signal character entropy usually serves,
+    chosen in its rational (Σc²/n²) form so every value is EXACT integer
+    arithmetic — no log(), whose last-ulp engine differences would make
+    an accumulated float sum oracle-fragile.
+
+    Shape: explode to (doc, char) → hash aggregate with map-side combine
+    (shuffle ships per-(doc,char) partial counts, bounded by doc count ×
+    alphabet, not by text size) → per-doc exact Simpson → one bounded
+    aggregate to the group grain. Per-doc ratios are rounded once and
+    carried as decimals so the group mean is an exact decimal sum.
+    """
+    ch = F.explode(F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+                            lambda c: c != F.lit(""))).alias("ch")
+    counts = (
+        docs.select(F.col(by), F.col(id_col), ch)
+        .groupBy(by, id_col, "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy(by, id_col).agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    ).withColumn(
+        "simpson",
+        F.round(F.col("sum_c2").cast("double") / (F.col("n") * F.col("n")).cast("double"), 9),
+    )
+    return per_doc.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_distinct").alias("sum_distinct_chars"),
+        (F.sum(F.col("simpson").cast("decimal(20,9)")).cast("double")
+         / F.count("*").cast("double")).alias("_mean_simpson"),
+    ).select(
+        by, "n_docs", "sum_distinct_chars",
+        F.round("_mean_simpson", 9).alias("mean_simpson"),
+    )

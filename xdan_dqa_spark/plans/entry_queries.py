@@ -3018,6 +3018,201 @@ FROM documents GROUP BY lang, length(bin(n_chars))
 """
 
 
+# ------------------------------------------------------------- round-5 batch 7
+# Training-data curation specials (operators/curation.py): benchmark
+# decontamination, OOV profiling, mixture rebalancing, context-window
+# chunking, sequence packing, char-diversity gibberish signal, and
+# quality-weighted deterministic sampling. The benchmark set is carved
+# deterministically from the corpus (doc_id % 97 == 0) so the query is
+# self-contained on the fixture tables.
+
+_SHKEYS_SQL = (
+    "list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) "
+    f"FOR x IN {_SHINGLES_SQL}])"
+)
+
+
+def q_decon_benchmark_overlap(spark, sf_dir):
+    from ..operators.curation import benchmark_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_overlap(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+SQL_DECON = f"""
+WITH bk AS (
+  SELECT DISTINCT unnest({_SHKEYS_SQL}) AS k
+  FROM documents WHERE doc_id % 97 = 0
+),
+ex AS (
+  SELECT doc_id, unnest({_SHKEYS_SQL}) AS k
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT ex.doc_id, COUNT(*) AS n_shingles,
+       SUM(CASE WHEN bk.k IS NULL THEN 0 ELSE 1 END) AS n_hits,
+       round(CAST(SUM(CASE WHEN bk.k IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS hit_frac
+FROM ex LEFT JOIN bk ON ex.k = bk.k
+GROUP BY ex.doc_id
+HAVING SUM(CASE WHEN bk.k IS NULL THEN 0 ELSE 1 END) > 0
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    from ..operators.curation import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"), vocab_size=200)
+
+
+SQL_OOV = f"""
+WITH ex AS (SELECT lang, unnest({_WORDS_WS_SQL}) AS term FROM documents),
+v AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cnt FROM ex GROUP BY term
+    ORDER BY cnt DESC, term ASC LIMIT 200
+  )
+)
+SELECT lang, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       round(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS oov_rate
+FROM ex LEFT JOIN v ON ex.term = v.term
+GROUP BY lang
+"""
+
+
+def q_mixture_plan(spark, sf_dir):
+    from ..operators.curation import mixture_plan
+
+    return mixture_plan(_t(spark, sf_dir, "documents"))
+
+
+SQL_MIXTURE = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(len({_WORDS_WS_SQL})) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM per)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 9) AS current_share,
+       round(1.0 / CAST(s AS DOUBLE), 9) AS target_share,
+       round(CAST(t AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+             9) AS epochs,
+       round(least(1.0, CAST(t AS DOUBLE)
+                        / (CAST(s AS DOUBLE) * CAST(n_tokens AS DOUBLE))),
+             9) AS sampling_rate
+FROM per, tot
+"""
+
+
+def q_chunk_plan(spark, sf_dir):
+    from ..operators.curation import chunk_plan
+
+    return chunk_plan(_t(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+# chunk_tokens = least(64, n_tok − 64·chunk_id) is derived in the outer
+# select on both sides so the unnest stays simple.
+SQL_CHUNK = f"""
+WITH d AS (SELECT doc_id, len({_WORDS_WS_SQL}) AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok, CAST((n_tok + 63) // 64 AS BIGINT) AS n_chunks
+  FROM d WHERE n_tok > 0
+),
+e AS (
+  SELECT doc_id, n_tok, n_chunks,
+         CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
+  FROM c
+)
+SELECT doc_id, chunk_id,
+       CAST(least(64, n_tok - chunk_id * 64) AS BIGINT) AS chunk_tokens,
+       n_chunks
+FROM e
+"""
+
+
+def q_pack_bins(spark, sf_dir):
+    from ..operators.curation import pack_bins
+
+    return pack_bins(_t(spark, sf_dir, "documents"), capacity_tokens=2048)
+
+
+SQL_PACK = f"""
+WITH d AS (
+  SELECT source, doc_id, len({_WORDS_WS_SQL}) AS n_tok FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT source, CAST(cum_before // 2048 AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY source, cum_before // 2048
+"""
+
+
+def q_char_diversity(spark, sf_dir):
+    from ..operators.curation import char_diversity
+
+    return char_diversity(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHAR_DIVERSITY = """
+WITH ex AS (
+  SELECT lang, doc_id,
+         unnest([substr(text, i, 1) FOR i IN range(1, length(text) + 1)]) AS ch
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (SELECT lang, doc_id, ch, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3),
+pd AS (
+  SELECT lang, doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+         SUM(c * c) AS sum_c2
+  FROM cnt GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_distinct) AS sum_distinct_chars,
+       round(CAST(SUM(CAST(round(CAST(sum_c2 AS DOUBLE)
+                                 / CAST(n * n AS DOUBLE), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_simpson
+FROM pd GROUP BY lang
+"""
+
+# Quality-weighted deterministic sampling: keep probability proportional
+# to n_chars (capped at 1 above 3000 chars), decided by the same md5
+# bucket discipline as s3_stratified_sample — PURE integer comparison
+# (bucket·3000 < n_chars·10⁶), map-only, no shuffle, reproducible across
+# engines/partitionings. The sampling stage a mixture_plan's per-source
+# rates feed at 10¹² docs.
+
+
+def q_s3_weighted_sample(spark, sf_dir):
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1000000),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(bucket * F.lit(3000) < F.col("n_chars") * F.lit(1000000))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_S3_WEIGHTED = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       % 1000000) * 3000 < n_chars * 1000000
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -3084,6 +3279,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a18_median_mad": q_a18_median_mad,
     "a19_event_lift": q_a19_event_lift,
     "a20_length_log2_hist": q_a20_length_log2_hist,
+    "decon_benchmark_overlap": q_decon_benchmark_overlap,
+    "oov_rate": q_oov_rate,
+    "mixture_plan": q_mixture_plan,
+    "chunk_plan": q_chunk_plan,
+    "pack_bins": q_pack_bins,
+    "char_diversity": q_char_diversity,
+    "s3_weighted_sample": q_s3_weighted_sample,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -3174,6 +3376,13 @@ def oracle_map() -> dict[str, str]:
         "a18_median_mad": SQL_A18_MAD,
         "a19_event_lift": SQL_A19_LIFT,
         "a20_length_log2_hist": SQL_A20_LOG2,
+        "decon_benchmark_overlap": SQL_DECON,
+        "oov_rate": SQL_OOV,
+        "mixture_plan": SQL_MIXTURE,
+        "chunk_plan": SQL_CHUNK,
+        "pack_bins": SQL_PACK,
+        "char_diversity": SQL_CHAR_DIVERSITY,
+        "s3_weighted_sample": SQL_S3_WEIGHTED,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
