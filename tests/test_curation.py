@@ -160,3 +160,24 @@ def test_char_diversity_extremes(spark):
     # All-distinct text: Simpson == 1/n.
     assert rows["prose"]["mean_simpson"] == pytest.approx(1 / 8, abs=1e-9)
     assert rows["prose"]["sum_distinct_chars"] == 8
+
+
+def test_stopword_coverage_separates_prose_from_stuffing(spark):
+    from xdan_dqa_spark.operators.curation import stopword_coverage
+
+    docs = _docs(
+        spark,
+        [
+            (1, "The cat sat on the mat and the dog was in the house", "en", "a"),
+            (2, "buy cheap pills discount pills cheap buy pills", "en-stuff", "a"),
+        ],
+    )
+    rows = {r["lang"]: r for r in stopword_coverage(docs).collect()}
+    # Lowercased membership: "The" counts. Prose carries function words;
+    # keyword stuffing carries none.
+    assert rows["en"]["n_stop"] >= 4
+    assert rows["en"]["stop_rate"] > 0.2
+    assert rows["en-stuff"]["n_stop"] == 0 and rows["en-stuff"]["stop_rate"] == 0.0
+    # The lexicon must ride a broadcast, never a shuffle join.
+    plan = _plan(stopword_coverage(docs))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

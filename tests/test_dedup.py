@@ -364,3 +364,23 @@ def test_levenshtein_pairs_end_to_end_near_dup(spark):
     )
     got = {(r["a"], r["b"]): r["lev"] for r in levenshtein_pairs(docs).collect()}
     assert got.get((1, 2)) == 1 and (1, 3) not in got and (2, 3) not in got
+
+
+def test_canonical_dedup_collapses_case_and_whitespace_variants(spark):
+    from xdan_dqa_spark.operators.dedup import canonical_dedup, exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World how are you"),
+            (2, "hello   world\thow are\nyou"),   # ws/case variant of 1
+            (3, "  HELLO WORLD HOW ARE YOU  "),   # edge-ws/case variant of 1
+            (4, "a different document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in canonical_dedup(docs).collect())
+    # min-id survivor per canonical group
+    assert kept == [1, 4]
+    # exact dedup keeps all four (no byte-identical pair) — canonical is
+    # strictly stronger on reformatted copies.
+    assert sorted(r["doc_id"] for r in exact_dedup(docs).collect()) == [1, 2, 3, 4]

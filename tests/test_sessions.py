@@ -122,3 +122,28 @@ def test_cohort_retention_partitioning_invariant(spark):
     a = sorted(map(tuple, cohort_retention(df).collect()))
     b = sorted(map(tuple, cohort_retention(df.repartition(11)).collect()))
     assert a == b
+
+
+def test_burst_users_rolling_window_no_seams(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import burst_users
+
+    base = dt.datetime(2025, 3, 1, 23, 59, 0)
+
+    def ev(uid, offsets_sec):
+        return [(uid, base + dt.timedelta(seconds=s)) for s in offsets_sec]
+
+    rows = (
+        # burster: 5 events inside 90 s, straddling midnight — a
+        # calendar-day count would see 2+3 and miss it.
+        ev(1, [0, 30, 60, 80, 90])
+        # slow user: 5 events spread over 5 hours, never 3 in a minute
+        + ev(2, [0, 3600, 7200, 10800, 14400])
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in
+           burst_users(df, window_sec=60, min_events=4).collect()}
+    assert set(out) == {1}
+    assert out[1]["max_burst"] == 4          # events at 30..90 share a 60 s frame
+    assert out[1]["n_events"] == 5

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from xdan_dqa_spark.operators.textstats import (
@@ -314,3 +315,42 @@ def test_median_abs_deviation_partitioning_invariant(spark):
     a = median_abs_deviation(df).collect()[0]
     b = median_abs_deviation(df.repartition(7)).collect()[0]
     assert (a["median_val"], a["mad_val"]) == (b["median_val"], b["mad_val"])
+
+
+def test_ngram_repetition_hand_computed(spark):
+    from xdan_dqa_spark.operators.textstats import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c a b c a b c": 7 trigrams, 3 distinct -> 4 dups
+            (1, "spam", "a b c a b c a b c"),
+            # all-distinct prose: 4 trigrams, 0 dups
+            (2, "prose", "the quick brown fox jumps over"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in ngram_repetition(docs, n=3).collect()}
+    assert rows["spam"]["n_ngrams"] == 7
+    assert rows["spam"]["n_dup_ngrams"] == 4
+    assert rows["spam"]["dup_frac"] == pytest.approx(4 / 7, abs=1e-9)
+    assert rows["prose"]["n_dup_ngrams"] == 0
+    assert rows["prose"]["dup_frac"] == 0.0
+
+
+def test_token_entropy_extremes(spark):
+    import math
+
+    from xdan_dqa_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "flat", "a a a a"),           # one term -> H = 0
+            (2, "even", "a b c d"),           # uniform over 4 -> H = ln 4
+            (3, "empty", ""),                 # no tokens -> excluded
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in token_entropy(docs).collect()}
+    assert rows["flat"]["mean_entropy"] == 0.0
+    assert rows["even"]["mean_entropy"] == pytest.approx(math.log(4), abs=1e-5)
+    assert "empty" not in rows

@@ -267,3 +267,42 @@ def char_diversity(docs: DataFrame, text_col: str = "text",
         by, "n_docs", "sum_distinct_chars",
         F.round("_mean_simpson", 9).alias("mean_simpson"),
     )
+
+
+def stopword_coverage(docs: DataFrame, by: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """Per-group stopword coverage by exact token-set membership against
+    the shared STOPWORDS lexicon (functions/heuristics.py) — the C4/Gopher
+    naturalness prior ("real prose contains function words") as a
+    JOIN-based signal. This complements the regex `stopword_ratio` used
+    inside score_core: token equality after lowercasing needs no word
+    boundary semantics, so unlike the (?U)\\b regex form it is exactly
+    expressible in every engine and can be oracle-paired.
+
+    Shape: the lexicon (~100 rows) is a BROADCAST build side; the corpus
+    explode never shuffles before the bounded group fold. Rates are
+    token-weighted integer sums divided once.
+    """
+    from ..functions.heuristics import STOPWORDS
+
+    spark = docs.sparkSession
+    lex = spark.createDataFrame(
+        [(w,) for w in STOPWORDS], "term string"
+    ).withColumn("_s", F.lit(1))
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_PLUS),
+        lambda w: w != F.lit(""),
+    )
+    ex = docs.select(F.col(by), F.explode(toks).alias("term"))
+    return (
+        ex.join(F.broadcast(lex), "term", "left")
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_s"), F.lit(0))).alias("n_stop"),
+        )
+        .withColumn(
+            "stop_rate",
+            F.round(F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"), 9),
+        )
+    )

@@ -514,3 +514,29 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
     )
     return base.join(dups, id_col, "left_anti")
+
+
+def canonical_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup after canonical whitespace/case normalization: keep
+    the lowest id among documents whose ``lower(text)`` with every
+    whitespace run collapsed to one space (and edges trimmed) is
+    byte-identical. Catches the trivially-reformatted copies exact
+    dedup misses (re-wrapped lines, CASE-variant mirrors, indentation
+    churn) without any near-dup machinery — the cheap first rung of the
+    CCNet-style dedup ladder, run before MinHash.
+
+    Same scale shape as ``exact_dedup``: the canonical form is hashed to
+    a fixed 32-byte key map-side (the document text itself never ships),
+    then one groupBy(md5)+min(id)+left_semi shuffle. The whitespace
+    class is the engine-identical 6-char set (functions/tokenize.py), so
+    the whole operator is oracle-checkable.
+    """
+    canon = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_PLUS, " "
+        )
+    )
+    keyed = df.withColumn("_k", F.md5(canon))
+    reps = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(reps, ["_k", id_col], "left_semi").drop("_k")

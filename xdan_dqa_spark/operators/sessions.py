@@ -160,3 +160,34 @@ def cohort_retention(
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def burst_users(df: DataFrame, window_sec: int = 86400, min_events: int = 8,
+                user_col: str = "user_id", ts_col: str = "ts",
+                ) -> DataFrame:
+    """Bot/abuse triage: users whose peak activity inside ANY rolling
+    ``window_sec`` window reaches ``min_events`` — the rate-limit
+    signal scrapers and click-bots trip that a plain per-day count
+    smears away (a burst straddling midnight halves under calendar
+    bucketing; a rolling RANGE frame has no seams).
+
+    ONE shuffle on the user key: a RANGE-frame count over integral
+    epoch-µs (the two-pointer sliding frame keeps O(window occupancy)
+    state, never the whole partition), then a hash aggregate folding
+    each user to (n_events, max_burst). Equal timestamps share a frame
+    in both engines — RANGE, not ROWS, so the result is independent of
+    tie order. Integral µs arithmetic end to end; no calendar/tz
+    semantics anywhere.
+    """
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = df.select(F.col(user_col), tus.alias("tus"))
+    w = (
+        Window.partitionBy(user_col).orderBy("tus")
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    return (
+        e.withColumn("_c", F.count("*").over(w))
+        .groupBy(user_col)
+        .agg(F.count("*").alias("n_events"), F.max("_c").alias("max_burst"))
+        .filter(F.col("max_burst") >= min_events)
+    )

@@ -418,3 +418,84 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 20,
         .crossJoin(F.broadcast(t_bi))
         .select("x", "y", "c_xy", "c_x", "c_y", F.round(pmi, 6).alias("pmi"))
     )
+
+
+def ngram_repetition(df: DataFrame, n: int = 3, text_col: str = "text",
+                     by: str = "lang") -> DataFrame:
+    """Per-group within-document n-gram repetition: the fraction of a
+    document's word n-grams that are repeats of an earlier n-gram in the
+    SAME document (Gopher's duplicate-n-gram family — template spam and
+    keyword stuffing repeat trigrams; prose almost never does).
+
+    Map-only per document: ``size(shingles) − size(array_distinct(
+    shingles))`` needs no explode and no per-term state — the only
+    shuffle is the final ≤#groups hash aggregate. The group fraction is
+    n-gram-weighted (Σdup/Σtotal, exact integers divided once), never a
+    float mean of per-doc ratios.
+    """
+    from .dedup import shingles
+
+    sh = shingles(text_col, n)
+    d = df.select(
+        F.col(by),
+        F.size(sh).alias("_t"),
+        F.size(F.array_distinct(sh)).alias("_d"),
+    )
+    return (
+        d.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("n_ngrams"),
+            F.sum(F.col("_t") - F.col("_d")).alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_ngrams").cast("double")
+                / F.col("n_ngrams").cast("double"),
+                9,
+            ),
+        )
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", by: str = "lang") -> DataFrame:
+    """Per-group mean unigram Shannon entropy (nats): H = ln(n) −
+    Σ c·ln(c) / n over each document's term counts — the
+    information-density signal that separates natural prose (high H)
+    from repeated-phrase spam (low H), complementing the set-based
+    ratios in ``lexical_diversity``.
+
+    Cross-engine float discipline: a raw Σ c·ln(c) float sum is
+    accumulation-order-dependent, so each term's c·ln(c) is rounded to
+    9 dp and summed as DECIMAL (order-free, map-side combinable); the
+    remaining per-doc expression is one fixed IEEE op sequence. Per-doc
+    entropies are rounded once and decimal-averaged to the group grain.
+    Shape: explode → combinable (doc, term) hash agg → doc-grain agg →
+    bounded group agg; per-group state is counters only.
+    """
+    ex = df.select(F.col(by), F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    tc = ex.groupBy(by, id_col, "term").agg(F.count("*").alias("c"))
+    per_doc = tc.groupBy(by, id_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 9)
+            .cast("decimal(28,9)")
+        ).alias("_s"),
+    ).withColumn(
+        "entropy",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("_s").cast("double") / F.col("n").cast("double"),
+            6,
+        ),
+    )
+    return per_doc.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("entropy").cast("decimal(20,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_entropy"),
+    )

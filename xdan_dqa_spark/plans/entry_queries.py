@@ -3213,6 +3213,167 @@ WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
 """
 
 
+# ------------------------------------------------------------- round-5 batch 8
+# Within-doc repetition, join-based stopword coverage (the one Gopher
+# signal the regex form could not oracle-pair), token entropy,
+# quantile-band length filtering, canonical-form dedup, and rolling-
+# window burst detection over events.
+
+
+def q_ngram_repetition(spark, sf_dir):
+    from ..operators.textstats import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf_dir, "documents"), n=3)
+
+
+SQL_NGRAM_REPETITION = f"""
+WITH d AS (
+  SELECT lang, len({_SHINGLES_SQL}) AS t,
+         len(list_distinct({_SHINGLES_SQL})) AS dd
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(t) AS n_ngrams,
+       SUM(t - dd) AS n_dup_ngrams,
+       round(CAST(SUM(t - dd) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 9)
+         AS dup_frac
+FROM d GROUP BY lang
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    from ..operators.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH ex AS (
+  SELECT lang, doc_id, unnest({_WORDS_WS_SQL}) AS term FROM documents
+),
+tc AS (SELECT lang, doc_id, term, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3),
+pd AS (
+  SELECT lang, doc_id, SUM(c) AS n,
+         SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS s
+  FROM tc GROUP BY 1, 2
+),
+e AS (
+  SELECT lang,
+         round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+               6) AS entropy
+  FROM pd
+)
+SELECT lang, COUNT(*) AS n_docs,
+       round(CAST(SUM(CAST(entropy AS DECIMAL(20,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_entropy
+FROM e GROUP BY lang
+"""
+
+
+def q_stopword_coverage(spark, sf_dir):
+    from ..operators.curation import stopword_coverage
+
+    return stopword_coverage(_t(spark, sf_dir, "documents"))
+
+
+def _stopword_list_sql() -> str:
+    from ..functions.heuristics import STOPWORDS
+
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS)
+
+
+SQL_STOPWORD_COVERAGE = f"""
+WITH ex AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(
+             lower(coalesce(text, '')), '{_WS_CLASS_SQL}+'), w -> w <> ''))
+           AS term
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN term IN ({{stoplist}}) THEN 1 ELSE 0 END) AS n_stop,
+       round(CAST(SUM(CASE WHEN term IN ({{stoplist}}) THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS stop_rate
+FROM ex GROUP BY lang
+"""
+
+
+def q_dedup_canonical(spark, sf_dir):
+    from ..operators.dedup import canonical_dedup
+
+    return canonical_dedup(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH k AS (
+  SELECT *, md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                    '{_WS_CLASS_SQL}+', ' ', 'g'))) AS _k
+  FROM documents
+),
+r AS (SELECT _k, min(doc_id) AS doc_id FROM k GROUP BY _k)
+SELECT k.doc_id, k.lang, k.source, k.n_chars FROM k JOIN r USING (_k, doc_id)
+"""
+
+
+def q_burst_users(spark, sf_dir):
+    from ..operators.sessions import burst_users
+
+    return burst_users(_t(spark, sf_dir, "events"),
+                       window_sec=86400, min_events=8)
+
+
+SQL_BURST_USERS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+w AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY tus
+                        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+           AS c
+  FROM e
+)
+SELECT user_id, COUNT(*) AS n_events, MAX(c) AS max_burst
+FROM w GROUP BY user_id HAVING MAX(c) >= 8
+"""
+
+
+def q_a21_length_band(spark, sf_dir):
+    # Per-language [p05, p95] doc-length keep band (outlier trim before
+    # mixing): the ≤#langs quantile table comes from the bounded-state
+    # exact histogram (see a6), is BROADCAST back, and the document scan
+    # never shuffles — the filter itself is map-only. Both engines
+    # compare against the 6-dp-rounded type-7 quantile so the band
+    # boundary is bit-identical.
+    from ..operators.textstats import exact_quantiles_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    gv = d.select(F.col("lang").alias("g"), F.col("n_chars").cast("double").alias("v"))
+    q = exact_quantiles_histogram(gv, (0.05, 0.95)).select(
+        F.col("g").alias("lang"), F.col("p5").alias("lo"), F.col("p95").alias("hi")
+    )
+    return (
+        d.join(F.broadcast(q), "lang")
+        .filter(
+            (F.col("n_chars").cast("double") >= F.col("lo"))
+            & (F.col("n_chars").cast("double") <= F.col("hi"))
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_A21_BAND = """
+WITH q AS (
+  SELECT lang,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 6) AS lo,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 6) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN q USING (lang)
+WHERE CAST(d.n_chars AS DOUBLE) >= lo AND CAST(d.n_chars AS DOUBLE) <= hi
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -3286,6 +3447,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_bins": q_pack_bins,
     "char_diversity": q_char_diversity,
     "s3_weighted_sample": q_s3_weighted_sample,
+    "ngram_repetition": q_ngram_repetition,
+    "token_entropy": q_token_entropy,
+    "stopword_coverage": q_stopword_coverage,
+    "dedup_canonical": q_dedup_canonical,
+    "burst_users": q_burst_users,
+    "a21_length_band": q_a21_length_band,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -3383,6 +3550,14 @@ def oracle_map() -> dict[str, str]:
         "pack_bins": SQL_PACK,
         "char_diversity": SQL_CHAR_DIVERSITY,
         "s3_weighted_sample": SQL_S3_WEIGHTED,
+        "ngram_repetition": SQL_NGRAM_REPETITION,
+        "token_entropy": SQL_TOKEN_ENTROPY,
+        "stopword_coverage": SQL_STOPWORD_COVERAGE.replace(
+            "{stoplist}", _stopword_list_sql()
+        ),
+        "dedup_canonical": SQL_DEDUP_CANONICAL,
+        "burst_users": SQL_BURST_USERS,
+        "a21_length_band": SQL_A21_BAND,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
