@@ -74,3 +74,30 @@ def test_scrub_null_safe(spark):
     s, c = scrub_columns(F.col("text"))
     row = df.select(s.alias("s"), c.alias("c")).collect()[0]
     assert row["s"] == "" and row["c"] == 0
+
+
+def test_pii_prevalence_progressive_no_double_count(spark):
+    from xdan_dqa_spark.plans.entry_queries import q_pii_prevalence
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs = spark.createDataFrame(
+            [
+                # SSN is phone-shaped: progressive counting must report it
+                # once (ssn), not also as a phone.
+                (1, "call 123-45-6789 now", "en", "a", 20),
+                (2, "mail john.doe@example.com or damn it", "en", "a", 30),
+                (3, "clean text here", "en", "b", 15),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r["source"]: r for r in q_pii_prevalence(spark, td).collect()}
+    a = rows["a"]
+    assert a["n_ssn"] == 1 and a["n_phone"] == 0
+    assert a["n_email"] == 1 and a["n_profanity"] == 1
+    assert a["n_docs_with_pii"] == 2
+    b = rows["b"]
+    assert b["n_docs_with_pii"] == 0 and b["n_email"] == 0

@@ -198,3 +198,28 @@ def test_pairwise_neardup_cartesian_guard(emb):
     n = pairwise_neardup(emb.limit(20), threshold=0.3, block_col=None,
                          allow_cartesian=True).count()
     assert n >= 0
+
+
+def test_emb_norm_stats_hand_computed(spark):
+    import math
+
+    import os
+    import tempfile
+
+    from xdan_dqa_spark.plans.entry_queries import q_emb_norm_stats
+
+    with tempfile.TemporaryDirectory() as td:
+        emb = spark.createDataFrame(
+            [
+                (0, [3.0, 4.0], 1),        # norm 5
+                (1, [1.0, 0.0], 1),        # norm 1
+                (2, [0.0, 0.0], 2),        # broken zero vector
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        rows = {r["label"]: r for r in q_emb_norm_stats(spark, td).collect()}
+    assert rows[1]["n_vecs"] == 2
+    assert rows[1]["min_norm"] == 1.0 and rows[1]["max_norm"] == 5.0
+    assert rows[1]["mean_norm"] == pytest.approx(3.0, abs=1e-9)
+    assert rows[2]["max_norm"] == 0.0

@@ -3374,6 +3374,184 @@ WHERE CAST(d.n_chars AS DOUBLE) >= lo AND CAST(d.n_chars AS DOUBLE) <= hi
 """
 
 
+# ------------------------------------------------------------- round-5 batch 9
+# Pipeline-health reports composed from the already-verified signal
+# machinery: language-confusion matrix (declared vs heuristic label),
+# per-source PII prevalence by rule, score-calibration deciles over the
+# full score_core tree, JSON-schema key census, and embedding-norm
+# profiles per label.
+
+
+def q_lang_confusion(spark, sf_dir):
+    # Declared `lang` vs the heuristic predictor — the mislabel-rate
+    # matrix a corpus audit reads before trusting upstream metadata.
+    # One map-only predict pass + a fold to the bounded L×L matrix.
+    from ..operators.textstats import langid_heuristic_expr
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", langid_heuristic_expr("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    # SQL_LANG_ID carries exactly one row key (doc_id); re-keying the
+    # identical predictor CTE chain on `lang` yields the matrix twin.
+    inner = SQL_LANG_ID.replace("doc_id", "lang")
+    return (
+        f"SELECT lang, lang_pred, COUNT(*) AS n_docs FROM ({inner}) "
+        "GROUP BY lang, lang_pred"
+    )
+
+
+def q_pii_prevalence(spark, sf_dir):
+    # Per-source PII/profanity prevalence by rule — the privacy-health
+    # report behind P7's scrub. Counts are progressive (each rule counts
+    # on text already scrubbed by earlier rules, mirroring scrub_columns)
+    # so overlapping classes are never double-counted. All four regex
+    # passes are one whole-stage-codegen map stage; the only shuffle is
+    # the ≤#sources fold.
+    from ..functions.scrub import SCRUB_RULES
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    per_rule = {}
+    total = F.lit(0)
+    for name, pat, repl in SCRUB_RULES:
+        c = F.regexp_count(t, F.lit(pat))
+        per_rule[name] = c
+        total = total + c
+        t = F.regexp_replace(t, pat, repl)
+    sel = d.select(
+        "source",
+        *[c.alias(f"_{n}") for n, c in per_rule.items()],
+        total.alias("_tot"),
+    )
+    return sel.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(f"_{n}").cast("long").alias(f"n_{n}") for n in per_rule],
+        F.sum((F.col("_tot") > 0).cast("int")).cast("long").alias("n_docs_with_pii"),
+    )
+
+
+def _pii_prevalence_sql() -> str:
+    from ..functions.scrub import SCRUB_RULES
+
+    t = "coalesce(text, '')"
+    parts = []
+    for name, pat, repl in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        parts.append((name, f"len(regexp_extract_all({t}, '{p}'))"))
+        t = f"regexp_replace({t}, '{p}', '{repl}', 'g')"
+    inner = ", ".join(f"{e} AS _{n}" for n, e in parts)
+    tot = " + ".join(f"_{n}" for n, _ in parts)
+    sums = ", ".join(f"CAST(SUM(_{n}) AS BIGINT) AS n_{n}" for n, _ in parts)
+    return (
+        f"WITH c AS (SELECT source, {inner} FROM documents) "
+        f"SELECT source, COUNT(*) AS n_docs, {sums}, "
+        f"CAST(SUM(CASE WHEN {tot} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_docs_with_pii FROM c GROUP BY source"
+    )
+
+
+def q_calibration_curve(spark, sf_dir):
+    # Score-calibration deciles over the FULL score_core expression tree:
+    # per decile of the weighted score, how many docs and what fraction
+    # the keep rule actually keeps — the threshold-tuning curve a
+    # quality-filter rollout reads. floor(score·10) is the same IEEE op
+    # sequence in both engines, so even bucket boundaries are portable.
+    sc = q_score_core(spark, sf_dir)
+    return (
+        sc.groupBy(
+            F.floor(F.col("score") * 10).cast("int").alias("score_decile")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_keep").cast("double") / F.col("n_docs").cast("double"), 9),
+        )
+    )
+
+
+def _calibration_curve_sql() -> str:
+    return (
+        f"WITH sc AS ({_sql_score_core()}) "
+        "SELECT CAST(floor(score * 10) AS INT) AS score_decile, "
+        "COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_keep, "
+        "round(CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) "
+        "AS keep_rate FROM sc GROUP BY 1"
+    )
+
+
+def q_props_key_census(spark, sf_dir):
+    # JSON-schema drift census: which keys appear in the open `props`
+    # sidecar, per event type. json_object_keys is a JVM-side evaluator
+    # (no UDF); invalid/NULL JSON yields NULL and explode drops it.
+    ex = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.explode(F.expr("json_object_keys(props)")).alias("key"),
+        )
+    )
+    return ex.groupBy("event_type", "key").agg(F.count("*").alias("n_events"))
+
+
+SQL_PROPS_KEY_CENSUS = """
+WITH ex AS (
+  SELECT event_type, unnest(json_keys(props)) AS key FROM events
+)
+SELECT event_type, key, COUNT(*) AS n_events FROM ex GROUP BY 1, 2
+"""
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    # Per-label embedding L2-norm profile (broken-encoder detection: a
+    # batch of zero/exploded vectors shifts its label's norm band).
+    # Map-only fold over the array (strict left-to-right, the same
+    # sequential order DuckDB's list_dot_product sums in), rounded once
+    # to 6 dp; per-label mean is a DECIMAL sum of the rounded norms.
+    dot = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    norm = F.round(F.sqrt(dot), 6)
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", norm.alias("_norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("_norm").alias("min_norm"),
+            F.max("_norm").alias("max_norm"),
+            F.round(
+                F.sum(F.col("_norm").cast("decimal(20,6)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean_norm"),
+        )
+    )
+
+
+SQL_EMB_NORM_STATS = """
+WITH n AS (
+  SELECT label,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs, MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+       round(CAST(SUM(CAST(norm AS DECIMAL(20,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm
+FROM n GROUP BY label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -3453,6 +3631,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical": q_dedup_canonical,
     "burst_users": q_burst_users,
     "a21_length_band": q_a21_length_band,
+    "lang_confusion": q_lang_confusion,
+    "pii_prevalence": q_pii_prevalence,
+    "calibration_curve": q_calibration_curve,
+    "props_key_census": q_props_key_census,
+    "emb_norm_stats": q_emb_norm_stats,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -3558,6 +3741,11 @@ def oracle_map() -> dict[str, str]:
         "dedup_canonical": SQL_DEDUP_CANONICAL,
         "burst_users": SQL_BURST_USERS,
         "a21_length_band": SQL_A21_BAND,
+        "lang_confusion": _lang_confusion_sql(),
+        "pii_prevalence": _pii_prevalence_sql(),
+        "calibration_curve": _calibration_curve_sql(),
+        "props_key_census": SQL_PROPS_KEY_CENSUS,
+        "emb_norm_stats": SQL_EMB_NORM_STATS,
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
