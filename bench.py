@@ -506,9 +506,11 @@ def _query_regressions(timings: dict, canary_sec: float,
             runs = [json.loads(line) for line in f if line.strip()]
     except (FileNotFoundError, ValueError):
         return []
-    # like-for-like only: a smoke run at another scale factor must not
-    # become the "best" a full run is gated against
-    runs = [r for r in runs if sf is None or r.get("sf") == sf]
+    # like-for-like only: a smoke run at another scale factor or cpu
+    # count must not become the "best" (or inflate the "worst") a full
+    # run is gated against
+    runs = [r for r in runs if (sf is None or r.get("sf") == sf)
+            and r.get("cpus") == CPUS]
     out = []
     for name, now in timings.items():
         best = worst = None
@@ -744,7 +746,8 @@ def main() -> None:
             payload["scaling_4_16_gate"] = gate
     _write_full_detail(payload, scaling_full)
     # Hard guard: the driver records only a short tail of stdout; a
-    # payload past ~2000 chars voided round 3's artifact. The blocks that
+    # payload past ~2000 chars voided round 3's artifact (capture cuts
+    # near 1900, so the guard targets 1850 for margin). The blocks that
     # grow with accumulated passes are already bounded at the source
     # (window_efficiencies capped at 8), but shed progressively anyway —
     # least informative first — until the line fits. Every shed block
@@ -762,7 +765,7 @@ def main() -> None:
     ]
     line = json.dumps(payload)
     for shed in sheds:
-        if len(line) <= 1900:
+        if len(line) <= 1850:
             break
         shed(payload)
         line = json.dumps(payload)
