@@ -51,3 +51,16 @@ def test_score_core_stays_in_wholestage_codegen(spark):
     # formatted explain); the whole scoring tree must carry it.
     assert plan.lstrip().startswith("*(")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_o3_shipping_priority_pushdown_and_topk(spark):
+    from xdan_dqa_spark.plans.entry_queries import q_o3_shipping_priority
+
+    plan = _plan(q_o3_shipping_priority(spark, SF))
+    # Both date predicates reach their parquet scans...
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # ...and the top-10 compiles to per-partition heaps, never a global
+    # single-task sort.
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan

@@ -3552,6 +3552,135 @@ FROM n GROUP BY label
 """
 
 
+# ------------------------------------------------------------ round-5 batch 10
+# Classic warehouse shapes over the TPC-H-ish tables (three-way
+# shipping-priority join, EXISTS-style late-shipment census) and the
+# cross-source near-dup contamination matrix composed from the verified
+# LSH pair machinery.
+
+
+def q_o3_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    # top-10 open orders by discounted revenue. Both date filters reach
+    # the scans (pushdown); the joins shuffle on their keys and AQE picks
+    # broadcast for whichever side dwarfs — neither is forced, because at
+    # 100 TB the customer side is NOT broadcastable. Revenue terms ride
+    # the DECIMAL(20,6) cast-sum discipline (order-free, matches DuckDB's
+    # cast rounding bit-for-bit, see a5/j4). Timestamps are emitted as
+    # integral epoch-µs so the value hash is tz/format-free.
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey",
+                 F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                 .alias("order_date_us"),
+                 "o_orderpriority")
+        .agg(_dec_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_O3_SHIPPING = """
+SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS order_date_us,
+       o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_a22_late_ship_priority(spark, sf_dir):
+    # TPC-H Q4 shape: per order priority, how many orders had at least
+    # one line item shipped more than 90 days after the order date — the
+    # EXISTS pattern as a LEFT SEMI join (one shuffle on orderkey, the
+    # lineitem side folds to distinct matching keys map-side; no
+    # count-distinct state, no row explosion on multi-line orders).
+    # Timestamp + interval arithmetic is integral µs in both engines.
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SQL_A22_LATE_SHIP = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_dup_cross_source(spark, sf_dir):
+    # Cross-source contamination matrix: verified near-dup pairs
+    # (MinHash-LSH candidates → exact Jaccard ≥ 0.5, the oracle-green
+    # dedup_ngram_jaccard machinery) rolled up to (source, source) —
+    # "how much of dataset A is near-copied in dataset B", the report
+    # that decides which source to drop before mixing. Pair sides fetch
+    # their source by doc_id-keyed joins (linear in verified pairs);
+    # (least, greatest) folds the symmetric matrix deterministically.
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("a", "b")
+    sa = d.select(F.col("doc_id").alias("a"), F.col("source").alias("_sa"))
+    sb = d.select(F.col("doc_id").alias("b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def _dup_cross_source_sql() -> str:
+    return f"""
+WITH pairs AS ({SQL_DEDUP_NGRAM_JACCARD})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.a
+JOIN documents db ON db.doc_id = p.b
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -3636,6 +3765,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_curve": q_calibration_curve,
     "props_key_census": q_props_key_census,
     "emb_norm_stats": q_emb_norm_stats,
+    "o3_shipping_priority": q_o3_shipping_priority,
+    "a22_late_ship_priority": q_a22_late_ship_priority,
+    "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
     "p5_uid64": q_p5_uid64,
@@ -3746,6 +3878,9 @@ def oracle_map() -> dict[str, str]:
         "calibration_curve": _calibration_curve_sql(),
         "props_key_census": SQL_PROPS_KEY_CENSUS,
         "emb_norm_stats": SQL_EMB_NORM_STATS,
+        "o3_shipping_priority": SQL_O3_SHIPPING,
+        "a22_late_ship_priority": SQL_A22_LATE_SHIP,
+        "dup_cross_source": _dup_cross_source_sql(),
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
         "p5_uid64": SQL_P5_UID64,
