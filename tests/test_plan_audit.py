@@ -64,3 +64,40 @@ def test_o3_shipping_priority_pushdown_and_topk(spark):
     # single-task sort.
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan
+
+
+def test_f3_disjunctive_residuals_pushed_to_both_scans(spark):
+    from xdan_dqa_spark.plans.entry_queries import q_f3_disjunctive_parts
+
+    plan = _plan(q_f3_disjunctive_parts(spark, SF))
+    # Catalyst derives per-side residuals from the OR-of-ANDs: the part
+    # scan gets an In(p_brand, ...) / Or(...) pushed filter and the
+    # lineitem scan gets the quantity envelope — neither side arrives
+    # at the join unfiltered.
+    part_scan = [seg for seg in plan.split("PushedFilters:") if "p_brand" in
+                 seg.splitlines()[0]]
+    li_scan = [seg for seg in plan.split("PushedFilters:") if "l_quantity" in
+               seg.splitlines()[0]]
+    assert part_scan, "no pushed filter mentioning p_brand on the part scan"
+    assert li_scan, "no pushed filter mentioning l_quantity on the lineitem scan"
+
+
+def test_a24_min_by_is_single_aggregate_no_window(spark):
+    from xdan_dqa_spark.plans.entry_queries import q_a24_first_last_event
+
+    plan = _plan(q_a24_first_last_event(spark, SF))
+    # min_by/max_by endpoints must compile to ONE partial+final
+    # aggregate pair (map-side combined), never the row_number-window +
+    # filter shape, and only a single shuffle on user_id.
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_o4_regional_volume_broadcasts_pruned_dims(spark):
+    from xdan_dqa_spark.plans.entry_queries import q_o4_regional_volume
+
+    plan = _plan(q_o4_regional_volume(spark, SF))
+    # The region filter reaches the region scan and nation⋈region rides
+    # a broadcast — the big fact joins never see unpruned dims.
+    assert "EqualTo(r_name,AFRICA)" in plan
+    assert "BroadcastHashJoin" in plan

@@ -3681,6 +3681,238 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------ round-5 batch 11
+# Remaining classic warehouse join shapes (TPC-H Q5 six-way regional
+# volume, Q14 promo share, Q19 disjunctive pushdown) plus three event/
+# document sequence reports (min_by/max_by endpoints, lag-based
+# transition matrix, integer-exact per-language deciles).
+
+
+def q_o4_regional_volume(spark, sf_dir):
+    # TPC-H Q5 shape: customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation
+    # ⋈ region with the "local supplier" constraint s_nationkey ==
+    # c_nationkey, revenue per nation for one region. nation/region are
+    # tiny and broadcast for free; customer/orders/lineitem shuffle on
+    # their join keys, and the region filter prunes the nation (and
+    # therefore supplier) side BEFORE the big joins — at 100 TB that
+    # predicate transitively removes ~4/5 of the probe side. DECIMAL
+    # cast-sum keeps the revenue order-free and DuckDB-bit-identical.
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    nr = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    sn = s.join(nr, s.s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sn, (li.l_suppkey == sn.s_suppkey)
+                  & (c.c_nationkey == sn.s_nationkey))
+        .groupBy("n_name")
+        .agg(_dec_sum(rev, "revenue"))
+    )
+
+
+SQL_O4_REGIONAL_VOLUME = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'AFRICA'
+GROUP BY 1
+"""
+
+
+def q_a23_promo_share(spark, sf_dir):
+    # TPC-H Q14 shape: what fraction of revenue comes from PROMO parts.
+    # The part side carries only (p_partkey, p_type) — column pruning
+    # reaches the scan — and both the conditional and total revenue ride
+    # ONE aggregate over the joined fact (no second pass). The final
+    # ratio is a single row; rounded at 6dp so the double division
+    # hashes identically across engines.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(_dec_sum(promo, "_promo"), _dec_sum(rev, "_total"))
+        .select(
+            F.round(F.col("_promo") / F.col("_total"), 6).alias("promo_share")
+        )
+    )
+
+
+SQL_A23_PROMO_SHARE = """
+SELECT round(
+  CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1.0 - l.l_discount)
+                     ELSE 0 END AS DECIMAL(20,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  AS DECIMAL(20,6))) AS DOUBLE), 6) AS promo_share
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+
+def q_f3_disjunctive_parts(spark, sf_dir):
+    # TPC-H Q19 shape: OR-of-ANDs over (brand, size, quantity). The
+    # brand/size conjuncts involve only part columns and the quantity
+    # ones only lineitem columns, so Catalyst derives the per-side
+    # residual filters (brand IN (...), quantity BETWEEN 1 AND 50) and
+    # pushes them below the join — .explain shows PushedFilters on both
+    # scans. At 100 TB that turns a join-then-filter into two pruned
+    # scans joined on a ~3-brand part slice.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(11, 25) & q.between(10, 40))
+        | ((b == "Brand#3") & sz.between(26, 50) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.filter(cond).agg(
+        _dec_sum(rev, "revenue"), F.count("*").alias("n_lines")
+    )
+
+
+SQL_F3_DISJUNCTIVE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_a24_first_last_event(spark, sf_dir):
+    # Per-user session endpoints via min_by/max_by — ONE map-side-
+    # combinable aggregate instead of the row_number-over-window +
+    # filter double shuffle. Determinism: the selection key is the
+    # zero-padded '%020d|%020d' string over (epoch-µs, event_id);
+    # event_id is unique, so lexicographic == numeric order and ties
+    # cannot occur. DuckDB's arg_min/arg_max use the identical key
+    # (its arg_min rejects struct keys, hence the string encoding).
+    ev = _t(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d|%020d", F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.min(us).alias("first_ts_us"),
+        F.max(us).alias("last_ts_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_A24_FIRST_LAST = """
+SELECT user_id,
+       arg_min(event_type, printf('%020d|%020d', epoch_us(ts), event_id))
+         AS first_type,
+       arg_max(event_type, printf('%020d|%020d', epoch_us(ts), event_id))
+         AS last_type,
+       MIN(epoch_us(ts)) AS first_ts_us,
+       MAX(epoch_us(ts)) AS last_ts_us,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_a25_event_transitions(spark, sf_dir):
+    # First-order Markov transition matrix over per-user event streams:
+    # lag(event_type) over (user_id, ts, event_id) then a count per
+    # (prev, cur) pair. One shuffle partitions by user_id for the
+    # window (users are independent, so the window state is bounded by
+    # the largest single user, not the table), and the 5×5 matrix
+    # aggregate is map-side combined. The ordering key includes
+    # event_id so same-µs ties are deterministic.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_A25_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_a26_lang_deciles(spark, sf_dir):
+    # Per-language length-decile census: row_number over (n_chars,
+    # doc_id) — a unique key, so the rank is total — then the decile is
+    # INTEGER arithmetic ((rn-1)*10 div max(n-1,1), clamped to 9), never
+    # a float percent_rank, so both engines agree bit-for-bit with no
+    # rounding epsilon. One shuffle on lang for the window; the decile
+    # rollup is map-side combined.
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    decile = F.least(
+        F.expr("(rn - 1) * 10 div greatest(n - 1, 1)"), F.lit(9).cast("long")
+    )
+    return (
+        ranked.select("lang", decile.alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_A26_LANG_DECILES = """
+WITH ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, least((rn - 1) * 10 // greatest(n - 1, 1), 9) AS decile,
+       COUNT(*) AS n_docs
+FROM ranked GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -3767,6 +3999,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_norm_stats": q_emb_norm_stats,
     "o3_shipping_priority": q_o3_shipping_priority,
     "a22_late_ship_priority": q_a22_late_ship_priority,
+    "o4_regional_volume": q_o4_regional_volume,
+    "a23_promo_share": q_a23_promo_share,
+    "f3_disjunctive_parts": q_f3_disjunctive_parts,
+    "a24_first_last_event": q_a24_first_last_event,
+    "a25_event_transitions": q_a25_event_transitions,
+    "a26_lang_deciles": q_a26_lang_deciles,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
@@ -3880,6 +4118,12 @@ def oracle_map() -> dict[str, str]:
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         "o3_shipping_priority": SQL_O3_SHIPPING,
         "a22_late_ship_priority": SQL_A22_LATE_SHIP,
+        "o4_regional_volume": SQL_O4_REGIONAL_VOLUME,
+        "a23_promo_share": SQL_A23_PROMO_SHARE,
+        "f3_disjunctive_parts": SQL_F3_DISJUNCTIVE,
+        "a24_first_last_event": SQL_A24_FIRST_LAST,
+        "a25_event_transitions": SQL_A25_TRANSITIONS,
+        "a26_lang_deciles": SQL_A26_LANG_DECILES,
         "dup_cross_source": _dup_cross_source_sql(),
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
