@@ -384,3 +384,50 @@ def test_canonical_dedup_collapses_case_and_whitespace_variants(spark):
     # exact dedup keeps all four (no byte-identical pair) — canonical is
     # strictly stronger on reformatted copies.
     assert sorted(r["doc_id"] for r in exact_dedup(docs).collect()) == [1, 2, 3, 4]
+
+
+def test_span_dedup_scrubs_cross_doc_and_within_doc_repeats(spark):
+    """Span-granularity exact dedup (Lee et al. 2022 shape): the first
+    occurrence (lowest (doc_id, pos)) of each distinct span survives;
+    later cross-doc copies AND later within-doc repeats are scrubbed;
+    empty docs still come back with 0/0/''."""
+    from xdan_dqa_spark.operators.dedup import span_dedup
+
+    span = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"      # exactly one 10-token span
+    uniq1 = "a0 a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    uniq2 = "b0 b1 b2"                            # short tail span
+    # Spans are token-aligned from each doc's OWN start (the documented
+    # approximation), so the shared span is placed at pos 0 of each doc.
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} {uniq1}"),
+            (2, f"{span} {uniq2}"),               # aligned duplicate of span
+            (3, f"{span} {span}"),                # within-doc aligned repeat
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=10).collect()}
+    assert got[1]["n_spans"] == 2 and got[1]["n_spans_kept"] == 2
+    assert got[1]["text_clean"] == f"{span} {uniq1}"
+    # doc 2: its copy of `span` is scrubbed (doc 1 owns pos-min), tail kept
+    assert got[2]["n_spans"] == 2 and got[2]["n_spans_kept"] == 1
+    assert got[2]["text_clean"] == uniq2
+    # doc 3: both spans duplicate doc 1's — nothing survives
+    assert got[3]["n_spans"] == 2 and got[3]["n_spans_kept"] == 0
+    assert got[3]["text_clean"] == ""
+    # empty/null docs round-trip as 0/0/''
+    for d in (4, 5):
+        assert (got[d]["n_spans"], got[d]["n_spans_kept"], got[d]["text_clean"]) \
+            == (0, 0, "")
+
+
+def test_span_dedup_rejects_bad_span_tokens(spark):
+    import pytest as _pytest
+
+    from xdan_dqa_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        span_dedup(docs, span_tokens=0)

@@ -516,6 +516,100 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return base.join(dups, id_col, "left_anti")
 
 
+def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               span_tokens: int = 10) -> DataFrame:
+    """Corpus-wide exact duplicate-SPAN scrub: segment every document into
+    non-overlapping ``span_tokens``-token spans, keep only the FIRST
+    occurrence (lowest ``(doc_id, pos)``) of each distinct span anywhere
+    in the corpus, and rebuild each document from its surviving spans.
+
+    This is the span-granularity exact dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") —
+    document-level dedup misses the boilerplate PARAGRAPHS (navbars,
+    cookie banners, license blurbs) that repeat across otherwise-distinct
+    pages; span-level scrubbing removes exactly those. (The paper's
+    suffix-array substring dedup needs a global sort of every suffix;
+    fixed non-overlapping spans are the shuffle-friendly approximation —
+    a duplicated region of length L is caught up to span alignment,
+    ≥ L − 2·span_tokens of it guaranteed.)
+
+    Returns (doc_id, n_spans, n_spans_kept, text_clean) for EVERY input
+    doc (empty/whitespace-only docs get 0/0/''). A span repeated WITHIN
+    one doc collapses too (its 2nd occurrence has a higher pos).
+
+    Scale shape: one explode (rows = tokens/span_tokens, ~10× fewer than
+    a shingle explode), then the first-occurrence rule is a
+    groupBy(span_hash).agg(min(struct(id, pos))) + rejoin — NOT a
+    row_number window, because a span repeated 10⁹ times (a universal
+    cookie banner at web scale) would put 10⁹ rows into ONE window
+    partition's sort, while the min-struct aggregate folds it map-side
+    and AQE can skew-split the flag join (output is 1 row per input row
+    — no blow-up). Reconstruction is one groupBy(doc_id) whose state is
+    bounded by the doc's own span count."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1 (got {span_tokens})")
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    w = df.select(F.col(id_col), words.alias("_ws"))
+    n_seg = F.ceil(F.size("_ws") / F.lit(span_tokens)).cast("int")
+    # sequence(0, -1) would DESCEND in Spark — guard the empty-doc case.
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    seg = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("_ws"), i * span_tokens + 1, span_tokens)
+    )
+    ex = (
+        w.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(idx, lambda i: F.struct(i.alias("pos"), seg(i).alias("seg")))
+            ).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_s.pos").alias("pos"),
+            F.col("_s.seg").alias("seg"),
+            F.md5(F.col("_s.seg")).alias("_k"),
+        )
+    )
+    firsts = ex.groupBy("_k").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    flagged = ex.join(firsts, "_k").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("seg"),
+        (
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("pos") == F.col("_first.pos"))
+        ).alias("_keep"),
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("pos"), F.col("seg")))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("n_spans_kept"), F.lit(0)).alias("n_spans_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def canonical_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Exact dedup after canonical whitespace/case normalization: keep

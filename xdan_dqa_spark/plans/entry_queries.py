@@ -3913,6 +3913,278 @@ FROM ranked GROUP BY 1, 2
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    # Corpus-wide exact duplicate-span scrub (Lee et al. 2022 granularity)
+    # — see operators/dedup.py:span_dedup for the skew-safe min-struct
+    # first-occurrence shape. The twin re-expresses the same first-
+    # occurrence rule as a row_number window (values identical: (doc_id,
+    # pos) is unique, so rank-1 ⇔ equality with the min struct).
+    from ..operators.dedup import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), span_tokens=10)
+
+
+SQL_DEDUP_SPANS = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_WS_SQL} AS ws FROM documents),
+idx AS (
+  SELECT doc_id, ws, unnest(range((len(ws) + 9) // 10)) AS pos FROM words),
+segs AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(ws[pos*10+1 : pos*10+10], ' ') AS seg
+  FROM idx),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+  FROM segs),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos),
+                  '') AS text_clean
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_spans_kept, 0) AS n_spans_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_o5_returned_revenue(spark, sf_dir):
+    # TPC-H Q10 shape: top-20 customers by revenue lost to RETURNED items
+    # in one quarter — c ⋈ o ⋈ l ⋈ n with both filters (order-date window,
+    # returnflag) pushed to their scans. nation (bounded dim) is
+    # explicitly broadcast; the customer join shuffles on its key and AQE
+    # may broadcast the quarter-filtered order side — neither fact side
+    # is forced. Revenue rides the DECIMAL(20,6) cast-sum; the date is
+    # epoch-µs so the hash is tz-free.
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_O5_RETURNED_REVENUE = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_a27_linestatus_priority(spark, sf_dir):
+    # TPC-H Q12 shape: per line status, how many LATE-shipped lines
+    # (shipped > 60 days after order) belong to high- vs low-priority
+    # orders — the dual conditional aggregate rides ONE join + ONE
+    # map-side-combined fold; the lateness predicate lives in integral-µs
+    # interval arithmetic identical in both engines. (The canonical Q12
+    # groups by l_shipmode; this corpus carries no shipmode column, so
+    # l_linestatus stands in — the join/conditional-agg shape is the
+    # point.)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    late = (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        > F.lit(60 * 86400 * 1_000_000)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_late"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_late"),
+        )
+    )
+
+
+SQL_A27_LINESTATUS_PRIORITY = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_late,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_late
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+      > CAST(60 AS BIGINT) * 86400 * 1000000
+GROUP BY 1
+"""
+
+
+def q_o6_large_orders(spark, sf_dir):
+    # TPC-H Q18 shape: orders whose TOTAL line-item quantity exceeds a
+    # threshold, with their customer — groupBy(orderkey) + HAVING first,
+    # so the expensive joins see only the tiny qualifying set (AQE
+    # broadcasts it against orders/customer at any scale; the raw
+    # lineitem table never joins unaggregated). Quantity sums ride
+    # DECIMAL(20,6).
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 220.0)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_date_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+SQL_O6_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 220.0)
+SELECT c.c_custkey, c.c_name, o.o_orderkey AS orderkey,
+       epoch_us(o.o_orderdate) AS order_date_us, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_a29_nation_flows(spark, sf_dir):
+    # TPC-H Q7 shape: cross-nation trade flows — revenue shipped per
+    # (supplier nation → customer nation, year) for nation pairs that
+    # DIFFER. The two nation dims are bounded and explicitly broadcast
+    # (two BroadcastHashJoins); the inequality filter runs after the
+    # broadcast attach, map-side, never as a join condition blow-up. The
+    # fact joins shuffle on their keys; year extraction is integral in
+    # both engines.
+    lo = F.lit("1999-01-01").cast("timestamp")
+    hi = F.lit("2001-01-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(_dec_sum(rev, "revenue"))
+    )
+
+
+SQL_A29_NATION_FLOWS = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l.l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l.l_shipdate <  TIMESTAMP '2001-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_a28_vocab_census(spark, sf_dir):
+    # Corpus-grain vocabulary census per source (Heaps'-law probe): total
+    # tokens, DISTINCT terms, and tokens-per-type. lexical_diversity is
+    # the per-DOC type/token signal; this is the corpus-level one that
+    # says whether a source's vocabulary is still growing (healthy prose)
+    # or saturated (template spam). EXACT distinct via Spark's Expand
+    # planning (one shuffle, map-side partials — same machinery as
+    # a12_distinct_exact), never approx; the tokens-per-type ratio is one
+    # exact integer division rounded at 6 dp.
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    ex = d.select("source", F.explode(words).alias("term"))
+    return ex.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("term").alias("n_terms"),
+        F.round(
+            F.count("*").cast("decimal(38,12)")
+            / F.count_distinct("term").cast("decimal(38,12)"),
+            6,
+        ).cast("double").alias("tokens_per_type"),
+    )
+
+
+SQL_A28_VOCAB_CENSUS = f"""
+WITH ex AS (
+  SELECT source, unnest({_WORDS_WS_SQL}) AS term FROM documents)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT term) AS n_terms,
+       CAST(round(CAST(COUNT(*) AS DECIMAL(38,12))
+                  / CAST(COUNT(DISTINCT term) AS DECIMAL(38,12)), 6)
+            AS DOUBLE) AS tokens_per_type
+FROM ex GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -4005,6 +4277,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a24_first_last_event": q_a24_first_last_event,
     "a25_event_transitions": q_a25_event_transitions,
     "a26_lang_deciles": q_a26_lang_deciles,
+    "dedup_spans": q_dedup_spans,
+    "o5_returned_revenue": q_o5_returned_revenue,
+    "a27_linestatus_priority": q_a27_linestatus_priority,
+    "o6_large_orders": q_o6_large_orders,
+    "a29_nation_flows": q_a29_nation_flows,
+    "a28_vocab_census": q_a28_vocab_census,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
@@ -4124,6 +4402,12 @@ def oracle_map() -> dict[str, str]:
         "a24_first_last_event": SQL_A24_FIRST_LAST,
         "a25_event_transitions": SQL_A25_TRANSITIONS,
         "a26_lang_deciles": SQL_A26_LANG_DECILES,
+        "dedup_spans": SQL_DEDUP_SPANS,
+        "o5_returned_revenue": SQL_O5_RETURNED_REVENUE,
+        "a27_linestatus_priority": SQL_A27_LINESTATUS_PRIORITY,
+        "o6_large_orders": SQL_O6_LARGE_ORDERS,
+        "a29_nation_flows": SQL_A29_NATION_FLOWS,
+        "a28_vocab_census": SQL_A28_VOCAB_CENSUS,
         "dup_cross_source": _dup_cross_source_sql(),
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,
