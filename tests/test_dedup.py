@@ -431,3 +431,55 @@ def test_span_dedup_rejects_bad_span_tokens(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         span_dedup(docs, span_tokens=0)
+
+
+def test_span_dedup_within_is_map_only_and_scrubs_self_repeats(spark):
+    """Within-doc scrub drops later repeats of a span INSIDE one doc but
+    never across docs; and the plan contains no Exchange (map-only)."""
+    from xdan_dqa_spark.operators.dedup import span_dedup_within
+
+    span = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} {span}"),   # self-repeat → second copy scrubbed
+            (2, span),               # cross-doc copy of 1 → KEPT (within-doc only)
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    res = span_dedup_within(docs, span_tokens=10)
+    got = {r["doc_id"]: r for r in res.collect()}
+    assert got[1]["n_spans"] == 2 and got[1]["n_spans_kept"] == 1
+    assert got[1]["text_clean"] == span
+    assert got[2]["n_spans_kept"] == 1 and got[2]["text_clean"] == span
+    assert (got[3]["n_spans"], got[3]["text_clean"]) == (0, "")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only contract
+
+
+def test_term_df_scrub_removes_corpus_boilerplate_tokens(spark):
+    """Tokens in > max_df_frac of docs are scrubbed everywhere; token
+    order inside each doc is preserved; all-scrubbed docs come back
+    empty, not missing."""
+    from xdan_dqa_spark.operators.curation import term_df_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie alpha cookie beta"),
+            (2, "cookie gamma"),
+            (3, "cookie delta"),
+            (4, "cookie"),            # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    # 'cookie' df=4/4 > 0.5 → scrubbed; every other term df=1/4 → kept
+    got = {r["doc_id"]: r for r in term_df_scrub(docs, max_df_frac=0.5).collect()}
+    assert got[1]["text_scrubbed"] == "alpha beta"
+    assert got[1]["n_tokens"] == 4 and got[1]["n_tokens_kept"] == 2
+    assert got[2]["text_scrubbed"] == "gamma"
+    assert got[3]["text_scrubbed"] == "delta"
+    assert got[4]["text_scrubbed"] == "" and got[4]["n_tokens_kept"] == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        term_df_scrub(docs, max_df_frac=1.5)

@@ -188,3 +188,41 @@ def test_update_mode_windowed_metrics_restart(spark, webtext, tmp_path):
     assert raw.count() > len(got)
     # batch ids continued across the restart — the last-wins order key
     assert raw.select(F.max("_batch_id")).first()[0] >= 1
+
+
+def test_dedup_stream_drops_recrawled_duplicates_across_restart(spark, tmp_path):
+    """Streaming exact-dedup: a recrawl of the same page body within the
+    watermark horizon is dropped — including across a query restart on
+    the same checkpoint (the dedup state lives in the state store)."""
+    import datetime as dt
+
+    from xdan_dqa_spark.streaming.stream import dedup_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def rows(specs):
+        return spark.createDataFrame(
+            [(u, t0 + dt.timedelta(minutes=m), b"", txt, "en")
+             for (u, m, txt) in specs],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    # pass 1: A and B, plus an in-batch recrawl of A
+    rows([("u1", 0, "body A"), ("u2", 1, "body B"),
+          ("u1b", 2, "body A")]).write.parquet(inp)
+    q = dedup_stream(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    got1 = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert got1 == ["body A", "body B"]
+
+    # pass 2 (restart, same checkpoint): recrawl of B + genuinely new C
+    rows([("u2b", 3, "body B"), ("u3", 4, "body C")]).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = dedup_stream(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert got2 == ["body A", "body B", "body C"]

@@ -306,3 +306,64 @@ def stopword_coverage(docs: DataFrame, by: str = "lang",
             F.round(F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"), 9),
         )
     )
+
+
+def term_df_scrub(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_df_frac: float = 0.5) -> DataFrame:
+    """Induced-stoplist scrub: remove every token whose DOCUMENT frequency
+    exceeds ``max_df_frac`` of the corpus. A fixed lexicon (C4 bad-words,
+    stopword lists) only catches what its curators anticipated; the
+    data-driven twin scrubs the corpus-global boilerplate tokens the
+    crawl actually contains (site chrome, injected SEO terms) — the
+    token-level analogue of the span scrub.
+
+    Returns (doc_id, n_tokens, n_tokens_kept, text_scrubbed) for EVERY
+    input doc.
+
+    Scale shape: the DF table folds at (doc, term) grain map-side
+    (array_distinct per doc BEFORE the explode, so a term repeated 500×
+    in one doc ships once), then one term-keyed count. By Zipf, the
+    over-threshold set is TINY (few terms appear in >half the corpus),
+    so it broadcasts and the scrub join is a map-side left_anti — the
+    corpus rows never shuffle for the scrub itself; the only doc-grain
+    exchange is the rebuild groupBy, whose state is bounded by each
+    doc's own token count."""
+    if not 0.0 < max_df_frac < 1.0:
+        raise ValueError(f"max_df_frac must be in (0, 1) (got {max_df_frac})")
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    w = docs.select(F.col(id_col), words.alias("_ws"))
+    n_docs = docs.count()  # bounded driver scalar: one count, not a collect loop
+    df_tbl = (
+        w.select(F.explode(F.array_distinct("_ws")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    hot = df_tbl.filter(
+        F.col("df").cast("double") > F.lit(max_df_frac) * F.lit(float(n_docs))
+    ).select("term")
+    tok = w.select(
+        F.col(id_col), F.posexplode("_ws").alias("pos", "term")
+    )
+    kept = tok.join(F.broadcast(hot), "term", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("term")))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("text_scrubbed"),
+    )
+    return w.select(F.col(id_col), F.size("_ws").alias("n_tokens")).join(
+        agg, id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
+        F.coalesce(F.col("text_scrubbed"), F.lit("")).alias("text_scrubbed"),
+    )

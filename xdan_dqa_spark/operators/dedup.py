@@ -610,6 +610,53 @@ def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def span_dedup_within(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      span_tokens: int = 10) -> DataFrame:
+    """MAP-ONLY within-document duplicate-span scrub: drop every repeat of
+    a span that already occurred EARLIER IN THE SAME DOC (template-spam
+    self-repetition — SEO pages that loop the same paragraph dozens of
+    times). The corpus-wide variant (``span_dedup``) needs a shuffle on
+    the span hash; this one needs NO exchange at all — each doc is
+    scrubbed from its own spans with higher-order array functions, so it
+    composes into the flagship's map-only scoring stage for free.
+
+    Same output contract as span_dedup: (doc_id, n_spans, n_spans_kept,
+    text_clean). Per-doc cost is O(k²) span compares with k =
+    tokens/span_tokens (a 100 KB doc ⇒ k≈2 000 ⇒ 4M compares — fine);
+    for adversarially huge single docs, md5 the spans first so each
+    compare is 32 bytes."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1 (got {span_tokens})")
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    w = df.select(F.col(id_col), words.alias("_ws"))
+    n_seg = F.ceil(F.size("_ws") / F.lit(span_tokens)).cast("int")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i * span_tokens + 1,
+                                                span_tokens))
+    )
+    staged = w.select(F.col(id_col), segs.alias("_segs"))
+    # keep seg i iff it does not appear among spans 0..i-1 (array_position
+    # over the length-i prefix; 0 = absent). The (x, i) filter lambda's
+    # index is 0-based.
+    kept = F.filter(
+        F.col("_segs"),
+        lambda s, i: F.array_position(F.slice(F.col("_segs"), 1, i), s) == 0,
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_segs").alias("n_spans"),
+        F.size(kept).alias("n_spans_kept"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def canonical_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Exact dedup after canonical whitespace/case normalization: keep

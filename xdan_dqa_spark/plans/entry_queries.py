@@ -4185,6 +4185,123 @@ FROM ex GROUP BY 1
 """
 
 
+def q_dedup_spans_within(spark, sf_dir):
+    # Map-only within-doc duplicate-span scrub (see span_dedup_within) —
+    # NO exchange in the Spark plan; the twin re-keys the same first-
+    # occurrence rule as a (doc_id, span) window, values identical.
+    from ..operators.dedup import span_dedup_within
+
+    return span_dedup_within(_t(spark, sf_dir, "documents"), span_tokens=5)
+
+
+SQL_DEDUP_SPANS_WITHIN = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_WS_SQL} AS ws FROM documents),
+idx AS (
+  SELECT doc_id, ws, unnest(range((len(ws) + 4) // 5)) AS pos FROM words),
+segs AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(ws[pos*5+1 : pos*5+5], ' ') AS seg
+  FROM idx),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY doc_id, md5(seg) ORDER BY pos) AS rn
+  FROM segs),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_spans,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_spans_kept,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos),
+                  '') AS text_clean
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_spans_kept, 0) AS n_spans_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_term_df_scrub(spark, sf_dir):
+    # Induced-stoplist scrub (see operators/curation.py:term_df_scrub):
+    # tokens present in > 30% of documents are corpus boilerplate and
+    # are removed from every doc. 0.3 sits inside the fixture's Zipf
+    # spread so both the hot set and the kept set are non-trivial.
+    from ..operators.curation import term_df_scrub
+
+    return term_df_scrub(_t(spark, sf_dir, "documents"), max_df_frac=0.3)
+
+
+SQL_TERM_DF_SCRUB = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS_WS_SQL} AS ws FROM documents),
+tok AS (
+  SELECT doc_id, ws, unnest(range(len(ws))) AS pos FROM words),
+tok2 AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos, ws[pos + 1] AS term FROM tok),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+hot AS (SELECT term FROM df, tot WHERE CAST(df AS DOUBLE) > 0.3 * CAST(n AS DOUBLE)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.term FROM tok2 t
+  ANTI JOIN hot h ON t.term = h.term),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens_kept,
+         string_agg(term, ' ' ORDER BY pos) AS text_scrubbed
+  FROM kept GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,
+       coalesce(a.text_scrubbed, '') AS text_scrubbed
+FROM words w LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_o7_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: the supplier(s) with MAX revenue in a quarter —
+    # the correlated scalar-subquery form re-expressed as an
+    # unpartitioned window max over the ALREADY-AGGREGATED supplier-grain
+    # table (bounded by #suppliers, never the fact table), so the single
+    # window task is O(#suppliers). Ties all surface (Q15 semantics).
+    lo = F.lit("1999-01-01").cast("timestamp")
+    hi = F.lit("1999-04-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(_dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "total_rev",
+        ))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("_mx", F.max("total_rev").over(w))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+SQL_O7_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(20,6))) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate <  TIMESTAMP '1999-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -4283,6 +4400,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o6_large_orders": q_o6_large_orders,
     "a29_nation_flows": q_a29_nation_flows,
     "a28_vocab_census": q_a28_vocab_census,
+    "dedup_spans_within": q_dedup_spans_within,
+    "term_df_scrub": q_term_df_scrub,
+    "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
     "s3_fixed_n_per_group": q_s3_fixed_n_per_group,
@@ -4408,6 +4528,9 @@ def oracle_map() -> dict[str, str]:
         "o6_large_orders": SQL_O6_LARGE_ORDERS,
         "a29_nation_flows": SQL_A29_NATION_FLOWS,
         "a28_vocab_census": SQL_A28_VOCAB_CENSUS,
+        "dedup_spans_within": SQL_DEDUP_SPANS_WITHIN,
+        "term_df_scrub": SQL_TERM_DF_SCRUB,
+        "o7_top_supplier": SQL_O7_TOP_SUPPLIER,
         "dup_cross_source": _dup_cross_source_sql(),
         "s3_stratified_sample": SQL_S3_STRATIFIED,
         "s3_fixed_n_per_group": SQL_S3_FIXED_N,

@@ -154,6 +154,46 @@ def windowed_metrics_update_stream(
     return writer.start()
 
 
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact-dedup ingest: drop any incoming doc whose content
+    hash was already emitted within the event-time watermark horizon —
+    the continuous twin of ``exact_dedup`` for a crawl feed that revisits
+    pages (the same page body recrawled hours apart must not be ingested
+    twice).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the md5
+    content hash; the ``warc_ts`` watermark BOUNDS that state (a plain
+    streaming ``dropDuplicates`` would grow state forever on an unbounded
+    crawl — the 100 TB killer), evicting hashes once no in-horizon
+    arrival can duplicate them. State lives in the checkpoint's state
+    store, so restarts resume exactly-once: a doc deduped before the
+    restart stays deduped after it (pytest-pinned)."""
+    src = webtext_stream(spark, input_dir).withColumn(
+        "_k", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    deduped = (
+        src.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_k"])
+        .drop("_k")
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def latest_windowed_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
     """Current per-window state from an update-mode metrics directory:
     last-wins per (window, lang) by emitting batch id — one row_number
