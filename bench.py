@@ -514,14 +514,23 @@ def _query_regressions(timings: dict, canary_sec: float,
     out = []
     for name, now in timings.items():
         best = worst = None
+        n_hist = 0
         for r in runs:
             t = (r.get("queries") or {}).get(name)
             c = r.get("canary_sec")
             if not t or not c:
                 continue
+            n_hist += 1
             expect = t * max(1.0, canary_sec / c)
             best = expect if best is None else min(best, expect)
             worst = expect if worst is None else max(worst, expect)
+        # with <3 like-for-like samples, worst≈best and the "worse than
+        # EVERY window ever observed" noise floor collapses to condition
+        # 1 alone — which (per the header) would flag half the suite on
+        # this host's 3-30× per-query steal spread. Skip until the
+        # history is deep enough for the floor to mean something.
+        if n_hist < 3:
+            continue
         if best is not None and now > REGRESSION_FACTOR * best and now > worst:
             out.append({"query": name, "sec": now,
                         "best_rescaled": round(best, 3),

@@ -181,3 +181,77 @@ def test_stopword_coverage_separates_prose_from_stuffing(spark):
     # The lexicon must ride a broadcast, never a shuffle join.
     plan = _plan(stopword_coverage(docs))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_host_of_parses_authority_variants(spark):
+    """host_of strips scheme, userinfo, port, path/query/fragment and
+    lowercases; malformed/NULL urls map to '' (never NULL — the
+    blocklist join key must be total)."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.curation import host_of
+
+    rows = [
+        (1, "https://Example.COM/path?q=1"),
+        (2, "http://user:pw@sub.example.com:8080/x"),
+        (3, "ftp://files.example.org"),
+        (4, "not a url"),
+        (5, None),
+        (6, "https://h.example.com#frag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["h"] for r in df.select("doc_id", host_of("url").alias("h")).collect()}
+    assert got[1] == "example.com"
+    assert got[2] == "sub.example.com"
+    assert got[3] == "files.example.org"
+    assert got[4] == "" and got[5] == ""
+    assert got[6] == "h.example.com"
+
+
+def test_domain_blocklist_drops_below_mean_hosts(spark):
+    """Host reputation on an integer signal: hosts whose mean is below
+    the corpus mean are blocked; blocklist_filter removes exactly their
+    pages, and the anti-join broadcasts the blocklist side (the corpus
+    never shuffles)."""
+    from xdan_dqa_spark.operators.curation import (
+        blocklist_filter,
+        domain_blocklist,
+        domain_reputation,
+    )
+
+    rows = [
+        (1, "https://good.example.com/a", 100),
+        (2, "https://good.example.com/b", 120),
+        (3, "https://spam.example.com/a", 5),
+        (4, "https://spam.example.com/b", 7),
+        (5, "https://mid.example.com/a", 58),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score long")
+    rep = {r["host"]: r for r in domain_reputation(df, "url", "score").collect()}
+    assert rep["good.example.com"]["n_docs"] == 2
+    assert rep["good.example.com"]["score_sum"] == 220
+    assert rep["spam.example.com"]["avg_score"] == 6.0
+
+    # corpus mean = 290/5 = 58; spam (6) below, mid (58) NOT below (strict <)
+    blocked = {r["host"] for r in
+               domain_blocklist(domain_reputation(df, "url", "score")).collect()}
+    assert blocked == {"spam.example.com"}
+
+    kept = blocklist_filter(df, domain_blocklist(domain_reputation(df, "url", "score")))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 5]
+    assert "BroadcastHashJoin" in _plan(kept)
+
+
+def test_blocklist_integer_boundary_is_exact(spark):
+    """The below-mean test is integer cross-multiplication, so a host
+    sitting EXACTLY at the mean is kept on any engine — no float-divide
+    epsilon can flip it (3 hosts × 1 doc, scores 1, 2, 3: mean 2)."""
+    from xdan_dqa_spark.operators.curation import domain_blocklist, domain_reputation
+
+    df = spark.createDataFrame(
+        [(1, "https://a.x/1", 1), (2, "https://b.x/1", 2), (3, "https://c.x/1", 3)],
+        "doc_id long, url string, score long",
+    )
+    blocked = {r["host"] for r in
+               domain_blocklist(domain_reputation(df, "url", "score")).collect()}
+    assert blocked == {"a.x"}

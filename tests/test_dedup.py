@@ -483,3 +483,96 @@ def test_term_df_scrub_removes_corpus_boilerplate_tokens(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         term_df_scrub(docs, max_df_frac=1.5)
+
+
+def test_minhash_incremental_matches_union_dedup(spark, tmp_path):
+    """Incremental dedup against a persisted band index must agree with
+    one-shot minhash_dedup over corpus ∪ batch when corpus ids are all
+    lower than batch ids (then lowest-id-wins makes the two policies
+    identical on the batch slice): survivors(batch) == kept(union) ∩ batch.
+    Also pins the index layout: hive-partitioned by band_id."""
+    import os
+
+    from xdan_dqa_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_incremental_dedup,
+        minhash_index_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(DOCS[:4], start=1)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, DOCS[0][1]),      # exact dup of corpus 1 → dropped
+            (102, DOCS[4][1]),      # near-dup of corpus 1 → dropped at 0.5
+            (103, "a brand new never seen document about lakes and rivers"),
+            (104, "a brand new never seen document about lakes and rivers"),  # within-batch exact dup
+            (105, DOCS[5][1]),      # dup of corpus 6? corpus only has 4 rows → unique here
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(corpus, path)
+    assert any(d.startswith("band_id=") for d in os.listdir(path))
+
+    idx = spark.read.parquet(path)
+    kept_incr = sorted(
+        r[0]
+        for r in minhash_incremental_dedup(batch, corpus, idx, threshold=0.5)
+        .select("doc_id")
+        .collect()
+    )
+    union_kept = {
+        r[0]
+        for r in minhash_dedup(
+            corpus.unionByName(batch), threshold=0.5
+        ).select("doc_id").collect()
+    }
+    assert kept_incr == sorted(k for k in union_kept if k > 100)
+    assert 101 not in kept_incr and 102 not in kept_incr
+    assert 103 in kept_incr and 104 not in kept_incr and 105 in kept_incr
+
+
+def test_minhash_incremental_prunes_corpus_text_reads(spark, tmp_path):
+    """The corpus text side of the verify join must be candidate-pruned:
+    a batch with NO band collisions against the corpus yields zero cross
+    candidates, so the verify never touches corpus text — every batch
+    row survives, and appending a second ingest to the index
+    (mode='append') makes its docs visible to the next batch."""
+    from xdan_dqa_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_index_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(201, "totally disjoint words about marine biology and coral reefs")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_index2")
+    minhash_index_write(corpus, path)
+    idx = spark.read.parquet(path)
+    kept1 = minhash_incremental_dedup(batch1, corpus, idx, threshold=0.5)
+    assert [r[0] for r in kept1.select("doc_id").collect()] == [201]
+
+    # append batch1 to the index; a batch-2 copy of doc 201 now drops
+    minhash_index_write(batch1, path, mode="append")
+    idx2 = spark.read.parquet(path)
+    all_corpus = corpus.unionByName(batch1)
+    batch2 = spark.createDataFrame(
+        [(301, "totally disjoint words about marine biology and coral reefs"),
+         (302, "yet another fresh unique row about alpine glacier meltwater")],
+        "doc_id long, text string",
+    )
+    kept2 = sorted(
+        r[0]
+        for r in minhash_incremental_dedup(batch2, all_corpus, idx2, threshold=0.5)
+        .select("doc_id")
+        .collect()
+    )
+    assert kept2 == [302]

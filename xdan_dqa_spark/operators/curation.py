@@ -367,3 +367,81 @@ def term_df_scrub(docs: DataFrame, text_col: str = "text",
         F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
         F.coalesce(F.col("text_scrubbed"), F.lit("")).alias("text_scrubbed"),
     )
+
+
+def host_of(url_col) -> F.Column:
+    """Lowercased host extracted from a URL column (name or Column):
+    scheme-stripped authority with userinfo and port removed — a pure
+    regexp_extract, identical in DuckDB, so host-keyed queries stay
+    oracle-checkable. Malformed/NULL urls map to ''."""
+    u = F.coalesce(
+        F.col(url_col) if isinstance(url_col, str) else url_col, F.lit("")
+    )
+    return F.lower(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
+        )
+    )
+
+
+def domain_reputation(df: DataFrame, url_col: str = "url",
+                      score_col: str = "score") -> DataFrame:
+    """Per-host document count and total/mean quality:
+    (host, n_docs, score_sum, avg_score).
+
+    The FineWeb/RefinedWeb-style domain-reputation fold: individual page
+    scores are noisy, but a HOST whose pages are consistently short /
+    low-quality is a spam farm, and blocking at host grain catches its
+    future pages too. One shuffle at host grain (hosts ≪ docs; the web
+    is ~10⁸ registrable domains vs 10¹² pages, so the aggregate state is
+    4 orders smaller than the input and partials combine map-side).
+
+    Cross-engine exactness discipline: ``score_col`` should be integral
+    (token counts, char counts, rule hits) — the sum is then exact in
+    any engine and the mean is ONE terminal division, so the DuckDB twin
+    matches bit-for-bit; float score sums would accumulate in
+    engine-specific order."""
+    return (
+        df.groupBy(host_of(url_col).alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(score_col).cast("long")).alias("score_sum"),
+        )
+        .withColumn(
+            "avg_score",
+            F.col("score_sum").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+def domain_blocklist(rep: DataFrame) -> DataFrame:
+    """Hosts whose mean score is below the corpus-wide mean — the
+    data-induced blocklist (no curated lexicon; the corpus defines its
+    own floor, like term_df_scrub does for tokens).
+
+    The comparison is integer cross-multiplication
+    (host_sum × total_docs < total_sum × host_docs), never a float
+    divide — bit-identical across engines at the boundary. The global
+    total is a 1-row aggregate broadcast into the comparison, not a
+    driver collect."""
+    tot = rep.agg(
+        F.sum("n_docs").alias("_tn"), F.sum("score_sum").alias("_ts")
+    )
+    return (
+        rep.crossJoin(F.broadcast(tot))
+        .filter(F.col("score_sum") * F.col("_tn") < F.col("_ts") * F.col("n_docs"))
+        .select("host", "n_docs", "score_sum", "avg_score")
+    )
+
+
+def blocklist_filter(df: DataFrame, blocked: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Drop every row whose url host appears in ``blocked`` (host
+    column). Broadcast left_anti — the blocklist is host-grain (tiny),
+    so the corpus never shuffles: the filter is map-side, pushed to
+    right after the scan."""
+    return df.join(
+        F.broadcast(blocked.select("host")),
+        host_of(url_col) == F.col("host"),
+        "left_anti",
+    )

@@ -681,3 +681,97 @@ def canonical_dedup(df: DataFrame, text_col: str = "text",
     keyed = df.withColumn("_k", F.md5(canon))
     reps = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
     return keyed.join(reps, ["_k", id_col], "left_semi").drop("_k")
+
+
+def minhash_index_write(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", mode: str = "overwrite",
+                        n_shingle: int = 3) -> None:
+    """Persist the corpus MinHash band table to parquet, hive-partitioned
+    by ``band_id``.
+
+    This is the corpus-side half of incremental dedup: at 100 TB you
+    LSH the historical corpus ONCE and append each ingested batch's
+    bands (``mode="append"``), instead of re-shingling petabytes per
+    increment. Partitioning by band_id means a probe that joins on
+    (band_id, band_key) prunes to the matching band directories; within
+    a band the key is uniform md5, so files split evenly. The row
+    payload is (doc_id, band_key) — 8 bytes + 32 hex chars — so the
+    index is ~1/1000th of the corpus bytes."""
+    minhash_bands(df, text_col, id_col, n_shingle).write.partitionBy(
+        "band_id"
+    ).mode(mode).parquet(path)
+
+
+def minhash_incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                              index_bands: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              threshold: float = 0.7,
+                              collapse_exact: bool = True,
+                              max_bucket: int | None = None) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus without
+    re-LSHing the corpus — the steady-state shape of web-crawl ingestion
+    (the reference re-reads the full hub dataset per run,
+    src/data_transformer.py:458-473; here the historical work is a
+    persisted band table from :func:`minhash_index_write`).
+
+    Policy (mirrors :func:`minhash_dedup`): a new doc is dropped iff it
+    is a verified near-dup (shingle Jaccard ≥ ``threshold``) of ANY
+    corpus doc, or of a lower-id doc within its own batch. Exact
+    duplicates of corpus docs need no special case: identical text ⇒
+    identical signature ⇒ shared bands ⇒ candidate pair with J = 1.
+
+    Scale shape — the whole point is what does NOT get touched:
+      * corpus shingling: never re-run; only ``index_bands`` is read,
+        and the band join prunes to the new batch's (band_id, band_key)
+        set (partition pruning on band_id when the index is read from
+        its hive layout).
+      * corpus text: read ONLY for candidate ids — a left-semi prune
+        before the verify join, so at 100 TB the verify touches the
+        handful of colliding corpus rows, not the corpus.
+      * new batch: exact-collapsed first (default), then the standard
+        band self-join for within-batch pairs; ``max_bucket`` bounds
+        template-spam buckets on BOTH the self-join and the index probe
+        (see cap_band_buckets).
+      * verify: cross and within-batch pairs are unioned and verified in
+        ONE jaccard pass, so the batch is shingled once.
+
+    Corpus and batch ids must be DISJOINT (they are distinct ingests;
+    id collisions would conflate verify texts).
+
+    Returns the surviving rows of ``new_df`` (post exact-collapse)."""
+    base = exact_dedup(new_df, text_col, id_col) if collapse_exact else new_df
+    new_bands = cap_band_buckets(
+        minhash_bands(base, text_col, id_col), id_col, max_bucket
+    )
+    old_bands = cap_band_buckets(index_bands, id_col, max_bucket)
+
+    # cross candidates: one distinct (old a, new b) per band collision
+    probe = new_bands.select("band_id", "band_key", F.col(id_col).alias("b"))
+    idx = old_bands.select("band_id", "band_key", F.col(id_col).alias("a"))
+    cross = (
+        probe.join(idx, ["band_id", "band_key"]).select("a", "b").distinct()
+    )
+    # within-batch candidates: standard lowest-id-wins band self-join
+    left = new_bands.select("band_id", "band_key", F.col(id_col).alias("a"))
+    right = new_bands.select("band_id", "band_key", F.col(id_col).alias("b"))
+    within = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    pairs = cross.unionByName(within).distinct()
+
+    # verify texts: corpus pruned to candidate ids BEFORE the pair join
+    cand_old = corpus_df.join(
+        cross.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    both = cand_old.select(F.col(id_col), F.col(text_col)).unionByName(
+        base.select(F.col(id_col), F.col(text_col))
+    )
+    dropped = (
+        jaccard_verify(both, pairs, text_col, id_col, threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return base.join(dropped, id_col, "left_anti")

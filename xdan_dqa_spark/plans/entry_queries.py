@@ -4302,6 +4302,127 @@ WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
 """
 
 
+def q_dedup_minhash_incr(spark, sf_dir):
+    """Incremental dedup of a new batch against a PERSISTED corpus band
+    index (operators/dedup.py:minhash_index_write /
+    minhash_incremental_dedup): corpus = doc_id % 4 != 0 is LSH'd once
+    into a band_id-partitioned parquet index; batch = doc_id % 4 == 0 is
+    deduped against it (plus within itself) without re-shingling the
+    corpus. The steady-state web-ingest shape — the reference re-reads
+    its full hub dataset per run (src/data_transformer.py:458-473).
+    Returns surviving new doc ids."""
+    from ..operators.dedup import minhash_incremental_dedup, minhash_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    path = "/tmp/xdan_minhash_index_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # idempotent build, same staging protocol as q_ivf_topk_indexed: the
+    # index is a pure function of (corpus rows, LSH spec); the corpus row
+    # count is folded into the spec so a regenerated fixture restages.
+    spec = {"split": "doc_id%4!=0", "bands": 4, "rows": 2,
+            "n_shingle": 3, "n_corpus": corpus.count()}
+    marker = os.path.join(path, "_SPEC.json")
+    _stage_with_spec(marker, spec, lambda: minhash_index_write(corpus, path))
+    idx = spark.read.parquet(path)
+    return minhash_incremental_dedup(
+        batch, corpus, idx, threshold=0.5
+    ).select("doc_id")
+
+
+def _bands_sql_over(sigs: str, alias: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5({_minhash_sql(2 * b)} || '|' || {_minhash_sql(2 * b + 1)}) AS band_key "
+        f"FROM {sigs}"
+        for b in range(4)
+    )
+
+
+SQL_DEDUP_MINHASH_INCR = f"""
+WITH newd AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 0 GROUP BY text),
+old AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+sigs_new AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM newd),
+sigs_old AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM old),
+bands_new AS ({_bands_sql_over('sigs_new', 'bn')}),
+bands_old AS ({_bands_sql_over('sigs_old', 'bo')}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands_old l JOIN bands_new r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+  UNION
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands_new l JOIN bands_new r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id),
+shd AS (
+  SELECT doc_id,
+         list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN sh]) AS s
+  FROM (SELECT * FROM sigs_new UNION ALL SELECT * FROM sigs_old)),
+dropped AS (
+  SELECT DISTINCT c.b
+  FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
+  WHERE CASE WHEN len(list_distinct(list_cat(sa.s, sb.s))) > 0
+             THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE)
+             ELSE 0.0 END >= 0.5)
+SELECT doc_id FROM newd WHERE doc_id NOT IN (SELECT b FROM dropped)
+"""
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Host-reputation filter (operators/curation.py:domain_reputation /
+    domain_blocklist / blocklist_filter): per-host mean quality on an
+    INTEGER signal (n_chars), hosts below the corpus-wide mean become the
+    induced blocklist, corpus filtered by broadcast anti-join on host.
+    The test tables carry no url column (the north-rule input schema
+    does), so a deterministic url is synthesized per doc — 8 hosts per
+    source — and the host is parsed back out with the production
+    host_of() regexp, exercising the real parse path."""
+    from ..operators.curation import (
+        blocklist_filter,
+        domain_blocklist,
+        domain_reputation,
+        host_of,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit(":"),
+                           (F.col("doc_id") % 8).cast("string"))), 1, 6),
+        F.lit(".example.com/"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.withColumn("url", url)
+    rep = domain_reputation(pages, "url", "n_chars")
+    blocked = domain_blocklist(rep)
+    return blocklist_filter(pages, blocked).select(
+        "doc_id", host_of("url").alias("host")
+    )
+
+
+SQL_DOMAIN_BLOCKLIST = """
+WITH hosted AS (
+  SELECT doc_id,
+         lower(regexp_extract(
+           'https://h' || substr(md5(source || ':' || CAST(doc_id % 8 AS VARCHAR)), 1, 6)
+             || '.example.com/' || CAST(doc_id AS VARCHAR),
+           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+         n_chars
+  FROM documents),
+rep AS (
+  SELECT host, COUNT(*) AS n_docs, SUM(CAST(n_chars AS BIGINT)) AS score_sum
+  FROM hosted GROUP BY host),
+tot AS (SELECT SUM(n_docs) AS tn, SUM(score_sum) AS ts FROM rep),
+blocked AS (SELECT host FROM rep, tot WHERE score_sum * tn < ts * n_docs)
+SELECT doc_id, host FROM hosted
+WHERE host NOT IN (SELECT host FROM blocked)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -4402,6 +4523,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a28_vocab_census": q_a28_vocab_census,
     "dedup_spans_within": q_dedup_spans_within,
     "term_df_scrub": q_term_df_scrub,
+    "dedup_minhash_incr": q_dedup_minhash_incr,
+    "domain_blocklist_filter": q_domain_blocklist,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -4457,6 +4580,8 @@ def oracle_map() -> dict[str, str]:
         "dedup_wordset": SQL_DEDUP_WORDSET,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_incr": SQL_DEDUP_MINHASH_INCR,
+        "domain_blocklist_filter": SQL_DOMAIN_BLOCKLIST,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
