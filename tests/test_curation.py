@@ -255,3 +255,79 @@ def test_blocklist_integer_boundary_is_exact(spark):
     blocked = {r["host"] for r in
                domain_blocklist(domain_reputation(df, "url", "score")).collect()}
     assert blocked == {"a.x"}
+
+
+def test_host_quota_sample_thins_big_hosts_only(spark):
+    """Small hosts pass whole; a big host thins to ~quota in expectation;
+    the keep set is deterministic AND partitioning-invariant (the hash
+    test reads only (doc_id, n) — cluster size can't change fates)."""
+    from xdan_dqa_spark.operators.curation import host_quota_sample
+
+    rows = [(i, "https://big.example.com/%d" % i) for i in range(400)]
+    rows += [(1000 + i, "https://small.example.com/%d" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = host_quota_sample(df, quota=40)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    small = [d for d in got if d >= 1000]
+    big = [d for d in got if d < 1000]
+    assert small == [1000, 1001, 1002]          # under quota: all kept
+    assert 10 <= len(big) <= 100                # ~40 expected of 400
+    # deterministic + repartition-invariant
+    again = sorted(r["doc_id"] for r in host_quota_sample(df.repartition(7), quota=40).collect())
+    assert again == got
+
+    with pytest.raises(ValueError):
+        host_quota_sample(df, quota=0)
+
+
+def test_canonical_url_variants_collapse(spark):
+    """The five fixture mess patterns (tracking params, fragment,
+    trailing slash, uppercase host, default port) all map to the clean
+    canonical form; distinct pages stay distinct."""
+    from xdan_dqa_spark.operators.curation import canonical_url
+
+    clean = "https://example.com/p/7"
+    rows = [
+        (1, clean),
+        (2, clean + "?utm_source=feed"),
+        (3, clean + "#section"),
+        (4, clean + "/"),
+        (5, "HTTPS://EXAMPLE.COM/p/7"),
+        (6, "https://example.com:443/p/7"),
+        (7, "https://example.com/p/8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"]
+           for r in df.select("doc_id", canonical_url("url").alias("c")).collect()}
+    assert all(got[i] == clean for i in (1, 2, 3, 4, 5, 6))
+    assert got[7] == "https://example.com/p/8"
+
+
+def test_url_dedup_last_crawl_wins_no_window(spark):
+    """Of N crawls of one canonical URL the newest survives (ties broken
+    by highest id); n_crawls counts all of them; and the plan is ONE
+    map-side-combinable aggregate — no Window, exactly one Exchange (a
+    SortAggregate's partition-local sort is fine; a Window's per-key
+    global sort is the straggler the operator exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.curation import url_dedup
+
+    rows = [
+        (1, "https://a.com/x?utm_source=s", "2024-01-01 00:00:00"),
+        (2, "https://a.com/x#f", "2024-03-01 00:00:00"),   # newest → wins
+        (3, "https://a.com/x/", "2024-02-01 00:00:00"),
+        (4, "https://b.com/y", "2024-01-01 00:00:00"),     # tie on ts...
+        (5, "https://b.com/y/", "2024-01-01 00:00:00"),    # ...higher id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, crawl_ts string") \
+        .withColumn("crawl_ts", F.col("crawl_ts").cast("timestamp"))
+    out = url_dedup(df)
+    got = {r["canonical_url"]: r for r in out.collect()}
+    assert got["https://a.com/x"]["doc_id"] == 2
+    assert got["https://a.com/x"]["n_crawls"] == 3
+    assert got["https://b.com/y"]["doc_id"] == 5
+    assert got["https://b.com/y"]["n_crawls"] == 2
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 1

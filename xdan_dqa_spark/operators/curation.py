@@ -445,3 +445,99 @@ def blocklist_filter(df: DataFrame, blocked: DataFrame,
         host_of(url_col) == F.col("host"),
         "left_anti",
     )
+
+
+def host_quota_sample(df: DataFrame, quota: int, url_col: str = "url",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-host proportional downsampling to ~``quota`` docs per host —
+    the over-represented-domain rebalance step (a handful of mega-hosts
+    otherwise dominate a crawl's token budget; cf. the per-source
+    mixture reweighting in :func:`mixture_plan`, here at host grain).
+
+    Each doc carries a uniform 60-bit key u = int(md5(doc_id)[:15], 16);
+    a doc on a host with n docs is kept iff n ≤ quota (small hosts pass
+    whole) or u·n < quota·2⁶⁰ — i.e. with probability quota/n, so every
+    host lands at ~quota docs in expectation. The comparison is
+    DECIMAL(38,0) integer cross-multiplication (u < 2⁶⁰ ≈ 1.2e18, n up
+    to 1e12 ⇒ product < 1.2e30, inside DECIMAL 38) — no float divide,
+    so the keep set is bit-identical in any engine, stable across runs
+    and cluster sizes, and a re-crawled doc keeps its fate.
+
+    Scale shape: ONE shuffle of the corpus at host grain to attach the
+    per-host count (counts fold map-side first; the count table is
+    host-grain so its side of the join is 1 row per host, and AQE
+    skew-splits a mega-host's doc partitions freely since the join key
+    is unique on the build side). A Window row_number ≤ quota would
+    instead sort each host's docs in one task — a 10⁹-page host becomes
+    one straggler — which is why the keep rule is a per-row hash test,
+    not a rank."""
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    host = host_of(url_col).alias("_host")
+    keyed = df.withColumn("_host", host_of(url_col))
+    counts = keyed.groupBy("_host").agg(F.count("*").alias("_n"))
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    keep = (F.col("_n") <= F.lit(quota)) | (
+        u * F.col("_n").cast("decimal(38,0)")
+        < F.lit(quota).cast("decimal(38,0)") * F.lit(2 ** 60).cast("decimal(38,0)")
+    )
+    return keyed.join(counts, "_host").filter(keep).drop("_host", "_n")
+
+
+def canonical_url(url_col) -> F.Column:
+    """Canonical form of a URL for dedup keying: lowercase scheme+host,
+    default port and fragment stripped, tracking query params (utm_*,
+    fbclid, gclid) removed, then a dangling '?'/'&' and one trailing
+    slash on a non-root path dropped. Pure regexp_replace chain kept
+    inside RE2's feature set (no lookarounds — DuckDB's regex engine),
+    so URL-keyed dedup stays oracle-checkable. NULL urls map to ''."""
+    u = F.coalesce(
+        F.col(url_col) if isinstance(url_col, str) else url_col, F.lit("")
+    )
+    # lowercase scheme://host[:port] (leave path/query case alone):
+    # split-point concat — extract() yields '' on non-URLs, replace()
+    # then removes nothing, so non-URL strings pass through unchanged
+    auth = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+(?::[0-9]+)?"
+    u = F.concat(
+        F.lower(F.regexp_extract(u, f"({auth})", 1)),
+        F.regexp_replace(u, auth, ""),
+    )
+    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(?:80|443)([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"(://[^/?#]+/.+?)/$", r"$1")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")
+    return u
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", ts_col: str = "crawl_ts",
+              id_col: str = "doc_id") -> DataFrame:
+    """Last-crawl-wins dedup at canonical-URL grain: of all crawls of
+    the same canonical URL, keep the most recent (ties broken by
+    highest id — deterministic). The re-crawl collapse every web corpus
+    needs BEFORE content-level dedup: the same page fetched weekly is
+    100% byte-dup of itself modulo timestamps, and collapsing it by KEY
+    is one exact groupBy instead of content hashing.
+
+    Shape: max_by over a zero-padded (epoch-µs|id) string key — ONE
+    map-side-combinable aggregate at URL grain (the a24 endpoint
+    discipline: no Window, no sort, the hottest URL folds in partial
+    aggregates). Returns (canonical_url, kept id, kept crawl_ts)."""
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    return (
+        df.groupBy(canonical_url(url_col).alias("canonical_url"))
+        .agg(
+            F.max_by(F.col(id_col), key).alias(id_col),
+            F.max_by(F.col(ts_col), key).alias(ts_col),
+            F.count("*").alias("n_crawls"),
+        )
+    )

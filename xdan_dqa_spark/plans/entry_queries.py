@@ -4423,6 +4423,267 @@ WHERE host NOT IN (SELECT host FROM blocked)
 """
 
 
+def q_host_quota_sample(spark, sf_dir):
+    """Per-host proportional downsampling
+    (operators/curation.py:host_quota_sample): mega-hosts are thinned to
+    ~quota docs via a deterministic 60-bit hash test against the host's
+    doc count — integer cross-multiplication in DECIMAL(38,0), never a
+    float rate, so the keep set is bit-identical cross-engine and
+    cluster-size-invariant. One corpus shuffle at host grain; no Window
+    (a row_number quota would sort a mega-host in ONE task)."""
+    from ..operators.curation import host_of, host_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit(":"),
+                           (F.col("doc_id") % 8).cast("string"))), 1, 6),
+        F.lit(".example.com/"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.withColumn("url", url)
+    # quota=2 so the hash-threshold branch (not just the small-host
+    # pass-through) is live at every fixture sf: sf0.01 has ~3 docs/host,
+    # sf0.1 ~31 — both above quota, so the oracle checks real thinning.
+    return host_quota_sample(pages, quota=2).select(
+        "doc_id", host_of("url").alias("host")
+    )
+
+
+SQL_HOST_QUOTA_SAMPLE = """
+WITH hosted AS (
+  SELECT doc_id,
+         lower(regexp_extract(
+           'https://h' || substr(md5(source || ':' || CAST(doc_id % 8 AS VARCHAR)), 1, 6)
+             || '.example.com/' || CAST(doc_id AS VARCHAR),
+           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+  FROM documents),
+counts AS (SELECT host, COUNT(*) AS n FROM hosted GROUP BY host)
+SELECT h.doc_id, h.host
+FROM hosted h JOIN counts c ON h.host = c.host
+WHERE c.n <= 2
+   OR CAST(CAST('0x' || substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS HUGEINT)
+        * c.n
+      < CAST(2 AS HUGEINT) * 1152921504606846976
+"""
+
+
+# DuckDB twin of operators/curation.py:canonical_url — the SAME RE2-safe
+# regexp chain (no lookarounds), backrefs spelled \\1 instead of $1 and
+# every replace flagged 'g' (Spark's regexp_replace is always global).
+def _canon_url_sql(expr: str) -> str:
+    auth = "^[A-Za-z][A-Za-z0-9+.-]*://([^/@?#]*@)?[^/:?#]+(:[0-9]+)?"
+    u = f"coalesce({expr}, '')"
+    u = (f"lower(regexp_extract({u}, '({auth})', 1)) || "
+         f"regexp_replace({u}, '{auth}', '', 'g')")
+    for pat, rep in [
+        ("^(https?://[^/:?#]+):(80|443)([/?#].*)?$", r"\1\3"),
+        ("#.*$", ""),
+        ("([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", r"\1"),
+        (r"\?&+", "?"),
+        ("&&+", "&"),
+        ("[?&]$", ""),
+        ("(://[^/?#]+/.+?)/$", r"\1"),
+        ("^(https?://[^/?#]+)/$", r"\1"),
+    ]:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u
+
+
+def q_url_dedup(spark, sf_dir):
+    """Last-crawl-wins dedup at canonical-URL grain
+    (operators/curation.py:canonical_url / url_dedup): five messy
+    variants of each logical URL (tracking params, fragment, trailing
+    slash, uppercase host + default port, clean) collapse to ONE
+    canonical key; the newest crawl wins via a zero-padded max_by key —
+    one map-side-combinable aggregate, no Window. The re-crawl collapse
+    every web corpus needs BEFORE content-level dedup."""
+    from ..operators.curation import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") % 500).cast("string")
+    stem = F.concat(F.lit("https://h"), F.substring(F.md5(base), 1, 6),
+                    F.lit(".example.com/p/"), base)
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 1, F.concat(stem, F.lit("?utm_source=feed")))
+        .when(v == 2, F.concat(stem, F.lit("#section")))
+        .when(v == 3, F.concat(stem, F.lit("/")))
+        .when(v == 4, F.concat(F.upper(stem), F.lit(":443")))
+        .otherwise(stem)
+    )
+    # NOTE variant 4 appends :443 AFTER the path (an authority-port it is
+    # not), so it canonicalizes to a lowercased stem + ':443' suffix — a
+    # distinct key from the clean stem. Deliberate: the fixture exercises
+    # both collapsing AND non-collapsing variants.
+    ts = F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 37)
+    pages = docs.select("doc_id", url.alias("url"), ts.alias("crawl_ts"))
+    out = url_dedup(pages)
+    return out.select(
+        "canonical_url", "doc_id",
+        F.unix_micros(F.col("crawl_ts")).alias("crawl_ts_us"), "n_crawls",
+    )
+
+
+def _sql_url_dedup() -> str:
+    url = """
+      CASE doc_id % 5
+        WHEN 1 THEN stem || '?utm_source=feed'
+        WHEN 2 THEN stem || '#section'
+        WHEN 3 THEN stem || '/'
+        WHEN 4 THEN upper(stem) || ':443'
+        ELSE stem END
+    """
+    return f"""
+WITH stems AS (
+  SELECT doc_id,
+         'https://h' || substr(md5(CAST(doc_id % 500 AS VARCHAR)), 1, 6)
+           || '.example.com/p/' || CAST(doc_id % 500 AS VARCHAR) AS stem,
+         to_timestamp(1700000000 + doc_id * 37) AS crawl_ts
+  FROM documents),
+pages AS (
+  SELECT doc_id, {url} AS url, crawl_ts FROM stems),
+keyed AS (
+  SELECT doc_id, crawl_ts,
+         {_canon_url_sql('url')} AS canonical_url,
+         lpad(CAST(epoch_us(crawl_ts) AS VARCHAR), 20, '0') || '|'
+           || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS k
+  FROM pages)
+SELECT canonical_url,
+       arg_max(doc_id, k) AS doc_id,
+       epoch_us(arg_max(crawl_ts, k)) AS crawl_ts_us,
+       COUNT(*) AS n_crawls
+FROM keyed GROUP BY canonical_url
+"""
+
+
+def q_a30_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape: the customer-order-count distribution INCLUDING
+    zero-order customers — a LEFT join (anti-join-like zeros must
+    survive), count at customer grain, then a tiny second fold at count
+    grain. The priority predicate lives in the JOIN CONDITION, not a
+    WHERE (a WHERE would turn the left join inner and lose the zeros).
+    Scale: both sides shuffle on custkey once; the count fold is
+    map-side combinable; the distribution fold's key space is bounded
+    by max orders/customer."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+SQL_A30_CUST_ORDER_DIST = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY n_orders
+"""
+
+
+def q_a31_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — line
+    items whose quantity is under 20% of their part's average. The
+    correlated scalar subquery is re-expressed as ONE part-grain
+    aggregate joined back on partkey; the 0.2·avg comparison is integer
+    cross-multiplication (5·qty·cnt < sum — quantities are integral), so
+    the boundary can't flip on a float ULP in either engine. Part dim is
+    pruned to the probed brands BEFORE the join and the same filter
+    left-semi-prunes the fact via the partkey join; the terminal /7
+    division happens once on the final DECIMAL sum."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#23", "Brand#12")
+    ).select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("s"), F.count("*").alias("c")
+    )
+    probe = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    small = probe.join(pa, "l_partkey").filter(
+        F.lit(5) * F.col("qty") * F.col("c") < F.col("s")
+    )
+    return small.groupBy("p_brand").agg(
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+             / F.lit(7).cast("decimal(20,6)")).cast("double"), 6
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_small"),
+    )
+
+
+SQL_A31_SMALL_QTY_REVENUE = """
+WITH pa AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS s, COUNT(*) AS c
+  FROM lineitem GROUP BY l_partkey)
+SELECT p.p_brand,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6)))
+                  / CAST(7 AS DECIMAL(20,6)) AS DOUBLE), 6) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand IN ('Brand#23','Brand#12')
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pa.c < pa.s
+GROUP BY p.p_brand
+"""
+
+
+def q_a32_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, per market segment. Balances become integer CENTS once
+    (round(bal·100) — the only rounding, identical in both engines on
+    2-decimal data); 'above average of the positive balances' is then
+    cents·n > sum — integer cross-multiplication against a 1-row
+    broadcast global, no float mean. The 'no urgent orders' test is a
+    LEFT ANTI join against the pre-filtered orders projection (the Q22
+    NOT EXISTS), which at scale left-semi-prunes orders to one column
+    before the shuffle."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cb"),
+    )
+    tot = c.filter(F.col("cb") > 0).agg(
+        F.sum("cb").alias("_s"), F.count("*").alias("_n")
+    )
+    rich = c.crossJoin(F.broadcast(tot)).filter(
+        F.col("cb") * F.col("_n") > F.col("_s")
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    idle = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum("cb") / F.lit(100.0)).alias("total_bal"),
+    )
+
+
+SQL_A32_IDLE_RICH_CUSTOMERS = """
+WITH cents AS (
+  SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cb
+  FROM customer),
+pos AS (SELECT SUM(cb) AS s, COUNT(*) AS n FROM cents WHERE cb > 0)
+SELECT c_mktsegment, COUNT(*) AS n_customers, SUM(cb) / 100.0 AS total_bal
+FROM cents, pos
+WHERE cb * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cents.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -4525,6 +4786,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df_scrub": q_term_df_scrub,
     "dedup_minhash_incr": q_dedup_minhash_incr,
     "domain_blocklist_filter": q_domain_blocklist,
+    "host_quota_sample": q_host_quota_sample,
+    "url_dedup_lastwins": q_url_dedup,
+    "a30_cust_order_dist": q_a30_cust_order_dist,
+    "a31_small_qty_revenue": q_a31_small_qty_revenue,
+    "a32_idle_rich_customers": q_a32_idle_rich_customers,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -4582,6 +4848,11 @@ def oracle_map() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_incr": SQL_DEDUP_MINHASH_INCR,
         "domain_blocklist_filter": SQL_DOMAIN_BLOCKLIST,
+        "host_quota_sample": SQL_HOST_QUOTA_SAMPLE,
+        "url_dedup_lastwins": _sql_url_dedup(),
+        "a30_cust_order_dist": SQL_A30_CUST_ORDER_DIST,
+        "a31_small_qty_revenue": SQL_A31_SMALL_QTY_REVENUE,
+        "a32_idle_rich_customers": SQL_A32_IDLE_RICH_CUSTOMERS,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
