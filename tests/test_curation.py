@@ -331,3 +331,49 @@ def test_url_dedup_last_crawl_wins_no_window(spark):
     plan = _plan(out)
     assert "Window" not in plan
     assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 1
+
+
+def test_leak_safe_split_keeps_variants_together(spark):
+    """A case/whitespace-variant copy must land in the SAME split as its
+    original (the anti-leakage contract); assignment is map-only (zero
+    Exchanges) and deterministic; bad weights raise."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.curation import leak_safe_split
+
+    rows = [(i, f"document number {i} with some words " * 3) for i in range(200)]
+    rows += [(1000, rows[7][1].upper()), (1001, "  " + rows[7][1].replace(" ", "\t"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leak_safe_split(df)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got[1000] == got[7] and got[1001] == got[7]
+    # all three labels appear on 200 distinct docs
+    assert set(got.values()) == {"train", "val", "test"}
+    assert "Exchange" not in _plan(out)
+
+    with pytest.raises(ValueError):
+        leak_safe_split(df, weights=(70, 10, 10))
+
+
+def test_robots_filter_drops_disallowed_prefixes(spark):
+    """Rows on a ruled host whose path starts with the disallow prefix
+    drop; same path on an unruled host and other paths on the ruled
+    host survive; the anti-join broadcasts the rule side."""
+    from xdan_dqa_spark.operators.curation import robots_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/x"),   # ruled host + prefix → drop
+            (2, "https://a.com/public/x"),    # ruled host, other path → keep
+            (3, "https://b.com/private/x"),   # unruled host → keep
+            (4, "https://a.com/private"),     # exact prefix → drop
+            (5, "https://a.com"),             # no path → '/' → keep
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/private")], "host string, path_prefix string"
+    )
+    out = robots_filter(pages, rules)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3, 5]
+    assert "BroadcastHashJoin" in _plan(out) or "BroadcastNestedLoopJoin" in _plan(out)

@@ -541,3 +541,68 @@ def url_dedup(df: DataFrame, url_col: str = "url", ts_col: str = "crawl_ts",
             F.count("*").alias("n_crawls"),
         )
     )
+
+
+def leak_safe_split(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    weights: tuple[int, int, int] = (80, 10, 10)) -> DataFrame:
+    """Deterministic train/val/test assignment that cannot leak
+    trivially-reformatted copies across splits: the split key is the
+    CANONICAL text form (lowercased, whitespace runs collapsed — the
+    same normalization :func:`~..operators.dedup.canonical_dedup` keys
+    on), so byte-identical and case/wrap-variant copies always land in
+    the SAME split. Splitting on doc_id instead is the classic eval-
+    contamination bug — a near-copy of a test doc trains the model on
+    its own benchmark.
+
+    Assignment is pmod(60-bit md5 of the canonical form, 100) against
+    cumulative integer weights — no RNG, no float boundary, identical in
+    any engine, stable under re-runs, cluster sizes, and corpus
+    re-ordering. Entirely MAP-SIDE: zero shuffles (plan-pinnable), so it
+    composes into any scan for free at 100 TB."""
+    if len(weights) != 3 or sum(weights) != 100 or any(w < 0 for w in weights):
+        raise ValueError(f"weights must be 3 non-negatives summing to 100, got {weights}")
+    from ..functions.tokenize import WS_PLUS
+
+    canon = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_PLUS, " "
+        )
+    )
+    u = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    b = F.pmod(u, F.lit(100))
+    split = (
+        F.when(b < weights[0], F.lit("train"))
+        .when(b < weights[0] + weights[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def robots_filter(df: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Drop every row whose URL matches a disallow rule — ``rules`` is
+    (host, path_prefix): a row is dropped iff its url's host equals a
+    rule host AND its path starts with that rule's prefix (the
+    robots.txt Disallow shape, evaluated corpus-side at ingest).
+
+    Scale shape: the rule table is robots-grain (≪ corpus — one site's
+    disallow list is tens of lines), so it is BROADCAST and the filter
+    is a map-side LEFT ANTI with the prefix test in the join condition;
+    the corpus never shuffles. Path extraction is the same RE2-safe
+    regexp discipline as :func:`host_of`."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    path = F.regexp_replace(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*(/[^?#]*)?", 1
+        ),
+        r"^$", "/",
+    )
+    probe = df.withColumn("_h", host_of(url_col)).withColumn("_p", path)
+    hit = (F.col("_h") == F.col("host")) & F.col("_p").startswith(
+        F.col("path_prefix")
+    )
+    return (
+        probe.join(F.broadcast(rules.select("host", "path_prefix")), hit, "left_anti")
+        .drop("_h", "_p")
+    )

@@ -4684,6 +4684,205 @@ GROUP BY c_mktsegment
 """
 
 
+def q_a33_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    multi-supplier finished order (late = shipped >60 days after the
+    order date — this dataset has no commit/receipt dates). The classic
+    EXISTS + double NOT-EXISTS correlation is re-expressed as ONE
+    order-grain aggregate: n_supp (distinct suppliers), n_late_supp
+    (distinct late suppliers), and the culprit via max(late supplier) —
+    valid exactly when n_late_supp = 1, which the filter pins. One
+    orderkey join + one orderkey-grain fold replaces three correlated
+    subqueries; the supplier dim attaches AFTER the fold at supplier
+    grain (bounded rows). Lateness is integral-day interval arithmetic,
+    identical cross-engine."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_suppkey"),
+    )
+    per = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("culprit"),
+    )
+    culprits = per.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).groupBy("culprit").agg(F.count("*").alias("numwait"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return culprits.join(s, culprits.culprit == s.s_suppkey).select(
+        "s_name", "numwait"
+    )
+
+
+SQL_A33_WAITING_SUPPLIERS = """
+WITH per AS (
+  SELECT l.l_orderkey,
+         COUNT(DISTINCT l.l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                             THEN l.l_suppkey END) AS n_late_supp,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN l.l_suppkey END) AS culprit
+  FROM lineitem l JOIN orders o
+    ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per JOIN supplier s ON per.culprit = s.s_suppkey
+WHERE per.n_supp > 1 AND per.n_late_supp = 1
+GROUP BY s.s_name
+"""
+
+
+def q_a34_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's revenue for one
+    part type, per order year. Both bounded dims (nation⋈region on the
+    customer side, nation on the supplier side) and the type-pruned part
+    projection are explicitly broadcast — the fact joins shuffle on
+    their own keys only; the share is a conditional/total pair riding
+    ONE aggregate (no second pass), divided once and rounded at 6 dp.
+    Revenue is the DECIMAL(20,6) cast-sum of extprice·(1−discount)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nkey"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
+              .otherwise(F.lit(0).cast("decimal(20,6)"))).alias("_n"),
+        F.sum(rev).alias("_d"),
+    )
+    return agg.select(
+        "o_year",
+        F.round((F.col("_n") / F.col("_d")).cast("double"), 6).alias("mkt_share"),
+        F.col("_d").cast("double").alias("total_rev"),
+    )
+
+
+SQL_A34_MARKET_SHARE = """
+SELECT year(o.o_orderdate) AS o_year,
+       round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))
+                           ELSE CAST(0 AS DECIMAL(20,6)) END)
+                  / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
+                  AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+         AS total_rev
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY year(o.o_orderdate)
+"""
+
+
+def q_split_leak_safe(spark, sf_dir):
+    """Leakage-safe train/val/test assignment
+    (operators/curation.py:leak_safe_split): the split key is the
+    CANONICAL text form (the canonical_dedup normalization), so
+    byte-identical and case/wrap-variant copies always land in the same
+    split; assignment is pmod(md5-60bit, 100) vs integer weight
+    boundaries — no RNG, no float, map-side only (zero shuffles)."""
+    from ..operators.curation import leak_safe_split
+
+    return leak_safe_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
+SQL_SPLIT_LEAK_SAFE = f"""
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                                     '{_WS_CLASS_SQL}+', ' ', 'g'))), 1, 15)
+              AS BIGINT) % 100 AS b
+  FROM documents)
+"""
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots-style disallow filter (operators/curation.py:robots_filter):
+    pages whose host has a disallow rule AND whose path starts with the
+    rule prefix are dropped via a broadcast LEFT ANTI with the prefix
+    test in the join condition — the corpus never shuffles. Rules here:
+    each source's '…:0' host disallows paths starting '/1'."""
+    from ..operators.curation import host_of, robots_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit(":"),
+                           (F.col("doc_id") % 8).cast("string"))), 1, 6),
+        F.lit(".example.com/"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.withColumn("url", url)
+    rules = (
+        docs.select(
+            F.concat(
+                F.lit("h"),
+                F.substring(F.md5(F.concat(F.col("source"), F.lit(":0"))), 1, 6),
+                F.lit(".example.com"),
+            ).alias("host")
+        )
+        .distinct()
+        .withColumn("path_prefix", F.lit("/1"))
+    )
+    return robots_filter(pages, rules).select(
+        "doc_id", host_of("url").alias("host")
+    )
+
+
+SQL_ROBOTS_FILTER = """
+WITH pages AS (
+  SELECT doc_id,
+         'h' || substr(md5(source || ':' || CAST(doc_id % 8 AS VARCHAR)), 1, 6)
+           || '.example.com' AS host,
+         '/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents),
+rules AS (
+  SELECT DISTINCT
+         'h' || substr(md5(source || ':0'), 1, 6) || '.example.com' AS host,
+         '/1' AS path_prefix
+  FROM documents)
+SELECT doc_id, host FROM pages p
+WHERE NOT EXISTS (SELECT 1 FROM rules r
+                  WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -4791,6 +4990,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a30_cust_order_dist": q_a30_cust_order_dist,
     "a31_small_qty_revenue": q_a31_small_qty_revenue,
     "a32_idle_rich_customers": q_a32_idle_rich_customers,
+    "a33_waiting_suppliers": q_a33_waiting_suppliers,
+    "a34_market_share": q_a34_market_share,
+    "split_leak_safe": q_split_leak_safe,
+    "robots_filter": q_robots_filter,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -4853,6 +5056,10 @@ def oracle_map() -> dict[str, str]:
         "a30_cust_order_dist": SQL_A30_CUST_ORDER_DIST,
         "a31_small_qty_revenue": SQL_A31_SMALL_QTY_REVENUE,
         "a32_idle_rich_customers": SQL_A32_IDLE_RICH_CUSTOMERS,
+        "a33_waiting_suppliers": SQL_A33_WAITING_SUPPLIERS,
+        "a34_market_share": SQL_A34_MARKET_SHARE,
+        "split_leak_safe": SQL_SPLIT_LEAK_SAFE,
+        "robots_filter": SQL_ROBOTS_FILTER,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
