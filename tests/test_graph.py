@@ -1,0 +1,76 @@
+"""Link-graph operator invariants (operators/graph.py): degree census
+full-outer semantics, PageRank's closed-form fixed points (uniform ring),
+rank ordering under concentrated in-links, and the bit-determinism
+contract (integer fixed-point ⇒ identical under repartition). Value-level
+cross-engine identity is pinned by the unrolled-CTE DuckDB twin
+(link_pagerank in plans/entry_queries.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_degree_census_full_outer(spark):
+    from xdan_dqa_spark.operators.graph import degree_census
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (4, 1)])
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in degree_census(e).collect()}
+    assert got[1] == (2, 1)
+    assert got[2] == (1, 1)
+    assert got[3] == (0, 2)   # appears only as target
+    assert got[4] == (1, 0)   # appears only as source
+
+
+def test_pagerank_uniform_on_ring(spark):
+    """A directed ring is perfectly symmetric: every node's rank must be
+    exactly 1/N at every iteration (the uniform fixed point survives the
+    fixed-point quantization because 1e12/5 is exact)."""
+    from xdan_dqa_spark.operators.graph import pagerank
+
+    n = 5
+    e = _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, n_iter=4).collect()}
+    assert all(v == pytest.approx(1 / n, abs=1e-9) for v in ranks.values())
+
+
+def test_pagerank_concentrates_on_hub_and_is_partition_invariant(spark):
+    """Everyone links the hub: the hub must outrank every leaf, leaves
+    stay at the (1-d)/N floor; and the INTEGER fixed-point arithmetic
+    makes the result bit-identical under any repartitioning (the
+    determinism contract float PageRank cannot give)."""
+    from xdan_dqa_spark.operators.graph import pagerank
+
+    e = _edges(spark, [(i, 0) for i in range(1, 9)])
+    r1 = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert all(r1[0] > r1[i] for i in range(1, 9))
+    # leaves receive nothing: rank = (1-d)/N exactly (N=9)
+    assert r1[1] == pytest.approx(0.15 / 9, abs=1e-9)
+    r2 = {r["node"]: r["rank"]
+          for r in pagerank(e.repartition(13), n_iter=3).collect()}
+    assert r1 == r2   # bit-identical, not approx
+
+
+def test_pagerank_mass_bounds_with_dangling_leak(spark):
+    """Total rank mass stays within ((1-d), 1]: dangling nodes leak
+    (documented), so mass can fall below 1 but never below the teleport
+    floor, and never exceeds 1 + rounding noise."""
+    from xdan_dqa_spark.operators.graph import pagerank
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])  # 4 is dangling
+    total = sum(r["rank"] for r in pagerank(e, n_iter=3).collect())
+    assert 0.15 < total <= 1.0 + 1e-9
+
+
+def test_pagerank_rejects_bad_params(spark):
+    from xdan_dqa_spark.operators.graph import pagerank
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        pagerank(e, n_iter=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping_num=20, damping_den=20)

@@ -1,0 +1,132 @@
+"""Link-graph operators for web-crawl curation: degree census and a
+fixed-iteration PageRank — the crawl-frontier prioritization / spam-farm
+demotion signal every web pipeline keeps next to its quality scores.
+
+Reference scope: the reference (src/processor.py) scores documents in
+isolation and has no graph surface at all; this module is part of the
+beyond-reference web-pipeline layer (SURVEY.md §2.6), built Spark-first:
+propagation rounds are plain join + aggregate plans — no RDDs, no
+Pregel, no driver-side loops over collected data.
+
+Cross-engine determinism discipline: PageRank is normally a float fixed
+point, and float sums are ORDER-DEPENDENT — a Spark aggregation and a
+DuckDB aggregation would drift in the last ulps and break value-level
+oracle checks (and Spark's own DECIMAL division truncates scale to 6
+when precision overflows, so decimals don't save you either). Ranks
+here are INTEGER FIXED-POINT: BIGINT micro-units at 1e12 scale, every
+division a round-half-up integral (2a+b) DIV (2b), damping a small
+rational (17/20 by default). Zero float ops until the single terminal
+/1e12 — so an n-iteration run is bit-identical in any engine, at any
+parallelism, in any row order. Quantization error is < 1e-12·in_degree
+per round — noise against PageRank's own iteration error."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10 ** 12
+
+
+def degree_census(links: DataFrame, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Per-node (out_degree, in_degree) — the cheap structural spam
+    signal (link farms: huge out_degree, low distinct targets; doorway
+    pages: in_degree 0). One aggregate per direction at node grain,
+    map-side combinable, full-outer merged (a node may appear on only
+    one side)."""
+    out_d = links.groupBy(F.col(src_col).alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = links.groupBy(F.col(dst_col).alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+            F.coalesce(F.col("in_degree"), F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def _rdiv(a, b):
+    """Round-half-up integer division of non-negative BIGINT columns."""
+    return F.expr(f"({a} * 2 + {b}) DIV ({b} * 2)")
+
+
+def pagerank(links: DataFrame, n_iter: int = 3,
+             damping_num: int = 17, damping_den: int = 20,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank over an edge list; returns (node, rank)
+    for every node that appears as source or target.
+
+    Semantics: ranks start uniform at 1/N; each round every node sends
+    rank/out_degree along its out-edges, and
+    new_rank = (1−d)/N + d·(received sum), d = damping_num/damping_den
+    (17/20 = 0.85 default). Dangling nodes (out_degree 0) keep receiving
+    but send nothing — their mass leaks, the standard simplification
+    when ranking is relative (crawl prioritization), documented rather
+    than silently redistributed. All arithmetic is 1e12-scaled integer
+    fixed-point (module docstring) — bit-deterministic cross-engine.
+
+    Scale shape per round: ONE shuffle — contributions group on the
+    destination key (map-side partial sums first), then a LEFT join
+    back to the bounded node table keeps zero-in-degree nodes. The node
+    table and per-node out-degree are computed ONCE before the loop.
+    The Python for loop builds the PLAN only (n_iter is a small
+    constant); nothing collects to the driver. Lineage grows n_iter
+    joins deep — past ~10 rounds, persist/checkpoint the frontier per
+    round as operators/dedup.py:cc_dedup does. A mega-in-degree node
+    (everyone links the homepage) is one hot reduce key whose partial
+    sums combine map-side, so the skew AQE sees is already collapsed.
+    BIGINT headroom: total mass is ≤ SCALE (1e12) micro-units, so even
+    a node receiving ALL mass times damping_num stays ~1e13 ≪ 2⁶³."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"damping must satisfy 0 < num < den, got {damping_num}/{damping_den}"
+        )
+
+    e = links.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n_tbl = nodes.agg(F.count("*").alias("_n"))
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_tbl))
+        .select("node", _rdiv(str(SCALE), "_n").alias("fp"))
+    )
+    base_num = (damping_den - damping_num) * SCALE  # (1-d)·SCALE·den
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), _rdiv("fp", "deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("received"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_tbl))
+            .select(
+                "node",
+                (
+                    _rdiv(str(base_num), f"_n * {damping_den}")
+                    + _rdiv(
+                        f"coalesce(received, 0L) * {damping_num}",
+                        str(damping_den),
+                    )
+                ).alias("fp"),
+            )
+        )
+    return ranks.select(
+        "node", (F.col("fp").cast("double") / F.lit(float(SCALE))).alias("rank")
+    )

@@ -4883,6 +4883,194 @@ WHERE NOT EXISTS (SELECT 1 FROM rules r
 """
 
 
+def _link_edges(spark, sf_dir):
+    """Deterministic 3-out-link graph over the documents table: doc i
+    links to (13i + 101k) mod 499 for k ∈ {1,2,3}. Targets need not be
+    document ids — pagerank nodes are the src∪dst union, exactly like a
+    crawl frontier where most link targets are not yet fetched."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("src"))
+    k = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    return d.select("src", k).select(
+        "src", F.pmod(F.col("src") * 13 + F.col("k") * 101, F.lit(499)).alias("dst")
+    )
+
+
+_SQL_LINK_EDGES = """
+  SELECT doc_id AS src, (doc_id * 13 + k * 101) % 499 AS dst
+  FROM documents, UNNEST([1, 2, 3]) AS t(k)
+"""
+
+
+def q_link_pagerank(spark, sf_dir):
+    """3-iteration PageRank over the synthesized link graph
+    (operators/graph.py:pagerank) — crawl-frontier prioritization /
+    link-farm demotion. All arithmetic is 1e12-scaled INTEGER
+    fixed-point with round-half-up integral division (float sums are
+    order-dependent; Spark's decimal division truncates scale on
+    precision overflow), so the ranks are bit-identical cross-engine at
+    any parallelism; ONE dst-keyed shuffle per round, map-side partial
+    sums, no driver collect."""
+    from ..operators.graph import pagerank
+
+    return pagerank(_link_edges(spark, sf_dir), n_iter=3)
+
+
+def _sql_pagerank() -> str:
+    s = 10 ** 12
+    it = f"""
+SELECT nd.node,
+  (({3 * s} * 2 + n.n * 20) // (n.n * 20 * 2))
+  + ((coalesce(s.received, 0) * 17 * 2 + 20) // 40) AS fp
+FROM nodes nd CROSS JOIN n
+LEFT JOIN (
+  SELECT e.dst AS node, SUM((r.fp * 2 + d.deg) // (d.deg * 2)) AS received
+  FROM e JOIN {{R}} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst) s
+ON nd.node = s.node
+"""
+    return f"""
+WITH e AS ({_SQL_LINK_EDGES}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, ({s} * 2 + n) // (n * 2) AS fp FROM nodes CROSS JOIN n),
+r1 AS ({it.format(R='r0')}),
+r2 AS ({it.format(R='r1')}),
+r3 AS ({it.format(R='r2')})
+SELECT node, CAST(fp AS DOUBLE) / 1e12 AS rank FROM r3
+"""
+
+
+def q_link_degree_census(spark, sf_dir):
+    """Per-node in/out degree census over the link graph
+    (operators/graph.py:degree_census) — the structural spam signal
+    (doorway pages: in 0; link farms: out ≫ distinct in). Two map-side
+    folds full-outer merged at node grain."""
+    from ..operators.graph import degree_census
+
+    return degree_census(_link_edges(spark, sf_dir))
+
+
+SQL_LINK_DEGREE_CENSUS = f"""
+WITH e AS ({_SQL_LINK_EDGES}),
+o AS (SELECT src AS node, COUNT(*) AS out_degree FROM e GROUP BY src),
+i AS (SELECT dst AS node, COUNT(*) AS in_degree FROM e GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
+def q_a36_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: the what-if revenue delta from discounted small
+    orders — a pure scan-side query whose POINT is pushdown: every
+    predicate (date window, discount band, quantity cap) must reach the
+    parquet scan as PushedFilters with only 3 columns read; one
+    map-side-combined DECIMAL fold, no join, no second shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1999-01-01").cast("timestamp")
+    hi = F.lit("2000-01-01").cast("timestamp")
+    sel = li.filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_A36_REVENUE_DELTA = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS DOUBLE)
+         AS revenue_delta,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_a35_supplier_census(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier census per (brand, size band),
+    EXCLUDING a complained-about supplier set — the NOT IN subquery
+    becomes a broadcast LEFT ANTI on the bounded supplier dim before
+    the fact join; supply relationships come from observed lineitems
+    (this dataset has no partsupp). Exact COUNT(DISTINCT supplier) via
+    Spark's Expand planning — one shuffle, map-side partials."""
+    s_bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ok = li.join(
+        F.broadcast(s_bad), li.l_suppkey == s_bad.s_suppkey, "left_anti"
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", (F.col("p_size") % 5).alias("size_band")
+    )
+    return (
+        ok.join(p, ok.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_A35_SUPPLIER_CENSUS = """
+SELECT p.p_brand, p.p_size % 5 AS size_band,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size % 5
+"""
+
+
+def q_a37_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than TWICE a part's
+    average per-supplier volume (single-source risk / the excess-stock
+    probe reshaped to this schema). The nested correlated aggregate
+    becomes two folds of ONE scan grain apart — (part, supplier)
+    quantity, then part totals — joined at part grain; the 2×-average
+    test is integer cross-multiplication (sq·n_supp > 2·tq) on
+    integral-valued quantities, never a float mean. Supplier names
+    attach AFTER the dominance reduction at bounded supplier grain."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("sq"))
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count("*").alias("n_supp")
+    )
+    dom = ps.join(pt, "l_partkey").filter(
+        (F.col("n_supp") > 1)
+        & (F.col("sq") * F.col("n_supp") > F.lit(2) * F.col("tq"))
+    )
+    per_s = dom.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_dominated"),
+        F.sum("sq").alias("qty_dominated"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return per_s.join(s, per_s.l_suppkey == s.s_suppkey).select(
+        "s_name", "n_dominated", "qty_dominated"
+    )
+
+
+SQL_A37_DOMINANT_SUPPLIERS = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS n_supp FROM ps GROUP BY l_partkey),
+dom AS (
+  SELECT ps.l_suppkey, ps.sq
+  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+  WHERE pt.n_supp > 1 AND ps.sq * pt.n_supp > 2 * pt.tq)
+SELECT s.s_name, COUNT(*) AS n_dominated, SUM(dom.sq) AS qty_dominated
+FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -4994,6 +5182,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a34_market_share": q_a34_market_share,
     "split_leak_safe": q_split_leak_safe,
     "robots_filter": q_robots_filter,
+    "link_pagerank": q_link_pagerank,
+    "link_degree_census": q_link_degree_census,
+    "a35_supplier_census": q_a35_supplier_census,
+    "a36_revenue_delta": q_a36_revenue_delta,
+    "a37_dominant_suppliers": q_a37_dominant_suppliers,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -5060,6 +5253,11 @@ def oracle_map() -> dict[str, str]:
         "a34_market_share": SQL_A34_MARKET_SHARE,
         "split_leak_safe": SQL_SPLIT_LEAK_SAFE,
         "robots_filter": SQL_ROBOTS_FILTER,
+        "link_pagerank": _sql_pagerank(),
+        "link_degree_census": SQL_LINK_DEGREE_CENSUS,
+        "a35_supplier_census": SQL_A35_SUPPLIER_CENSUS,
+        "a36_revenue_delta": SQL_A36_REVENUE_DELTA,
+        "a37_dominant_suppliers": SQL_A37_DOMINANT_SUPPLIERS,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
