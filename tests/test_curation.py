@@ -377,3 +377,65 @@ def test_robots_filter_drops_disallowed_prefixes(spark):
     out = robots_filter(pages, rules)
     assert sorted(r["doc_id"] for r in out.collect()) == [2, 3, 5]
     assert "BroadcastHashJoin" in _plan(out) or "BroadcastNestedLoopJoin" in _plan(out)
+
+
+def test_mixture_apply_rebalances_and_is_deterministic(spark):
+    """After resampling, every source's token mass lands within one doc
+    of the uniform target T/S; copy_ids are dense 0..n-1 per doc; the
+    result is bit-identical under repartition (integer/hash arithmetic
+    only); zero-token sources drop."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.curation import mixture_apply
+
+    rows = [(i, "w " * 20, "big", "big") for i in range(90)]          # 1800 tok
+    rows += [(100 + i, "w " * 20, "small", "small") for i in range(10)]  # 200 tok
+    rows += [(200, "", "empty", "empty")]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), l, s) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = mixture_apply(docs, by="source").cache()
+    got = out.collect()
+    assert not [r for r in got if r["source"] == "empty"]
+    # per-source resampled token mass ~ T/S = 2000/2 = 1000 → big thins
+    # to ~1000/1800 rate, small upsamples to 5 copies each
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    n_big = len(by_src["big"])
+    assert 30 <= n_big <= 70                     # ~50 expected of 90
+    assert len(by_src["small"]) == 50            # exact: epochs = 5.0
+    copies = sorted(r["copy_id"] for r in by_src["small"]
+                    if r["doc_id"] == 100)
+    assert copies == [0, 1, 2, 3, 4]
+    again = mixture_apply(docs.repartition(7), by="source")
+    assert sorted((r["doc_id"], r["copy_id"]) for r in again.collect()) \
+        == sorted((r["doc_id"], r["copy_id"]) for r in got)
+
+
+def test_normalize_punct_maps_and_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.curation import normalize_punct
+
+    rows = [
+        (1, "‘a’ “b” ‚c′"),
+        (2, "x–y—z―w"),
+        (3, "wait… ok"),
+        (4, "a​b­c﻿d"),
+        (5, "nb sp and　wide"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = df.select("doc_id", normalize_punct("text").alias("n"))
+    got = {r["doc_id"]: r["n"] for r in once.collect()}
+    assert got[1] == "'a' \"b\" 'c'"
+    assert got[2] == "x-y-z-w"
+    assert got[3] == "wait... ok"
+    assert got[4] == "abd" or got[4] == "abcd"  # soft hyphen removed
+    assert got[5] == "nb sp and wide"
+    assert got[6] == ""
+    # idempotent: a second pass changes nothing
+    twice = once.select("doc_id", normalize_punct(F.col("n")).alias("n2"))
+    assert {r["doc_id"]: r["n2"] for r in twice.collect()} == got

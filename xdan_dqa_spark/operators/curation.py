@@ -606,3 +606,84 @@ def robots_filter(df: DataFrame, rules: DataFrame,
         probe.join(F.broadcast(rules.select("host", "path_prefix")), hit, "left_anti")
         .drop("_h", "_p")
     )
+
+
+def mixture_apply(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", by: str = "source") -> DataFrame:
+    """Materialize the uniform-mixture resample :func:`mixture_plan`
+    PLANS: every source is repeated to epochs = T/(S·tokens_src) —
+    under-represented sources get whole extra copies plus a hashed
+    fractional copy, over-represented sources thin. Output is
+    (original columns…, copy_id): copy_id ≥ 1 rows are repeats, so the
+    epoch structure stays visible to a downstream shuffler.
+
+    Integer-exact throughout: epochs is the RATIONAL T/den (den =
+    S·tokens_src, both exact integer sums) — floor(T DIV den) whole
+    copies for every doc, plus membership in the last fractional copy
+    decided by u·den < (T mod den)·2⁶⁰ on the doc's 60-bit (id, copy)
+    hash, DECIMAL(38,0) cross-multiplied. No float rate ever exists, so
+    the materialized mixture is bit-identical across engines, runs, and
+    cluster sizes — re-ingesting the same corpus reproduces the same
+    epochs.
+
+    Scale shape: the plan table is source-grain (bounded) and attaches
+    by BROADCAST; copies come from exploding sequence(0, n_copies) —
+    map-side, output-linear; the only shuffle is the one token-count
+    aggregate the plan itself needs. Docs from sources with zero tokens
+    are dropped (undefined epochs)."""
+    per = docs.groupBy(by).agg(
+        F.sum(F.size(_words(text_col)).cast("long")).alias("_tok")
+    ).filter(F.col("_tok") > 0)
+    # S counts only token-bearing sources: an all-empty source can't
+    # absorb budget, so it must not dilute the uniform target share.
+    tot = per.agg(F.sum("_tok").alias("_t"), F.count("*").alias("_s"))
+    plan = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            by,
+            (F.col("_s") * F.col("_tok")).alias("_den"),
+            F.col("_t").alias("_num"),
+        )
+    )
+    j = docs.join(F.broadcast(plan), by)
+    whole = F.expr("_num DIV _den")
+    rem = F.expr("_num % _den")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              whole.cast("string"))), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    frac_keep = u * F.col("_den").cast("decimal(38,0)") < (
+        rem.cast("decimal(38,0)") * F.lit(2 ** 60).cast("decimal(38,0)")
+    )
+    n_copies = whole + F.when(frac_keep, 1).otherwise(0)
+    return (
+        j.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .withColumn("copy_id", F.explode(F.expr("sequence(0, _nc - 1)")))
+        .drop("_den", "_num", "_nc")
+    )
+
+
+def normalize_punct(text_col) -> F.Column:
+    """Web-text punctuation normalization (the NFKC-lite cleanup pass
+    crawl pipelines run before tokenizing): curly quotes → straight,
+    en/em/horizontal-bar dashes → '-', ellipsis char → '...', NBSP and
+    ideographic space → ' ', zero-width characters and soft hyphens
+    removed. A translate() for the 1:1 maps plus replace() for the 1:n
+    maps — both whole-stage-codegen JVM expressions with byte-identical
+    DuckDB builtins, so normalization-dependent queries stay
+    oracle-checkable. NULL maps to ''."""
+    u = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    # 1:1 maps: curly/low-9 quotes, primes, dashes, spaces
+    src = "\u2018\u2019\u201a\u2032" + "\u201c\u201d\u201e\u2033" \
+          + "\u2013\u2014\u2015" + "\u00a0\u3000"
+    dst = "''''" + '""""' + "---" + "  "
+    u = F.translate(u, src, dst)
+    # 1:n / 1:0 maps
+    u = F.replace(u, F.lit("\u2026"), F.lit("..."))
+    for zw in ("\u200b", "\u200c", "\u200d", "\ufeff", "\u00ad"):
+        u = F.replace(u, F.lit(zw), F.lit(""))
+    return u

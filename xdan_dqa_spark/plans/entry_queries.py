@@ -5071,6 +5071,167 @@ GROUP BY s.s_name
 """
 
 
+def q_mixture_apply(spark, sf_dir):
+    """Materialized uniform-mixture resample
+    (operators/curation.py:mixture_apply): each source is repeated to
+    its exact rational epoch factor — whole copies via integer DIV,
+    the fractional copy via a DECIMAL(38,0) hash cross-multiply — so
+    the resampled corpus is bit-identical across engines and cluster
+    sizes. Plan table broadcast; copies explode map-side."""
+    from ..operators.curation import mixture_apply
+
+    return mixture_apply(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "copy_id"
+    )
+
+
+SQL_MIXTURE_APPLY = f"""
+WITH per AS (
+  SELECT source, SUM(len({_WORDS_WS_SQL})) AS tok
+  FROM documents GROUP BY source),
+pos AS (SELECT * FROM per WHERE tok > 0),
+tot AS (SELECT SUM(tok) AS t, COUNT(*) AS s FROM pos),
+plan AS (
+  SELECT source, s * tok AS den, t AS num
+  FROM pos, tot),
+j AS (
+  SELECT d.doc_id, d.source,
+         num // den AS whole, num % den AS rem, den
+  FROM documents d JOIN plan USING (source)),
+n AS (
+  SELECT doc_id, source,
+         whole + CASE WHEN
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                    || CAST(whole AS VARCHAR)), 1, 15) AS BIGINT)
+                AS HUGEINT) * den
+           < CAST(rem AS HUGEINT) * 1152921504606846976
+         THEN 1 ELSE 0 END AS n_copies
+  FROM j)
+SELECT doc_id, source, UNNEST(range(0, CAST(n_copies AS BIGINT))) AS copy_id
+FROM n WHERE n_copies > 0
+"""
+
+
+def q_normalize_punct(spark, sf_dir):
+    """Web-text punctuation normalization
+    (operators/curation.py:normalize_punct): four deterministic mess
+    variants (curly quotes, em-dash + ellipsis, zero-width + NBSP,
+    clean) are injected per doc and normalized back - translate/replace
+    whole-stage-codegen expressions with byte-identical DuckDB
+    builtins, value-checked on the full normalized text."""
+    from ..operators.curation import normalize_punct
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    v = F.col("doc_id") % 4
+    messy = (
+        F.when(v == 0, F.concat(F.lit("\u201c"), t, F.lit("\u201d")))
+        .when(v == 1, F.concat(t, F.lit(" \u2014 dash\u2026")))
+        .when(v == 2, F.concat(F.lit("a\u200bb "), t, F.lit("\u00a0end")))
+        .otherwise(t)
+    )
+    return docs.select("doc_id", normalize_punct(messy).alias("text_norm"))
+
+
+def _sql_normalize_punct() -> str:
+    """Programmatically composed twin: the mapping strings carry curly
+    quotes, zero-width chars and NBSP - every non-ASCII character is
+    spelled as a \\uXXXX escape (the SAME escapes as the operator), so
+    no invisible-character drift can creep in via copy-paste; the SQL
+    string itself is assembled at import time."""
+    lq, rq = "\u201c", "\u201d"
+    em, ell = "\u2014", "\u2026"
+    zwsp, nbsp = "\u200b", "\u00a0"
+    src = ("\u2018\u2019\u201a\u2032\u201c\u201d\u201e\u2033"
+           "\u2013\u2014\u2015\u00a0\u3000")
+    apos = chr(39)
+    dst_sql = (apos * 4 + chr(34) * 4 + "---  ").replace(apos, apos * 2)
+    expr = f"translate(t, '{src}', '{dst_sql}')"
+    expr = f"replace({expr}, '{ell}', '...')"
+    for c in ("\u200b", "\u200c", "\u200d", "\ufeff", "\u00ad"):
+        expr = f"replace({expr}, '{c}', '')"
+    return (
+        "\nWITH messy AS (\n"
+        "  SELECT doc_id,\n"
+        "         CASE doc_id % 4\n"
+        f"           WHEN 0 THEN '{lq}' || coalesce(text, '') || '{rq}'\n"
+        f"           WHEN 1 THEN coalesce(text, '') || ' {em} dash{ell}'\n"
+        f"           WHEN 2 THEN 'a{zwsp}b ' || coalesce(text, '') || '{nbsp}end'\n"
+        "           ELSE coalesce(text, '') END AS t\n"
+        "  FROM documents)\n"
+        f"SELECT doc_id, {expr} AS text_norm\n"
+        "FROM messy\n"
+    )
+
+def q_web_curation_e2e(spark, sf_dir):
+    """End-to-end crawl-curation composition: robots disallow filter →
+    per-host quota thinning → canonical exact dedup — the first three
+    rungs of a web-ingest pipeline CHAINED, oracle-checked as one plan
+    (composition is where subtle semantic drift hides; each stage is
+    also individually oracle-paired). Every stage keeps its scale
+    shape: broadcast anti, host-grain hash thinning, md5-key dedup."""
+    from ..operators.curation import host_of, host_quota_sample, robots_filter
+    from ..operators.dedup import canonical_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit(":"),
+                           (F.col("doc_id") % 8).cast("string"))), 1, 6),
+        F.lit(".example.com/"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.withColumn("url", url)
+    rules = (
+        docs.select(
+            F.concat(
+                F.lit("h"),
+                F.substring(F.md5(F.concat(F.col("source"), F.lit(":0"))), 1, 6),
+                F.lit(".example.com"),
+            ).alias("host")
+        )
+        .distinct()
+        .withColumn("path_prefix", F.lit("/1"))
+    )
+    allowed = robots_filter(pages, rules)
+    thinned = host_quota_sample(allowed, quota=2)
+    kept = canonical_dedup(thinned)
+    return kept.select("doc_id", host_of("url").alias("host"))
+
+
+SQL_WEB_CURATION_E2E = f"""
+WITH pages AS (
+  SELECT doc_id, text,
+         'h' || substr(md5(source || ':' || CAST(doc_id % 8 AS VARCHAR)), 1, 6)
+           || '.example.com' AS host,
+         '/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents),
+rules AS (
+  SELECT DISTINCT
+         'h' || substr(md5(source || ':0'), 1, 6) || '.example.com' AS host,
+         '/1' AS path_prefix
+  FROM documents),
+allowed AS (
+  SELECT * FROM pages p
+  WHERE NOT EXISTS (SELECT 1 FROM rules r
+                    WHERE r.host = p.host AND starts_with(p.path, r.path_prefix))),
+counts AS (SELECT host, COUNT(*) AS n FROM allowed GROUP BY host),
+thinned AS (
+  SELECT a.* FROM allowed a JOIN counts c ON a.host = c.host
+  WHERE c.n <= 2
+     OR CAST(CAST('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             AS HUGEINT) * c.n
+        < CAST(2 AS HUGEINT) * 1152921504606846976),
+keyed AS (
+  SELECT doc_id, host,
+         md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                 '{_WS_CLASS_SQL}+', ' ', 'g'))) AS k
+  FROM thinned),
+reps AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k)
+SELECT keyed.doc_id, keyed.host FROM keyed JOIN reps USING (k, doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -5187,6 +5348,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a35_supplier_census": q_a35_supplier_census,
     "a36_revenue_delta": q_a36_revenue_delta,
     "a37_dominant_suppliers": q_a37_dominant_suppliers,
+    "mixture_apply": q_mixture_apply,
+    "normalize_punct": q_normalize_punct,
+    "web_curation_e2e": q_web_curation_e2e,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -5258,6 +5422,9 @@ def oracle_map() -> dict[str, str]:
         "a35_supplier_census": SQL_A35_SUPPLIER_CENSUS,
         "a36_revenue_delta": SQL_A36_REVENUE_DELTA,
         "a37_dominant_suppliers": SQL_A37_DOMINANT_SUPPLIERS,
+        "mixture_apply": SQL_MIXTURE_APPLY,
+        "normalize_punct": _sql_normalize_punct(),
+        "web_curation_e2e": SQL_WEB_CURATION_E2E,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
