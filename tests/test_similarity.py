@@ -223,3 +223,45 @@ def test_emb_norm_stats_hand_computed(spark):
     assert rows[1]["min_norm"] == 1.0 and rows[1]["max_norm"] == 5.0
     assert rows[1]["mean_norm"] == pytest.approx(3.0, abs=1e-9)
     assert rows[2]["max_norm"] == 0.0
+
+
+def test_ivf_append_equals_oneshot_and_stays_pruned(emb, query, tmp_path):
+    """Incremental ingest contract: building the index over a corpus
+    slice with frozen centroids, then ivf_append-ing the rest, must
+    yield (a) the same file-per-list layout a one-shot build over the
+    union with the SAME centroids produces — probe results identical —
+    and (b) unchanged probe-side partition pruning."""
+    from xdan_dqa_spark.operators.similarity import (
+        ivf_append,
+        ivf_centroids,
+        ivf_probe_lists,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = ivf_centroids(corpus, 8)
+
+    incr = str(tmp_path / "ivf_incr")
+    write_ivf_index(corpus, incr, centroids=cents)
+    ivf_append(batch, incr, cents)
+
+    oneshot = str(tmp_path / "ivf_oneshot")
+    write_ivf_index(emb, oneshot, centroids=cents)
+
+    got_incr = [r["vec_id"] for r in
+                ivf_topk_from_index(spark, incr, cents, query, k=10,
+                                    n_probe=4).collect()]
+    got_one = [r["vec_id"] for r in
+               ivf_topk_from_index(spark, oneshot, cents, query, k=10,
+                                   n_probe=4).collect()]
+    assert got_incr == got_one and len(got_incr) == 10
+
+    # appended batch rows land in the probed directories and pruning holds
+    probes = set(ivf_probe_lists(query, cents, 4))
+    scan = spark.read.parquet(incr).filter(F.col("_list").isin(list(probes)))
+    _assert_partition_pruned(scan, "_list", probes)
+    # row conservation: nothing lost or duplicated by the append
+    assert spark.read.parquet(incr).count() == emb.count()

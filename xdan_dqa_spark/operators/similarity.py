@@ -333,3 +333,27 @@ def ivf_topk_from_index(spark, path: str, centroids: list[list[float]],
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_append(df_new: DataFrame, path: str, centroids: list[list[float]],
+               vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Append a new ingest batch to a persisted IVF index WITHOUT
+    touching the existing lists — the steady-state embedding-ingest
+    shape (pair of operators/dedup.py:minhash_index_write for the text
+    side): vectors are assigned to the FROZEN centroids the index was
+    built with, then appended under their _list partition directories.
+
+    Freezing the centroids is the correctness contract: re-clustering
+    per ingest would silently re-home OLD vectors' nearest lists while
+    their files stay put, making probes miss them. Drift is handled the
+    way production ANN systems do — periodic offline rebuild (a new
+    write_ivf_index under a fresh spec), never incremental mutation.
+
+    Scale shape: assignment is the same Arrow-batched argmax-matmul as
+    the initial build (centroids broadcast inside the UDF closure,
+    n_lists × dim floats); the write only creates files under the
+    _list=… directories it appends to, so probe-side partition pruning
+    (inputFiles-proven in tests) is unchanged."""
+    ivf_assign(df_new, centroids, vec_col).write.partitionBy(
+        "_list"
+    ).mode("append").parquet(path)

@@ -5232,6 +5232,139 @@ SELECT keyed.doc_id, keyed.host FROM keyed JOIN reps USING (k, doc_id)
 """
 
 
+def q_ivf_append_probe(spark, sf_dir):
+    """Incremental ANN ingest (operators/similarity.py:ivf_append): the
+    corpus slice (vec_id % 4 != 0) is indexed ONCE under seed centroids
+    frozen from that slice; the new batch (vec_id % 4 == 0) is assigned
+    to the SAME frozen centroids and appended under its _list partition
+    directories — existing lists untouched, probe pruning unchanged.
+    The probe over the combined index must equal a from-scratch IVF
+    over all vectors with those centroids, which is what the DuckDB
+    twin computes symbolically. Steady-state pair of
+    dedup_minhash_incr for the embedding side."""
+    from ..operators.similarity import (
+        ivf_append,
+        ivf_centroids,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0]
+    cents = ivf_centroids(corpus, 8)
+    path = "/tmp/xdan_ivf_incr_" + sf_dir.strip("/").replace("/", "_")
+    # one staging unit: build-over-corpus THEN append-batch — the spec
+    # pins the final combined state, so a matching marker skips both and
+    # a mismatched one restages from scratch (append is not idempotent
+    # on its own; the marker-unlink-first protocol makes the pair safe).
+    spec = {"split": "vec_id%4", "n_lists": 8, "centroids": cents,
+            "n_corpus": corpus.count(), "n_batch": batch.count()}
+    marker = os.path.join(path, "_SPEC.json")
+
+    def _stage():
+        write_ivf_index(corpus, path, centroids=cents)
+        ivf_append(batch, path, cents)
+
+    _stage_with_spec(marker, spec, _stage)
+    return ivf_topk_from_index(spark, path, cents, query, k=10,
+                               n_probe=4).select("vec_id")
+
+
+def _sql_ivf_incr(n_lists: int = 8, n_probe: int = 4, k: int = 10) -> str:
+    """Twin of q_ivf_append_probe: seed centroids come from the CORPUS
+    slice only (frozen-centroid contract), assignment covers ALL
+    vectors — exactly what index-build + append materializes."""
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))) - 1 AS li,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 4 <> 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_lists}
+),
+scored AS (
+  SELECT e.vec_id, c.li,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.li) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, li FROM scored WHERE rn = 1),
+probes AS (
+  SELECT li FROM (
+    SELECT c.li,
+           ROW_NUMBER() OVER (ORDER BY
+             list_dot_product(c.cv, q.qv)
+             / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             c.li) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {n_probe}
+)
+SELECT e.vec_id
+FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+WHERE a.li IN (SELECT li FROM probes)
+ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         e.vec_id
+LIMIT {k}
+"""
+
+
+def q_a38_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit per supplier nation per order
+    year (this dataset has no partsupp, so cost is the retail-price
+    proxy 0.1·p_retailprice·qty). The per-row profit expression keeps
+    IDENTICAL operand order in both engines — same doubles — then rides
+    the DECIMAL(20,6) cast-sum; nation dim broadcast; part pruned by the
+    name predicate BEFORE its join."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    ).cast("decimal(20,6)")
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy("nation", F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(profit).cast("double").alias("profit"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_A38_NATION_PROFIT = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1
+                     AS DECIMAL(20,6))) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -5351,6 +5484,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_apply": q_mixture_apply,
     "normalize_punct": q_normalize_punct,
     "web_curation_e2e": q_web_curation_e2e,
+    "ivf_append_probe": q_ivf_append_probe,
+    "a38_nation_profit": q_a38_nation_profit,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -5425,6 +5560,8 @@ def oracle_map() -> dict[str, str]:
         "mixture_apply": SQL_MIXTURE_APPLY,
         "normalize_punct": _sql_normalize_punct(),
         "web_curation_e2e": SQL_WEB_CURATION_E2E,
+        "ivf_append_probe": _sql_ivf_incr(),
+        "a38_nation_profit": SQL_A38_NATION_PROFIT,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
