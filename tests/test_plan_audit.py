@@ -101,3 +101,43 @@ def test_o4_regional_volume_broadcasts_pruned_dims(spark):
     # a broadcast — the big fact joins never see unpruned dims.
     assert "EqualTo(r_name,AFRICA)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_a39_salted_agg_shape_and_value_identity(spark):
+    """The salted hot-key aggregate must (a) materialize as TWO
+    aggregate levels — a (key, salt)-grain partial pair then a
+    key-grain fold, i.e. exactly two Exchanges, the first keyed on the
+    salt — and (b) stay value-identical to a plain one-stage GROUP BY
+    on a Zipf-headed input (90% of rows on one key), which is the whole
+    point of the decimal cast-sum leaf."""
+    import pyspark.sql.functions as F
+
+    from xdan_dqa_spark.plans.entry_queries import q_a39_salted_hot_agg
+
+    plan = _plan(q_a39_salted_hot_agg(spark, SF))
+    assert plan.count("Exchange") == 2
+    assert "_salt" in plan.split("Exchange")[1]
+
+    rows = [(i, "hot" if i % 10 else "cold", float(i) / 7.0)
+            for i in range(2000)]
+    e = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    salted = e.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("_psum"),
+        F.count("*").alias("_pcnt"),
+    )
+    two_stage = {
+        r["event_type"]: (r["total"], r["n"])
+        for r in partial.groupBy("event_type").agg(
+            F.sum("_psum").cast("double").alias("total"),
+            F.sum("_pcnt").alias("n"),
+        ).collect()
+    }
+    one_stage = {
+        r["event_type"]: (r["total"], r["n"])
+        for r in e.groupBy("event_type").agg(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    assert two_stage == one_stage  # bit-for-bit, not approx

@@ -5365,6 +5365,130 @@ GROUP BY n.n_name, year(o.o_orderdate)
 """
 
 
+def q_tok_bytes_ratio(spark, sf_dir):
+    # Tokenizer-fertility profile per language: bytes-per-whitespace-token
+    # is the standard proxy for how expensive a language is to tokenize
+    # (BPE fertility tracks it closely) and drives per-language token
+    # budgets in mixture planning (pairs with mixture_plan, which spends
+    # budget in TOKENS while storage is billed in BYTES). Byte counts use
+    # octet_length (Spark) / strlen (DuckDB) — both bytes-not-codepoints,
+    # so multi-byte scripts diverge from n_chars exactly as they should.
+    # One explode-free aggregate: token counts come from the codegen'd
+    # size(filter(split(...))) expression, so shuffle rows = langs.
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+            lambda w: F.length(w) > 0,
+        )
+    )
+    nbytes = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+        F.sum(nbytes.cast("long")).alias("n_bytes"),
+        F.round(
+            F.sum(nbytes.cast("decimal(38,12)"))
+            / F.sum(toks.cast("decimal(38,12)")),
+            6,
+        ).cast("double").alias("bytes_per_token"),
+    )
+
+
+SQL_TOK_BYTES_RATIO = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len({_WORDS_WS_SQL})) AS n_tokens,
+       SUM(strlen(coalesce(text, ''))) AS n_bytes,
+       CAST(round(SUM(CAST(strlen(coalesce(text, '')) AS DECIMAL(38,12)))
+                  / SUM(CAST(len({_WORDS_WS_SQL}) AS DECIMAL(38,12))), 6)
+            AS DOUBLE) AS bytes_per_token
+FROM documents GROUP BY 1
+"""
+
+
+def q_hapax_rate(spark, sf_dir):
+    # Hapax-legomena share of each source's vocabulary: the fraction of
+    # terms seen EXACTLY once. Complements a28_vocab_census's
+    # tokens-per-type — a healthy prose source keeps a fat hapax tail
+    # (Zipf), template spam has almost none, and OCR/mojibake noise
+    # pushes it toward 1.0; both extremes are curation drop signals.
+    # Shape: explode → ONE (source, term) count aggregate (map-side
+    # combined, the same single-shuffle shape as the census) → a
+    # source-grain fold of the term counts. No window, no second pass
+    # over the text.
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    per_term = (
+        d.select("source", F.explode(words).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return per_term.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("decimal(38,12)")
+            / F.count("*").cast("decimal(38,12)"),
+            6,
+        ).cast("double").alias("hapax_share"),
+    )
+
+
+SQL_HAPAX_RATE = f"""
+WITH per_term AS (
+  SELECT source, term, COUNT(*) AS tf
+  FROM (SELECT source, unnest({_WORDS_WS_SQL}) AS term FROM documents)
+  GROUP BY 1, 2)
+SELECT source,
+       COUNT(*) AS n_terms,
+       SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       CAST(round(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,12))
+                  / CAST(COUNT(*) AS DECIMAL(38,12)), 6)
+            AS DOUBLE) AS hapax_share
+FROM per_term GROUP BY 1
+"""
+
+
+def q_a39_salted_hot_agg(spark, sf_dir):
+    # The north-star's "explicit salting for skewed hosts" as a
+    # first-class oracle-paired operator: a hot grouping key is split
+    # into 16 salt shards (pmod of the row id — deterministic, uniform),
+    # partially aggregated per (key, salt), then folded to key grain.
+    # The hot key's shuffle rows are bounded by partitions×16 partials
+    # instead of its raw row count, so one Zipf-headed key can no longer
+    # pin a single reducer. Value-identity is exact BECAUSE the leaf sum
+    # is the DECIMAL(20,6) cast-sum — decimal addition is associative, so
+    # two-stage == one-stage bit-for-bit and the twin can stay a plain
+    # GROUP BY. (A double sum here would be order-sensitive and
+    # hash-flaky by design.)
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("_psum"),
+        F.count("*").alias("_pcnt"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_psum").cast("double").alias("total_value"),
+        F.sum("_pcnt").alias("n_events"),
+    )
+
+
+SQL_A39_SALTED_HOT_AGG = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -5486,6 +5610,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_curation_e2e": q_web_curation_e2e,
     "ivf_append_probe": q_ivf_append_probe,
     "a38_nation_profit": q_a38_nation_profit,
+    "tok_bytes_ratio": q_tok_bytes_ratio,
+    "hapax_rate": q_hapax_rate,
+    "a39_salted_hot_agg": q_a39_salted_hot_agg,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -5562,6 +5689,9 @@ def oracle_map() -> dict[str, str]:
         "web_curation_e2e": SQL_WEB_CURATION_E2E,
         "ivf_append_probe": _sql_ivf_incr(),
         "a38_nation_profit": SQL_A38_NATION_PROFIT,
+        "tok_bytes_ratio": SQL_TOK_BYTES_RATIO,
+        "hapax_rate": SQL_HAPAX_RATE,
+        "a39_salted_hot_agg": SQL_A39_SALTED_HOT_AGG,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
