@@ -439,3 +439,40 @@ def test_normalize_punct_maps_and_is_idempotent(spark):
     # idempotent: a second pass changes nothing
     twice = once.select("doc_id", normalize_punct(F.col("n")).alias("n2"))
     assert {r["doc_id"]: r["n2"] for r in twice.collect()} == got
+
+
+def _gv(spark, rows):
+    return spark.createDataFrame(rows, "source string, n_chars long")
+
+
+def test_ks_drift_identical_distributions_is_zero(spark):
+    from xdan_dqa_spark.operators.curation import ks_drift
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", v) for v in range(1, 101)]
+    got = {r["source"]: r for r in ks_drift(_gv(spark, rows)).collect()}
+    assert got["a"]["ks_stat"] == 0.0
+    assert got["b"]["ks_stat"] == 0.0
+    assert got["a"]["n_in"] == 100 and got["a"]["n_rest"] == 100
+
+
+def test_ks_drift_disjoint_and_mixed(spark):
+    """C is fully above A∪B → D(C)=1; A vs rest(B+C): at x=100 F_A=1,
+    F_rest=0.5 → D(A)=0.5 exactly."""
+    from xdan_dqa_spark.operators.curation import ks_drift
+
+    rows = (
+        [("a", v) for v in range(1, 101)]
+        + [("b", v) for v in range(1, 101)]
+        + [("c", v) for v in range(201, 301)]
+    )
+    got = {r["source"]: r["ks_stat"] for r in ks_drift(_gv(spark, rows)).collect()}
+    assert got["c"] == 1.0
+    assert got["a"] == 0.5 and got["b"] == 0.5
+
+
+def test_ks_drift_single_group_is_null(spark):
+    from xdan_dqa_spark.operators.curation import ks_drift
+
+    rows = [("a", v) for v in range(10)]
+    r = ks_drift(_gv(spark, rows)).collect()[0]
+    assert r["ks_stat"] is None and r["n_rest"] == 0

@@ -576,3 +576,36 @@ def test_minhash_incremental_prunes_corpus_text_reads(spark, tmp_path):
         .collect()
     )
     assert kept2 == [302]
+
+
+def test_containment_verify_detects_subset_doc(spark):
+    """A's shingles all inside B -> cont_a_in_b = 1.0 even though the
+    Jaccard is only 0.5 (the quote/superset case Jaccard misses)."""
+    from xdan_dqa_spark.operators.dedup import containment_verify
+
+    a_text = "a b c d e f g h"            # 6 trigram shingles
+    b_text = a_text + " i j k l m n"      # 12 shingles, superset of A's
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = containment_verify(df, pairs, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cont_a_in_b"] == 1.0
+    assert r["cont_b_in_a"] == 0.5
+
+
+def test_containment_pairs_end_to_end_via_lsh(spark):
+    """Near-identical docs collide in >=1 MinHash band, and the shorter
+    one is fully contained in the longer."""
+    from xdan_dqa_spark.operators.dedup import containment_pairs
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra words")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(df, threshold=0.9).collect()
+    assert len(got) == 1
+    assert got[0]["cont_a_in_b"] == 1.0

@@ -354,3 +354,52 @@ def test_token_entropy_extremes(spark):
     assert rows["flat"]["mean_entropy"] == 0.0
     assert rows["even"]["mean_entropy"] == pytest.approx(math.log(4), abs=1e-5)
     assert "empty" not in rows
+
+
+def test_zipf_slope_near_minus_one_on_zipf_counts(spark):
+    """Terms with freq 1000//r at rank r follow Zipf with exponent ~1:
+    the fitted ln-ln slope must sit near -1 (the natural-language
+    regime the health check expects)."""
+    from xdan_dqa_spark.operators.textstats import zipf_slope
+
+    text = " ".join(
+        " ".join([f"w{r:02d}"] * (1000 // r)) for r in range(1, 21)
+    )
+    df = spark.createDataFrame([(1, text, "en")], "doc_id long, text string, lang string")
+    row = zipf_slope(df, min_count=5, top_v=200).collect()[0]
+    assert row["n_terms"] == 20
+    assert abs(row["zipf_slope"] + 1.0) < 0.05
+
+
+def test_zipf_slope_flat_head_for_uniform_spam(spark):
+    """Uniform term frequencies (template spam) fit slope 0 exactly."""
+    from xdan_dqa_spark.operators.textstats import zipf_slope
+
+    text = " ".join(" ".join([f"s{r}"] * 50) for r in range(12))
+    df = spark.createDataFrame([(1, text, "en")], "doc_id long, text string, lang string")
+    row = zipf_slope(df, min_count=5, top_v=200).collect()[0]
+    assert row["zipf_slope"] == 0.0
+
+
+def test_zipf_slope_degenerate_group_is_null(spark):
+    from xdan_dqa_spark.operators.textstats import zipf_slope
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["only"] * 9), "en")], "doc_id long, text string, lang string"
+    )
+    row = zipf_slope(df, min_count=5, top_v=200).collect()[0]
+    assert row["n_terms"] == 1 and row["zipf_slope"] is None
+
+
+def test_flesch_reading_ease_exact_value(spark):
+    """'The cat sat. The dog ran!': 6 words, 2 sentence runs, 6 vowel
+    groups -> 206.835 - 1.015*3 - 84.6*1 = 119.19 exactly."""
+    from xdan_dqa_spark.operators.textstats import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!", "en"), (2, "   ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    row = flesch_reading_ease(df).collect()[0]
+    assert row["n_docs"] == 2 and row["n_docs_skipped"] == 1
+    assert row["mean_flesch"] == 119.19

@@ -687,3 +687,64 @@ def normalize_punct(text_col) -> F.Column:
     for zw in ("\u200b", "\u200c", "\u200d", "\ufeff", "\u00ad"):
         u = F.replace(u, F.lit(zw), F.lit(""))
     return u
+
+
+def ks_drift(df: DataFrame, value_col: str = "n_chars",
+             group_col: str = "source") -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic of each group's
+    value distribution against the REST of the corpus: D = max over x of
+    |ECDF_group(x) − ECDF_rest(x)|. The standard distribution-drift
+    alarm for crawl snapshots — a source whose document-length (or
+    score) distribution walks away from the corpus signals an
+    extraction regression or a template flood long before means move
+    (KS sees shape, not just location). Returns one row per group:
+    (group, n_in, n_rest, ks_stat).
+
+    Scale shape (same value-compression trick as the exact-quantile
+    histogram, operators/textstats.py): values collapse to a
+    (group, value) count table — map-side combinable, shuffle rows =
+    distinct values × groups, not rows. The ECDF difference needs every
+    group's cumulative count at EVERY corpus-distinct value, so the
+    bounded group roster cross-joins the distinct-value table (groups ×
+    values rows — both small: groups is a census, values compress) and
+    two cumulative windows (per group over value; global over value)
+    produce ECDFs; the max-abs-difference fold is order-free. No
+    per-row state anywhere; a 10¹²-row input with integer lengths
+    reaches the windows as at most groups × distinct-values rows.
+
+    Float discipline: each candidate |F_in − F_rest| is one fixed IEEE
+    op sequence over identical integer counts, rounded to 9 dp; MAX
+    (unlike SUM) is accumulation-order-free, so the statistic is
+    bit-identical cross-engine."""
+    gv = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    c = gv.groupBy("g", "v").agg(F.count("*").alias("c"))
+    vals = c.groupBy("v").agg(F.sum("c").alias("_unused")).select("v")
+    groups = c.groupBy("g").agg(F.sum("c").alias("n_in"))
+    total_tbl = gv.agg(F.count("*").alias("_N"))
+    grid = groups.crossJoin(vals).join(c, ["g", "v"], "left").select(
+        "g", "v", "n_in", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    # per-group running count over values; the corpus running count is
+    # the per-value SUM of those (cum_all(v) = Σ_g cum_in(g, v)) — a
+    # second window on the SAME grid, no global-order single-task sort
+    # and no join-back.
+    stepped = grid.withColumn(
+        "cum_in", F.sum("c").over(Window.partitionBy("g").orderBy("v"))
+    ).withColumn(
+        "cum_all", F.sum("cum_in").over(Window.partitionBy("v"))
+    ).crossJoin(F.broadcast(total_tbl))
+    f_in = F.col("cum_in").cast("double") / F.col("n_in").cast("double")
+    n_rest = F.col("_N") - F.col("n_in")
+    f_rest = (F.col("cum_all") - F.col("cum_in")).cast("double") / n_rest.cast("double")
+    # single-group corpora have no "rest" sample — NULL, not 0/0 noise
+    d = F.when(n_rest > 0, F.round(F.abs(f_in - f_rest), 9))
+    return (
+        stepped.groupBy("g", "n_in", "_N")
+        .agg(F.max(d).alias("ks_stat"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_in"),
+            (F.col("_N") - F.col("n_in")).alias("n_rest"),
+            "ks_stat",
+        )
+    )

@@ -220,6 +220,58 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     )
 
 
+def containment_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       threshold: float = 0.8) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT on candidate pairs: keeps pairs
+    where either direction's containment |Sₐ∩S_b| / |S_x| reaches
+    ``threshold``. Returns (a, b, cont_a_in_b, cont_b_in_a).
+
+    Containment is the quote/superset detector Jaccard misses: a short
+    doc pasted verbatim inside a long one has J = |A|/|B| ≈ 0 but
+    C(A→B) = 1 — the aggregation-page / quote-farm signature, and the
+    dedup policy question "is this article already inside that digest?".
+    Same fixed-8-byte-key discipline as jaccard_verify (shingles ship
+    as 60-bit md5-derived longs, never strings); intersect/size counts
+    are integers divided once, so values are oracle-exact.
+
+    Recall caveat (documented, inherent): candidates here come from
+    Jaccard-tuned MinHash bands, which under-sample high-containment /
+    low-Jaccard pairs with extreme size skew. For a dedicated
+    containment search at scale, band the SMALL side's full signature
+    against per-size-stratum signatures of the large side, or use the
+    spans index (span_dedup) whose granularity is containment-native."""
+    key = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(shingles(text_col), key)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    ca = F.when(F.size("_sha") > 0, inter / F.size("_sha").cast("double")).otherwise(F.lit(0.0))
+    cb = F.when(F.size("_shb") > 0, inter / F.size("_shb").cast("double")).otherwise(F.lit(0.0))
+    out = joined.select(
+        "a", "b",
+        F.round(ca, 6).alias("cont_a_in_b"),
+        F.round(cb, 6).alias("cont_b_in_a"),
+    )
+    return out.filter(
+        (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+    )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      max_bucket: int | None = None) -> DataFrame:
+    """LSH candidates + containment verify end-to-end; (a, b,
+    cont_a_in_b, cont_b_in_a) — see containment_verify for semantics
+    and the recall caveat."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, max_bucket)
+    return containment_verify(df, pairs, text_col, id_col, threshold)
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.7, collapse_exact: bool = True,
                   max_bucket: int | None = None) -> DataFrame:

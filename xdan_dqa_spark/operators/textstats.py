@@ -459,6 +459,106 @@ def ngram_repetition(df: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def zipf_slope(df: DataFrame, text_col: str = "text", by: str = "lang",
+               min_count: int = 5, top_v: int = 200) -> DataFrame:
+    """Per-group Zipf rank–frequency fit: the least-squares slope of
+    ln(freq) against ln(rank) over the ``top_v`` most frequent terms —
+    natural language sits near −1 (Zipf's law); template spam and
+    keyword stuffing flatten the head (slope → 0), OCR noise and
+    mojibake steepen it. A corpus-health scalar per language that
+    complements entropy/hapax signals with a DISTRIBUTIONAL shape test.
+
+    Scale shape: term counts are one map-side-combined hash aggregate
+    (shuffle rows = vocabulary, not tokens). The rank window sorts only
+    the ``cnt ≥ min_count`` survivors per group — by Zipf itself the
+    frequent-term head is a vanishing fraction of the vocabulary
+    (hapaxes are ~half of it), so the per-group window input is bounded
+    far below vocab size, and only ``top_v`` rows per group leave it.
+    The regression is closed-form from five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) — one tiny aggregate, no iteration.
+
+    Cross-engine float discipline (see token_entropy): each term's
+    ln(rank)/ln(cnt) and their products are rounded to 9 dp and summed
+    as DECIMAL (order-free, map-side combinable); the final slope is
+    one fixed IEEE op sequence over the five identical sums, rounded.
+    Groups with < 2 ranked terms (degenerate fit) report NULL."""
+    ex = df.select(F.col(by), F.explode(_words(text_col)).alias("term"))
+    tc = ex.groupBy(by, "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = (
+        tc.filter(F.col("cnt") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_v)
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 9)
+    y = F.round(F.log(F.col("cnt").cast("double")), 9)
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    s = ranked.groupBy(by).agg(
+        F.count("*").alias("n_terms"),
+        F.sum(dec(x)).alias("_sx"),
+        F.sum(dec(y)).alias("_sy"),
+        F.sum(dec(x * y)).alias("_sxy"),
+        F.sum(dec(x * x)).alias("_sxx"),
+    )
+    nd = F.col("n_terms").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    den = nd * sxx - sx * sx
+    slope = F.when(
+        (F.col("n_terms") >= 2) & (den != F.lit(0.0)),
+        F.round((nd * sxy - sx * sy) / den, 6),
+    )
+    return s.select(F.col(by), F.col("n_terms"), slope.alias("zipf_slope"))
+
+
+def flesch_reading_ease(df: DataFrame, text_col: str = "text",
+                        by: str = "lang") -> DataFrame:
+    """Per-group mean Flesch reading-ease score — the classic surface
+    readability heuristic (206.835 − 1.015·words/sentences −
+    84.6·syllables/word). Quality filters use it as a cheap band test:
+    natural prose lands ~30–80; word-salad spam and boilerplate
+    navigation score far outside. Syllables are approximated by vowel
+    GROUPS (``[aeiouy]+`` runs, the standard regex proxy) and sentences
+    by terminal-punctuation runs (``[.!?]+``) — both single
+    ``regexp_count`` passes, whole-stage codegen, no UDF, and literally
+    identical regexes in Java and RE2 so the oracle twin matches
+    bit-for-bit.
+
+    Shape: map-only per doc (three counters + one fixed IEEE float
+    expression, rounded), then the bounded per-group decimal mean —
+    same discipline as token_entropy. Zero-word docs are excluded from
+    the mean (no sentences/words to rate) but still counted in
+    ``n_docs_skipped`` so the report can't silently narrow."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size(F.filter(F.split(t, WS_PLUS), lambda w: F.length(w) > 0))
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(t), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+        6,
+    )
+    d = df.select(
+        F.col(by),
+        n_words.alias("_w"),
+        F.when(n_words > 0, score).alias("_score"),
+    )
+    return d.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("_w") == 0).cast("long")).alias("n_docs_skipped"),
+        F.round(
+            F.sum(F.col("_score").cast("decimal(20,6)")).cast("double")
+            / F.sum((F.col("_w") > 0).cast("long")).cast("double"),
+            6,
+        ).alias("mean_flesch"),
+    )
+
+
 def token_entropy(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", by: str = "lang") -> DataFrame:
     """Per-group mean unigram Shannon entropy (nats): H = ln(n) −

@@ -5489,6 +5489,205 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------------ round-5 batch 15
+# Distribution-shape and graph-structure health signals: Zipf
+# rank-frequency fit, Flesch readability, two-sample KS drift,
+# degree-ordered triangle census, and asymmetric-containment quote
+# detection over LSH candidates.
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Per-language Zipf rank-frequency slope over the frequent-term
+    head (operators/textstats.py:zipf_slope) — natural prose ≈ −1,
+    template spam flattens toward 0. Decimal-summed sufficient
+    statistics; closed-form least squares; the rank window sorts only
+    the min_count survivors."""
+    from ..operators.textstats import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), min_count=5, top_v=200)
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH ex AS (
+  SELECT lang, unnest({_WORDS_WS_SQL}) AS term FROM documents
+),
+tc AS (SELECT lang, term, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+rk AS (
+  SELECT lang, term, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank
+  FROM tc WHERE cnt >= 5
+),
+pts AS (
+  SELECT lang,
+         round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+         round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+  FROM rk WHERE rank <= 200
+),
+s AS (
+  SELECT lang, COUNT(*) AS n_terms,
+         SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS sx,
+         SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS sy,
+         SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS sxy,
+         SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT lang, n_terms,
+       CASE WHEN n_terms >= 2
+                 AND CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS zipf_slope
+FROM s
+"""
+
+
+def q_flesch_reading(spark, sf_dir):
+    """Per-language mean Flesch reading ease (operators/textstats.py:
+    flesch_reading_ease) — vowel-group syllable proxy + terminal-punct
+    sentence proxy, map-only per doc, bounded decimal group mean."""
+    from ..operators.textstats import flesch_reading_ease
+
+    return flesch_reading_ease(_t(spark, sf_dir, "documents"))
+
+
+SQL_FLESCH_READING = f"""
+WITH d AS (
+  SELECT lang,
+         len({_WORDS_WS_SQL}) AS w,
+         greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(coalesce(text, '')),
+                                         '[aeiouy]+')), 1) AS syl
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS n_docs_skipped,
+       round(CAST(SUM(CASE WHEN w > 0 THEN CAST(round(
+                 206.835
+                 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                 - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+               AS DECIMAL(20,6)) END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS DOUBLE),
+             6) AS mean_flesch
+FROM d GROUP BY 1
+"""
+
+
+def q_ks_length_drift(spark, sf_dir):
+    """Per-source two-sample KS statistic of doc-length distribution vs
+    the rest of the corpus (operators/curation.py:ks_drift) — the
+    shape-sensitive drift alarm for crawl snapshots. Value-compressed
+    ECDFs; MAX (order-free) over fixed-IEEE rounded differences."""
+    from ..operators.curation import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "documents"),
+                    value_col="n_chars", group_col="source")
+
+
+SQL_KS_LENGTH_DRIFT = """
+WITH gv AS (SELECT source AS g, n_chars AS v FROM documents),
+c AS (SELECT g, v, COUNT(*) AS c FROM gv GROUP BY 1, 2),
+vals AS (SELECT DISTINCT v FROM c),
+grp AS (SELECT g, SUM(c) AS n_in FROM c GROUP BY 1),
+n AS (SELECT COUNT(*) AS _N FROM gv),
+grid AS (
+  SELECT grp.g, vals.v, grp.n_in, coalesce(c.c, 0) AS c
+  FROM grp CROSS JOIN vals
+  LEFT JOIN c ON c.g = grp.g AND c.v = vals.v
+),
+stepped AS (
+  SELECT g, v, n_in, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum_in
+  FROM grid
+),
+st2 AS (
+  SELECT *, SUM(cum_in) OVER (PARTITION BY v) AS cum_all FROM stepped
+)
+SELECT g AS source, n_in, _N - n_in AS n_rest,
+       MAX(CASE WHEN _N - n_in > 0 THEN
+             round(abs(CAST(cum_in AS DOUBLE) / CAST(n_in AS DOUBLE)
+                       - CAST(cum_all - cum_in AS DOUBLE)
+                         / CAST(_N - n_in AS DOUBLE)), 9)
+           END) AS ks_stat
+FROM st2 CROSS JOIN n
+GROUP BY 1, 2, 3
+"""
+
+
+def q_triangle_census(spark, sf_dir):
+    """Degree-ordered triangle census over the synthesized link graph
+    (operators/graph.py:triangle_census) — the link-farm clique signal.
+    Orientation bounds every out-neighborhood at O(√m), so the wedge
+    join's output is O(m^1.5) even with celebrity nodes; three
+    equi-keyed shuffles, integer counts, no windows."""
+    from ..operators.graph import triangle_census
+
+    return triangle_census(_link_edges(spark, sf_dir))
+
+
+SQL_TRIANGLE_CENSUS = f"""
+WITH e0 AS ({_SQL_LINK_EDGES}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+w AS (SELECT o1.a AS wa, o2.b AS wc FROM o o1 JOIN o o2 ON o1.b = o2.a),
+t AS (SELECT COUNT(*) AS n_triangles FROM w JOIN o ON w.wa = o.a AND w.wc = o.b)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       n_triangles
+FROM t
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment pairs over LSH candidates
+    (operators/dedup.py:containment_pairs) — the quote/superset
+    detector Jaccard misses (short doc pasted inside a digest has
+    J ≈ 0 but containment = 1). Fixed 8-byte shingle keys through the
+    pair join; integer counts divided once."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH sigs AS (SELECT doc_id, {{shingles}} AS sh FROM documents),
+bands AS ({{bands}}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+shd AS (SELECT doc_id, list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN sh]) AS s FROM sigs),
+vals AS (
+  SELECT c.a, c.b,
+         round(CASE WHEN len(sa.s) > 0
+                    THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / CAST(len(sa.s) AS DOUBLE)
+                    ELSE 0.0 END, 6) AS cont_a_in_b,
+         round(CASE WHEN len(sb.s) > 0
+                    THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / CAST(len(sb.s) AS DOUBLE)
+                    ELSE 0.0 END, 6) AS cont_b_in_a
+  FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
+)
+SELECT * FROM vals WHERE cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6
+""".replace("{shingles}", _SHINGLES_SQL).replace("{bands}", _BANDS_SQL)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -5613,6 +5812,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tok_bytes_ratio": q_tok_bytes_ratio,
     "hapax_rate": q_hapax_rate,
     "a39_salted_hot_agg": q_a39_salted_hot_agg,
+    "zipf_slope": q_zipf_slope,
+    "flesch_reading": q_flesch_reading,
+    "ks_length_drift": q_ks_length_drift,
+    "triangle_census": q_triangle_census,
+    "containment_pairs": q_containment_pairs,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -5692,6 +5896,11 @@ def oracle_map() -> dict[str, str]:
         "tok_bytes_ratio": SQL_TOK_BYTES_RATIO,
         "hapax_rate": SQL_HAPAX_RATE,
         "a39_salted_hot_agg": SQL_A39_SALTED_HOT_AGG,
+        "zipf_slope": SQL_ZIPF_SLOPE,
+        "flesch_reading": SQL_FLESCH_READING,
+        "ks_length_drift": SQL_KS_LENGTH_DRIFT,
+        "triangle_census": SQL_TRIANGLE_CENSUS,
+        "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
