@@ -609,3 +609,36 @@ def test_containment_pairs_end_to_end_via_lsh(spark):
     got = containment_pairs(df, threshold=0.9).collect()
     assert len(got) == 1
     assert got[0]["cont_a_in_b"] == 1.0
+
+
+def test_minhash_calibration_exact_duplicates_estimate_one(spark):
+    """Byte-identical docs: all 8 signature slots match (est = 1.0) and
+    the exact Jaccard is 1.0 — the estimator's fixed point."""
+    from xdan_dqa_spark.operators.dedup import minhash_calibration
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = minhash_calibration(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_match"], r["est"], r["jaccard"]) == (8, 1.0, 1.0)
+
+
+def test_minhash_calibration_estimate_tracks_jaccard(spark):
+    """Near-dup pair: the matching-slot fraction must be a plausible
+    estimate of the exact Jaccard (within the k=8 estimator's
+    granularity, i.e. a couple of slots)."""
+    from xdan_dqa_spark.operators.dedup import minhash_calibration
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail words here")],
+        "doc_id long, text string",
+    )
+    got = minhash_calibration(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert 0.5 <= r["jaccard"] < 1.0
+    assert abs(r["est"] - r["jaccard"]) <= 3 / 8  # J(1-J)/8 variance scale

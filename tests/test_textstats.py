@@ -403,3 +403,36 @@ def test_flesch_reading_ease_exact_value(spark):
     row = flesch_reading_ease(df).collect()[0]
     assert row["n_docs"] == 2 and row["n_docs_skipped"] == 1
     assert row["mean_flesch"] == 119.19
+
+
+def test_script_profile_counts_and_mixing(spark):
+    from xdan_dqa_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello 世界 world 中文"),     # 10 latin, 4 cjk
+            (2, "Привет мир"),               # cyrillic only
+            (3, "12345 !!!"),                 # no letters at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert got[1]["n_latin"] == 10 and got[1]["n_cjk"] == 4
+    assert got[1]["dominant_script"] == "latin"
+    assert got[1]["script_mix_ratio"] == round(4 / 14, 9)
+    assert got[2]["dominant_script"] == "cyrillic"
+    assert got[2]["script_mix_ratio"] == 0.0
+    assert got[3]["dominant_script"] == "none"
+    assert got[3]["script_mix_ratio"] == 0.0
+
+
+def test_script_profile_tie_breaks_by_class_priority(spark):
+    """Equal Latin and CJK letter counts: the fixed priority order
+    (Latin first) must win deterministically."""
+    from xdan_dqa_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame([(1, "ab 中文")], "doc_id long, text string")
+    r = script_profile(df).collect()[0]
+    assert r["n_latin"] == 2 and r["n_cjk"] == 2
+    assert r["dominant_script"] == "latin"
+    assert r["script_mix_ratio"] == 0.5

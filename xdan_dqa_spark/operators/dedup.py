@@ -827,3 +827,45 @@ def minhash_incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
         .distinct()
     )
     return base.join(dropped, id_col, "left_anti")
+
+
+def minhash_calibration(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = MINHASH_BANDS * MINHASH_ROWS) -> DataFrame:
+    """Sketch-calibration report: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (matching-signature fraction, the
+    unbiased estimator the banding geometry is built on) next to the
+    EXACT shingle Jaccard. Returns (a, b, n_match, est, jaccard).
+
+    This is the diagnostics query a dedup rollout runs before trusting
+    a threshold: if |est − jaccard| drifts, the shingle granularity or
+    k is wrong for the corpus (e.g. tiny docs → high-variance
+    estimates), and the keep/drop threshold must move. Estimator
+    variance is J(1−J)/k by construction — the report makes that
+    visible on real pairs instead of asserted.
+
+    Scale: candidates only (never all-pairs); the signature table is
+    ONE map-side-combined aggregate reused by the pair join; counts
+    are integers divided once."""
+    sig = minhash_signatures(df, text_col, id_col, k=k)
+    pairs = minhash_candidate_pairs(df, text_col, id_col)
+    sa = sig.select(F.col(id_col).alias("a"),
+                    *[F.col(f"h{j}").alias(f"_a{j}") for j in range(k)])
+    sb = sig.select(F.col(id_col).alias("b"),
+                    *[F.col(f"h{j}").alias(f"_b{j}") for j in range(k)])
+    n_match = None
+    for j in range(k):
+        term = (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("long")
+        n_match = term if n_match is None else n_match + term
+    est_tbl = (
+        pairs.join(sa, "a").join(sb, "b")
+        .select("a", "b", n_match.alias("n_match"))
+        .withColumn(
+            "est",
+            F.round(F.col("n_match").cast("double") / F.lit(float(k)), 6),
+        )
+    )
+    exact = jaccard_verify(df, pairs, text_col, id_col, threshold=0.0).select(
+        "a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+    return est_tbl.join(exact, ["a", "b"])

@@ -599,3 +599,61 @@ def token_entropy(df: DataFrame, text_col: str = "text",
             6,
         ).alias("mean_entropy"),
     )
+
+
+# Unicode script ranges for the mixing profile — spelled as literal
+# character-class endpoints so the same pattern string is valid in Java
+# regex (Spark) and RE2 (DuckDB); each class matches ONE character, so
+# regexp_count == character count.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("cjk", "[一-鿿]"),
+    ("kana", "[぀-ヿ]"),
+    ("hangul", "[가-힯]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿ]"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode script census: letter counts per major
+    script, the dominant script, and the mixing ratio (fraction of
+    letters OUTSIDE the dominant script). The language-ID QA signal —
+    a doc labeled 'en' that is 40% CJK is an extraction bug or a
+    spam-injection page, and script mixing above a few percent is the
+    cheapest mojibake/code-switching alarm there is.
+
+    Map-only: six single-char-class regexp_count passes (each class
+    matches one character, so count == chars), whole-stage codegen, no
+    explode, no shuffle at all — composes into the flagship's scoring
+    stage for free. Dominance ties break by the fixed class priority
+    order (Latin first), the same deterministic CASE-chain discipline
+    as langid_heuristic_expr, so the label is engine-identical. Docs
+    with zero letters in any class report 'none' and ratio 0.0."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {name: F.regexp_count(t, F.lit(pat)) for name, pat in SCRIPT_CLASSES}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    names = [n for n, _ in SCRIPT_CLASSES]
+    dom = F.lit("none")
+    for i in range(len(names) - 1, -1, -1):
+        n = names[i]
+        cond = counts[n] > 0
+        for later in names[i + 1:]:
+            cond = cond & (counts[n] >= counts[later])
+        for earlier in names[:i]:
+            cond = cond & (counts[n] > counts[earlier])
+        dom = F.when(cond, F.lit(n)).otherwise(dom)
+    dom_cnt = F.greatest(*[counts[n] for n in names])
+    ratio = F.when(
+        total > 0,
+        F.round((total - dom_cnt).cast("double") / total.cast("double"), 9),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        *[counts[n].cast("long").alias(f"n_{n}") for n in names],
+        dom.alias("dominant_script"),
+        ratio.alias("script_mix_ratio"),
+    )

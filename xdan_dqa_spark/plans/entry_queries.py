@@ -5688,6 +5688,94 @@ SELECT * FROM vals WHERE cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6
 """.replace("{shingles}", _SHINGLES_SQL).replace("{bands}", _BANDS_SQL)
 
 
+def q_script_profile(spark, sf_dir):
+    """Per-document Unicode script census + mixing ratio
+    (operators/textstats.py:script_profile) — the language-ID QA /
+    mojibake alarm. Map-only single-char-class regexp counts; the
+    dominance CASE chain and this twin are generated from the SAME
+    SCRIPT_CLASSES table so they cannot drift."""
+    from ..operators.textstats import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
+def _script_profile_sql() -> str:
+    from ..operators.textstats import SCRIPT_CLASSES
+
+    names = [n for n, _ in SCRIPT_CLASSES]
+    cnt = {
+        n: f"len(regexp_extract_all(coalesce(text, ''), '{p}'))"
+        for n, p in SCRIPT_CLASSES
+    }
+    branches = []
+    for i, n in enumerate(names):
+        conds = [f"n_{n} > 0"]
+        conds += [f"n_{n} >= n_{later}" for later in names[i + 1:]]
+        conds += [f"n_{n} > n_{earlier}" for earlier in names[:i]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{n}'")
+    dom = "CASE " + " ".join(branches) + " ELSE 'none' END"
+    gmax = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    count_cols = ",\n         ".join(f"{cnt[n]} AS n_{n}" for n in names)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         {count_cols}
+  FROM documents
+)
+SELECT doc_id, {', '.join(f'n_{n}' for n in names)},
+       {dom} AS dominant_script,
+       CASE WHEN {' + '.join(f'n_{n}' for n in names)} > 0
+            THEN round(CAST({' + '.join(f'n_{n}' for n in names)} - {gmax} AS DOUBLE)
+                       / CAST({' + '.join(f'n_{n}' for n in names)} AS DOUBLE), 9)
+            ELSE 0.0 END AS script_mix_ratio
+FROM d
+"""
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimate vs exact Jaccard on every LSH candidate pair
+    (operators/dedup.py:minhash_calibration) — the sketch-calibration
+    report a dedup rollout runs before trusting a threshold. Candidates
+    only, one combinable signature aggregate, integer counts divided
+    once."""
+    from ..operators.dedup import minhash_calibration
+
+    return minhash_calibration(_t(spark, sf_dir, "documents"))
+
+
+_SIGS_H_SQL = ", ".join(f"{_minhash_sql(j)} AS h{j}" for j in range(8))
+_BANDS_FROM_H_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(h{2 * b} || '|' || h{2 * b + 1}) AS band_key FROM sigs"
+    for b in range(4)
+)
+_NMATCH_SQL = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(8)
+)
+
+SQL_MINHASH_CALIBRATION = f"""
+WITH sig0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sigs AS (SELECT doc_id, sh, {_SIGS_H_SQL} FROM sig0),
+bands AS ({_BANDS_FROM_H_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+est AS (
+  SELECT c.a, c.b, {_NMATCH_SQL} AS n_match
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.a JOIN sigs sb ON sb.doc_id = c.b
+),
+shd AS (SELECT doc_id, list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN sh]) AS s FROM sig0)
+SELECT e.a, e.b, e.n_match,
+       round(CAST(e.n_match AS DOUBLE) / 8.0, 6) AS est,
+       round(CASE WHEN len(list_distinct(list_cat(sa.s, sb.s))) > 0
+                  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS jaccard
+FROM est e JOIN shd sa ON sa.doc_id = e.a JOIN shd sb ON sb.doc_id = e.b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -5817,6 +5905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
     "containment_pairs": q_containment_pairs,
+    "script_profile": q_script_profile,
+    "minhash_calibration": q_minhash_calibration,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -5901,6 +5991,8 @@ def oracle_map() -> dict[str, str]:
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
+        "script_profile": _script_profile_sql(),
+        "minhash_calibration": SQL_MINHASH_CALIBRATION,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
