@@ -476,3 +476,32 @@ def test_ks_drift_single_group_is_null(spark):
     rows = [("a", v) for v in range(10)]
     r = ks_drift(_gv(spark, rows)).collect()[0]
     assert r["ks_stat"] is None and r["n_rest"] == 0
+
+
+def test_boilerplate_prefix_flags_shared_opening(spark):
+    """Three docs of source s1 open with the same 8-token banner -> all
+    three flagged, share = 3/4; the odd doc out is not flagged."""
+    from xdan_dqa_spark.plans.entry_queries import QUERIES  # noqa: F401
+    import xdan_dqa_spark.plans.entry_queries as eq
+    import os, tempfile
+
+    banner = "cookie notice please accept our tracking policy now"
+    rows = [
+        (1, banner + " article one", "s1"),
+        (2, banner + " article two", "s1"),
+        (3, banner + " article three", "s1"),
+        (4, "completely original opening text for this one page", "s1"),
+        (5, "another site entirely different text here", "s2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {r["doc_id"]: r for r in
+               eq.QUERIES["boilerplate_prefix"](spark, tmp).collect()}
+    assert [got[i]["is_boilerplate_prefix"] for i in (1, 2, 3)] == [True] * 3
+    assert got[4]["is_boilerplate_prefix"] is False
+    assert got[1]["prefix_share"] == 0.75
+    assert got[5]["prefix_share"] == 1.0  # single-doc source: its own mode

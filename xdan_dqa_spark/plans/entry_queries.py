@@ -5776,6 +5776,150 @@ FROM est e JOIN shd sa ON sa.doc_id = e.a JOIN shd sb ON sb.doc_id = e.b
 """
 
 
+def q_o8_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the supplier offering
+    the MINIMUM observed price — the classic correlated-subquery
+    decorrelation (`WHERE cost = (SELECT min(cost) ... p_partkey =
+    outer)`) re-expressed as one argmin aggregation. Offers come from
+    observed lineitems (this schema has no partsupp).
+
+    Scale shape: the argmin is min(struct(price, suppkey)) — ONE
+    map-side-combined hash aggregate at part grain whose state is a
+    single struct, no per-part window sort and no self-join back for
+    the min (the naive decorrelation scans offers twice). The
+    tie-break is INTEGRAL (lowest suppkey at equal price) so the
+    selected row is deterministic in any engine; part and supplier
+    dims broadcast after their filters prune them. Struct-min picks
+    lexicographic (price, suppkey) order — exactly the `ORDER BY
+    price, suppkey LIMIT 1` semantics of the subquery form, which the
+    DuckDB twin spells with a row_number window (same total order, so
+    identical rows; windows per part are bounded fan-in there)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 20)
+        & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand", "p_size")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    offers = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    )
+    best = offers.groupBy("p_partkey", "p_brand", "p_size").agg(
+        F.min(F.struct(F.col("l_extendedprice"), F.col("l_suppkey"))).alias("_m")
+    ).select(
+        "p_partkey", "p_brand", "p_size",
+        F.col("_m.l_extendedprice").alias("best_price"),
+        F.col("_m.l_suppkey").alias("s_suppkey"),
+    )
+    return (
+        best.join(F.broadcast(s), "s_suppkey")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_brand", "p_size", "best_price",
+                "s_suppkey", "s_name", "n_name")
+    )
+
+
+SQL_O8_MIN_COST_SUPPLIER = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size FROM part
+  WHERE p_size >= 10 AND p_size <= 20 AND p_type = 'STANDARD'
+),
+offers AS (
+  SELECT p.p_partkey, p.p_brand, p.p_size, l.l_suppkey, l.l_extendedprice,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY l.l_extendedprice, l.l_suppkey) AS rn
+  FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+)
+SELECT o.p_partkey, o.p_brand, o.p_size,
+       o.l_extendedprice AS best_price,
+       o.l_suppkey AS s_suppkey, s.s_name, n.n_name
+FROM offers o
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.rn = 1
+"""
+
+
+def q_boilerplate_prefix(spark, sf_dir):
+    """Per-source boilerplate-PREFIX detector: flag documents whose
+    first ``span_tokens`` tokens equal their source's most common
+    opening span (site-wide headers / cookie banners / navigation
+    chrome open every page identically — the positional complement of
+    boilerplate_shingles, which is position-blind). Returns
+    (doc_id, source, prefix_share, is_boilerplate_prefix) where
+    prefix_share is the fraction of the source's docs opening with
+    this doc's prefix.
+
+    Scale shape: prefix hash is map-side (md5 of the first-span join —
+    fixed 32-byte key, the text never shuffles); ONE (source, prefix)
+    count aggregate; the per-source mode is a max(struct(cnt, ...))
+    fold over that bounded table (no window over raw docs); flags
+    attach via a broadcast-size join back on (source, prefix). The
+    mode tie-breaks on the LOWER prefix hash — integral and
+    deterministic cross-engine. Docs with no tokens take prefix '' and
+    participate normally (an all-empty source flags them — correctly:
+    identical openings)."""
+    from ..functions.tokenize import WS_PLUS
+
+    span_tokens = 8
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    pref = F.md5(F.concat_ws(" ", F.slice(words, 1, span_tokens)))
+    keyed = d.select("doc_id", "source", pref.alias("_pref"))
+    cnt = keyed.groupBy("source", "_pref").agg(F.count("*").alias("c"))
+    # the mode is a row_number over the COMPRESSED count table (rows =
+    # distinct prefixes per source, not docs), tie-broken by prefix ASC
+    # — integral, deterministic, identical window semantics in DuckDB
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("_pref").asc())
+    mode = (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_docs", F.sum("c").over(Window.partitionBy("source")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("_pref").alias("_mode_pref"),
+            F.col("c").alias("mode_c"),
+            "n_docs",
+        )
+    )
+    return (
+        keyed.join(F.broadcast(mode), "source")
+        .select(
+            "doc_id", "source",
+            F.round(
+                F.col("mode_c").cast("double") / F.col("n_docs").cast("double"), 9
+            ).alias("prefix_share"),
+            (F.col("_pref") == F.col("_mode_pref")).alias("is_boilerplate_prefix"),
+        )
+    )
+
+
+SQL_BOILERPLATE_PREFIX = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(array_to_string(({_WORDS_WS_SQL})[1:8], ' ')) AS pref
+  FROM documents
+),
+cnt AS (SELECT source, pref, COUNT(*) AS c FROM keyed GROUP BY 1, 2),
+mode AS (
+  SELECT source, pref AS mode_pref, c AS mode_c,
+         SUM(c) OVER (PARTITION BY source) AS n_docs,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, pref) AS rn
+  FROM cnt
+)
+SELECT k.doc_id, k.source,
+       round(CAST(m.mode_c AS DOUBLE) / CAST(m.n_docs AS DOUBLE), 9)
+         AS prefix_share,
+       k.pref = m.mode_pref AS is_boilerplate_prefix
+FROM keyed k JOIN mode m ON k.source = m.source AND m.rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -5907,6 +6051,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "script_profile": q_script_profile,
     "minhash_calibration": q_minhash_calibration,
+    "o8_min_cost_supplier": q_o8_min_cost_supplier,
+    "boilerplate_prefix": q_boilerplate_prefix,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -5993,6 +6139,8 @@ def oracle_map() -> dict[str, str]:
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "script_profile": _script_profile_sql(),
         "minhash_calibration": SQL_MINHASH_CALIBRATION,
+        "o8_min_cost_supplier": SQL_O8_MIN_COST_SUPPLIER,
+        "boilerplate_prefix": SQL_BOILERPLATE_PREFIX,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
