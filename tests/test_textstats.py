@@ -436,3 +436,17 @@ def test_script_profile_tie_breaks_by_class_priority(spark):
     assert r["n_latin"] == 2 and r["n_cjk"] == 2
     assert r["dominant_script"] == "latin"
     assert r["script_mix_ratio"] == 0.5
+
+
+def test_new_stats_are_repartition_invariant(spark, webtext):
+    """zipf_slope / flesch / script_profile must be bit-identical at any
+    parallelism (decimal sums + fixed IEEE sequences + integral ranks —
+    the cross-engine discipline implies cross-partitioning too)."""
+    from xdan_dqa_spark.operators.textstats import (
+        flesch_reading_ease, script_profile, zipf_slope)
+
+    docs = webtext.selectExpr("xxhash64(url) as doc_id", "text", "lang")
+    for fn in (zipf_slope, flesch_reading_ease, script_profile):
+        a = sorted(map(tuple, fn(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, fn(docs.repartition(13)).collect()))
+        assert a == b, fn.__name__
