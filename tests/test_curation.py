@@ -505,3 +505,32 @@ def test_boilerplate_prefix_flags_shared_opening(spark):
     assert got[4]["is_boilerplate_prefix"] is False
     assert got[1]["prefix_share"] == 0.75
     assert got[5]["prefix_share"] == 1.0  # single-doc source: its own mode
+
+
+def _kl_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_unigram_kl_identical_sources_is_zero(spark):
+    """Two sources with byte-identical term distributions: every cell
+    has p = q exactly (same counts, same smoothing) -> KL = 0.0."""
+    from xdan_dqa_spark.operators.curation import unigram_kl_drift
+
+    text = "alpha beta gamma alpha beta alpha"
+    got = unigram_kl_drift(
+        _kl_docs(spark, [(1, text, "a"), (2, text, "b")]), group_col="source"
+    ).collect()
+    assert {r["kl_vs_rest"] for r in got} == {0.0}
+
+
+def test_unigram_kl_disjoint_sources_positive_and_ordered(spark):
+    from xdan_dqa_spark.operators.curation import unigram_kl_drift
+
+    rows = (
+        [(1, "red green blue red green", "a"), (2, "red green blue", "a")]
+        + [(3, "qqq www eee qqq www", "b"), (4, "qqq www eee", "b")]
+    )
+    got = {r["source"]: r["kl_vs_rest"]
+           for r in unigram_kl_drift(_kl_docs(spark, rows),
+                                     group_col="source").collect()}
+    assert got["a"] > 0.3 and got["b"] > 0.3

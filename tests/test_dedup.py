@@ -642,3 +642,25 @@ def test_minhash_calibration_estimate_tracks_jaccard(spark):
     r = got[0]
     assert 0.5 <= r["jaccard"] < 1.0
     assert abs(r["est"] - r["jaccard"]) <= 3 / 8  # J(1-J)/8 variance scale
+
+
+def test_dedup_provenance_family_disagreement(spark):
+    """Exact dup dropped by all 4 families; a word-REORDERED copy is
+    kept by exact but dropped by word-set (and the similarity families,
+    whose signatures are order-sensitive only at shingle granularity);
+    an unrelated doc is kept by all."""
+    from xdan_dqa_spark.operators.dedup import dedup_provenance
+
+    base = " ".join(f"w{i}" for i in range(16))
+    reordered = " ".join(f"w{i}" for i in reversed(range(16)))
+    distinct = " ".join(f"z{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, reordered), (4, distinct)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_provenance(df).collect()}
+    assert got[2]["n_families_dropped"] == 4          # byte-identical
+    assert got[1]["n_families_dropped"] == 0          # the survivor
+    assert got[4]["n_families_dropped"] == 0          # unrelated
+    assert got[3]["kept_exact"] is True               # different bytes
+    assert got[3]["kept_wordset"] is False            # same word set

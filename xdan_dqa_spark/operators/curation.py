@@ -748,3 +748,60 @@ def ks_drift(df: DataFrame, value_col: str = "n_chars",
             "ks_stat",
         )
     )
+
+
+def unigram_kl_drift(df: DataFrame, text_col: str = "text",
+                     group_col: str = "source",
+                     top_v: int = 5000) -> DataFrame:
+    """Per-group add-1-smoothed KL divergence of the group's unigram
+    distribution from the REST of the corpus, over the corpus's
+    ``top_v`` most frequent terms — the lexical complement of
+    ``ks_drift``: KS sees numeric shape (lengths, scores); KL sees
+    WHICH WORDS a source uses. A crawl source whose term distribution
+    walks away from the corpus signals topic collapse, spam floods, or
+    an extraction regression. Returns (group, n_tokens_vocab, kl_vs_rest).
+
+    Scale shape: the vocabulary is bounded FIRST — term totals are one
+    map-side-combined aggregate, the top_v cut is TakeOrdered (per-
+    partition heaps, integral tie-break by term), so the grid is groups
+    × top_v cells, never groups × raw-vocab (hapaxes are ~half of a
+    web vocab; they carry no drift signal and would explode the grid).
+    Distributions are defined over exactly this vocab on both sides of
+    the divergence, so the comparison is apples-to-apples. Absent
+    terms contribute their smoothed mass via the left-join-null cell.
+
+    Float discipline: each cell's p·ln(p/q) is a fixed IEEE sequence
+    over identical integer counts, rounded to 12 dp and DECIMAL-summed
+    (order-free); one final round."""
+    gv = df.select(F.col(group_col).alias("g"),
+                   F.explode(_words(text_col)).alias("t"))
+    tc = gv.groupBy("g", "t").agg(F.count("*").alias("c"))
+    vocab = (
+        tc.groupBy("t").agg(F.sum("c").alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("t").asc())
+        .limit(top_v)
+    )
+    vt = tc.join(vocab.select("t"), "t", "left_semi")
+    groups = vt.groupBy("g").agg(F.sum("c").alias("n_g"))
+    consts = vocab.agg(
+        F.count("*").alias("_V"), F.sum("ct").alias("_n")
+    )
+    grid = (
+        groups.crossJoin(vocab)
+        .join(vt, ["g", "t"], "left")
+        .select("g", "t", "n_g", "ct",
+                F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .crossJoin(F.broadcast(consts))
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("n_g") + F.col("_V")).cast("double")
+    q = (F.col("ct") - F.col("c") + 1).cast("double") / (
+        (F.col("_n") - F.col("n_g")) + F.col("_V")
+    ).cast("double")
+    cell = F.round(p * F.log(p / q), 12).cast("decimal(30,12)")
+    return (
+        grid.groupBy("g", "n_g")
+        .agg(F.round(F.sum(cell).cast("double"), 6).alias("kl_vs_rest"))
+        .select(F.col("g").alias(group_col),
+                F.col("n_g").alias("n_tokens_vocab"),
+                "kl_vs_rest")
+    )

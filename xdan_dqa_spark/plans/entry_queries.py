@@ -5920,6 +5920,122 @@ FROM keyed k JOIN mode m ON k.source = m.source AND m.rn = 1
 """
 
 
+def q_keep_rate_curve(spark, sf_dir):
+    """Keep-rate threshold sweep over the score_core quality score: the
+    operating-characteristic report run BEFORE fixing min_score — how
+    much corpus survives at each candidate cutoff. ONE pass: nine
+    conditional sums ride a single aggregate over the scored table
+    (never nine scans), then the 1-row result unpivots to (threshold,
+    n_keep, keep_rate) rows driver-side-free via explode."""
+    ths = [5.0 + 0.5 * i for i in range(9)]
+    scored = q_score_core(spark, sf_dir).select("score")
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum((F.col("score") >= F.lit(t)).cast("long")).alias(f"_k{i}")
+        for i, t in enumerate(ths)
+    ]
+    one = scored.agg(*aggs)
+    rows = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("threshold"), F.col(f"_k{i}").alias("n_keep"))
+            for i, t in enumerate(ths)
+        ])
+    ).alias("_r")
+    return one.select(rows, F.col("_n")).select(
+        F.col("_r.threshold").alias("threshold"),
+        F.col("_r.n_keep").alias("n_keep"),
+        F.round(
+            F.col("_r.n_keep").cast("double") / F.col("_n").cast("double"), 9
+        ).alias("keep_rate"),
+    )
+
+
+def _sql_keep_rate_curve() -> str:
+    ths = [5.0 + 0.5 * i for i in range(9)]
+    ks = ", ".join(
+        f"SUM(CASE WHEN score >= {t!r} THEN 1 ELSE 0 END) AS k{i}"
+        for i, t in enumerate(ths)
+    )
+    sels = " UNION ALL ".join(
+        f"SELECT {t!r} AS threshold, k{i} AS n_keep, "
+        f"round(CAST(k{i} AS DOUBLE) / CAST(n AS DOUBLE), 9) AS keep_rate "
+        "FROM agg"
+        for i, t in enumerate(ths)
+    )
+    return f"""
+WITH sc AS ({_sql_score_core()}),
+agg AS (SELECT COUNT(*) AS n, {ks} FROM sc)
+{sels}
+"""
+
+
+def q_unigram_kl_drift(spark, sf_dir):
+    """Per-source add-1-smoothed KL divergence of the unigram
+    distribution vs the rest of the corpus over the top-5000 vocab
+    (operators/curation.py:unigram_kl_drift) — the lexical drift alarm
+    complementing ks_length_drift's numeric one."""
+    from ..operators.curation import unigram_kl_drift
+
+    return unigram_kl_drift(_t(spark, sf_dir, "documents"), top_v=5000)
+
+
+SQL_UNIGRAM_KL_DRIFT = f"""
+WITH gv AS (
+  SELECT source AS g, unnest({_WORDS_WS_SQL}) AS t FROM documents
+),
+tc AS (SELECT g, t, COUNT(*) AS c FROM gv GROUP BY 1, 2),
+vocab AS (
+  SELECT t, SUM(c) AS ct FROM tc GROUP BY 1
+  ORDER BY SUM(c) DESC, t LIMIT 5000
+),
+vt AS (SELECT * FROM tc WHERE t IN (SELECT t FROM vocab)),
+grp AS (SELECT g, SUM(c) AS n_g FROM vt GROUP BY 1),
+consts AS (SELECT COUNT(*) AS V, SUM(ct) AS n FROM vocab),
+grid AS (
+  SELECT grp.g, vocab.t, grp.n_g, vocab.ct, coalesce(vt.c, 0) AS c
+  FROM grp CROSS JOIN vocab
+  LEFT JOIN vt ON vt.g = grp.g AND vt.t = vocab.t
+)
+SELECT g AS source, n_g AS n_tokens_vocab,
+       round(CAST(SUM(CAST(round(
+           (CAST(c + 1 AS DOUBLE) / CAST(n_g + V AS DOUBLE))
+           * ln((CAST(c + 1 AS DOUBLE) / CAST(n_g + V AS DOUBLE))
+                / (CAST(ct - c + 1 AS DOUBLE)
+                   / CAST((n - n_g) + V AS DOUBLE))), 12)
+         AS DECIMAL(30,12))) AS DOUBLE), 6) AS kl_vs_rest
+FROM grid CROSS JOIN consts
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_provenance(spark, sf_dir):
+    """Per-doc dedup provenance dashboard: which of the four content
+    families (exact / word-set / MinHash / SimHash) keeps each doc, and
+    how many drop it (operators/dedup.py:dedup_provenance) —
+    diagnostics-grade (executes all four pipelines; run on a shard at
+    100 TB, which is how such dashboards are used)."""
+    from ..operators.dedup import dedup_provenance
+
+    return dedup_provenance(_t(spark, sf_dir, "documents"))
+
+
+def _sql_dedup_provenance() -> str:
+    return f"""
+WITH flags AS (
+  SELECT d.doc_id,
+    d.doc_id IN (SELECT doc_id FROM ({SQL_DEDUP_EXACT}) t1) AS kept_exact,
+    d.doc_id IN (SELECT doc_id FROM ({SQL_DEDUP_WORDSET}) t2) AS kept_wordset,
+    d.doc_id IN (SELECT doc_id FROM ({SQL_DEDUP_MINHASH_FULL}) t3) AS kept_minhash,
+    d.doc_id IN (SELECT doc_id FROM ({_sql_dedup_simhash()}) t4) AS kept_simhash
+  FROM documents d
+)
+SELECT doc_id, kept_exact, kept_wordset, kept_minhash, kept_simhash,
+       4 - (CAST(kept_exact AS INT) + CAST(kept_wordset AS INT)
+            + CAST(kept_minhash AS INT) + CAST(kept_simhash AS INT))
+         AS n_families_dropped
+FROM flags
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6053,6 +6169,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_calibration": q_minhash_calibration,
     "o8_min_cost_supplier": q_o8_min_cost_supplier,
     "boilerplate_prefix": q_boilerplate_prefix,
+    "keep_rate_curve": q_keep_rate_curve,
+    "unigram_kl_drift": q_unigram_kl_drift,
+    "dedup_provenance": q_dedup_provenance,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6141,6 +6260,9 @@ def oracle_map() -> dict[str, str]:
         "minhash_calibration": SQL_MINHASH_CALIBRATION,
         "o8_min_cost_supplier": SQL_O8_MIN_COST_SUPPLIER,
         "boilerplate_prefix": SQL_BOILERPLATE_PREFIX,
+        "keep_rate_curve": _sql_keep_rate_curve(),
+        "unigram_kl_drift": SQL_UNIGRAM_KL_DRIFT,
+        "dedup_provenance": _sql_dedup_provenance(),
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
