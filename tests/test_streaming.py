@@ -226,3 +226,30 @@ def test_dedup_stream_drops_recrawled_duplicates_across_restart(spark, tmp_path)
     q2.awaitTermination(120)
     got2 = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert got2 == ["body A", "body B", "body C"]
+
+
+def test_stream_gopher_score_equals_batch(spark):
+    """Map-only scoring under availableNow file streaming (4 real
+    micro-batches) must equal the identical batch projection exactly —
+    the 'same keep decision, streaming or batch' contract."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.functions.heuristics import heuristic_columns, words_col
+    from xdan_dqa_spark.plans.entry_queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, QUERIES["stream_gopher_score"](spark, sf).collect()))
+    docs = _t(spark, sf, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    want = sorted(map(tuple, docs.select(
+        "doc_id",
+        h["n_words"].cast("long").alias("n_words"),
+        F.round(h["symbol_ratio"], 9).alias("symbol_ratio"),
+        F.round(h["dup_line_frac"], 9).alias("dup_line_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("symbol_ratio") <= 0.1) & (F.col("n_words") >= 5)
+        & (F.col("dup_line_frac") <= 0.3),
+    ).collect()))
+    assert got == want and len(got) > 0

@@ -6036,6 +6036,68 @@ FROM flags
 """
 
 
+def q_stream_gopher_score(spark, sf_dir):
+    """The quality-filter heuristics running UNDER STRUCTURED STREAMING:
+    the documents table is staged as 4 parquet files, streamed with
+    maxFilesPerTrigger=1 (4 real micro-batches), and the SAME Gopher
+    heuristic projection + keep rule that is hash-green in batch
+    (gopher_stats) is applied inside the stream — append mode, map-only,
+    so every micro-batch emits immediately with no state. The oracle is
+    the batch SQL: a map-only streaming query over a bounded source
+    must equal its batch projection bit-for-bit, which is exactly the
+    north rule's 'same decisions, streaming or batch' guarantee. Sink,
+    naming and staging discipline mirror q_stream_windowed_agg
+    (idempotent sf-keyed stage dir + atomic spec marker; per-invocation
+    memory-sink name; immediate detach + view drop)."""
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    batch = _t(spark, sf_dir, "documents")
+    stage = "/tmp/xdan_stream_docs_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4}
+    marker = os.path.join(stage, "_SPEC.json")
+    _stage_with_spec(
+        marker, spec,
+        lambda: batch.repartition(4).write.mode("overwrite")
+        .parquet(f"{stage}/documents"),
+    )
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/documents")
+    )
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    scored = src.select(
+        "doc_id",
+        h["n_words"].cast("long").alias("n_words"),
+        F.round(h["symbol_ratio"], 9).alias("symbol_ratio"),
+        F.round(h["dup_line_frac"], 9).alias("dup_line_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("symbol_ratio") <= 0.1) & (F.col("n_words") >= 5)
+        & (F.col("dup_line_frac") <= 0.3),
+    )
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"stream_gopher_{key}_{next(_STREAM_QUERY_SEQ)}"
+    q = (
+        scored.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    local = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+    return local
+
+
+SQL_STREAM_GOPHER_SCORE = f"""
+WITH g AS ({SQL_GOPHER_STATS})
+SELECT doc_id, n_words, symbol_ratio, dup_line_frac,
+       symbol_ratio <= 0.1 AND n_words >= 5 AND dup_line_frac <= 0.3 AS keep
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6172,6 +6234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keep_rate_curve": q_keep_rate_curve,
     "unigram_kl_drift": q_unigram_kl_drift,
     "dedup_provenance": q_dedup_provenance,
+    "stream_gopher_score": q_stream_gopher_score,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6263,6 +6326,7 @@ def oracle_map() -> dict[str, str]:
         "keep_rate_curve": _sql_keep_rate_curve(),
         "unigram_kl_drift": SQL_UNIGRAM_KL_DRIFT,
         "dedup_provenance": _sql_dedup_provenance(),
+        "stream_gopher_score": SQL_STREAM_GOPHER_SCORE,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
