@@ -122,3 +122,26 @@ def test_und_ppl_fallback_is_cfg_tunable(spark):
     assert tuned["und"] == 10.0 and tuned["und"] > base["und"]
     # en rides its own frozen calibration — unaffected by cfg tuning
     assert tuned["en"] == base["en"]
+
+
+def test_keep_rate_curve_is_monotone_and_consistent(spark):
+    from xdan_dqa_spark.plans.entry_queries import QUERIES
+
+    rows = sorted(
+        QUERIES["keep_rate_curve"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [5.0 + 0.5 * i for i in range(9)]
+    keeps = [r["n_keep"] for r in rows]
+    assert keeps == sorted(keeps, reverse=True)  # higher bar, fewer kept
+    assert all(0.0 <= r["keep_rate"] <= 1.0 for r in rows)
+
+
+def test_keep_rate_by_lang_accounts_every_doc(spark):
+    from xdan_dqa_spark.plans.entry_queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["keep_rate_by_lang"](spark, sf).collect()
+    n_total = _t(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert all(0 <= r["n_keep"] <= r["n_docs"] for r in rows)

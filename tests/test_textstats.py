@@ -450,3 +450,32 @@ def test_new_stats_are_repartition_invariant(spark, webtext):
         a = sorted(map(tuple, fn(docs.repartition(1)).collect()))
         b = sorted(map(tuple, fn(docs.repartition(13)).collect()))
         assert a == b, fn.__name__
+
+
+def test_script_profile_fuzz_totals_bounded(spark):
+    """Property fuzz: for arbitrary unicode text, per-script counts are
+    non-negative, their sum never exceeds the char count, and the mix
+    ratio stays in [0, 1) — no crash on surrogate-adjacent input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xdan_dqa_spark.operators.textstats import script_profile
+
+    texts = st.lists(
+        st.text(max_size=60), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts)
+    def check(ts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+        )
+        for r in script_profile(df).collect():
+            counts = [r[c] for c in r.asDict() if c.startswith("n_")]
+            assert all(c >= 0 for c in counts)
+            assert 0.0 <= r["script_mix_ratio"] < 1.0 or (
+                r["script_mix_ratio"] == 0.0
+            )
+
+    check()

@@ -6098,6 +6098,48 @@ FROM g
 """
 
 
+def q_keep_rate_by_lang(spark, sf_dir):
+    """Disparate-impact audit of the keep rule: per-language keep rate
+    and mean score from the score_core stack. A quality filter that
+    silently drops 80% of one language while keeping 70% of another is
+    a corpus-bias incident — this is the fairness report curation
+    reviews demand before a filter ships. One bounded GROUP BY over the
+    scored table; the rate is integer counts divided once; mean score
+    rides the DECIMAL(20,6) cast-sum (score is pre-rounded to 2 dp, so
+    the decimal sum is exact and order-free)."""
+    scored = q_score_core(spark, sf_dir)
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scored.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(
+                F.sum(F.col("keep").cast("long")).cast("double")
+                / F.count("*").cast("double"), 9,
+            ).alias("keep_rate"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(20,6)")).cast("double")
+                / F.count("*").cast("double"), 6,
+            ).alias("mean_score"),
+        )
+    )
+
+
+def _sql_keep_rate_by_lang() -> str:
+    return f"""
+WITH sc AS ({_sql_score_core()}),
+j AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id))
+SELECT lang, COUNT(*) AS n_docs, SUM(keep) AS n_keep,
+       round(CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS keep_rate,
+       round(CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6235,6 +6277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_kl_drift": q_unigram_kl_drift,
     "dedup_provenance": q_dedup_provenance,
     "stream_gopher_score": q_stream_gopher_score,
+    "keep_rate_by_lang": q_keep_rate_by_lang,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6327,6 +6370,7 @@ def oracle_map() -> dict[str, str]:
         "unigram_kl_drift": SQL_UNIGRAM_KL_DRIFT,
         "dedup_provenance": _sql_dedup_provenance(),
         "stream_gopher_score": SQL_STREAM_GOPHER_SCORE,
+        "keep_rate_by_lang": _sql_keep_rate_by_lang(),
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
