@@ -104,3 +104,36 @@ def test_triangle_census_shared_edge_two_triangles(spark):
 
     e = _edges(spark, [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)])
     assert triangle_census(e).collect()[0]["n_triangles"] == 2
+
+
+def test_resolve_redirects_chain_and_fanin(spark):
+    """Chain 5->4->3->1 plus a side branch 2->1: every src resolves to
+    the terminal 1 (which has no out-edge)."""
+    from xdan_dqa_spark.operators.graph import resolve_redirects
+
+    e = _edges(spark, [(5, 4), (4, 3), (3, 1), (2, 1)])
+    got = {r["node"]: (r["terminal"], r["resolved"])
+           for r in resolve_redirects(e).collect()}
+    assert got == {5: (1, True), 4: (1, True), 3: (1, True), 2: (1, True)}
+
+
+def test_resolve_redirects_flags_loops_instead_of_hanging(spark):
+    """A 301 loop (7->8->7) can never terminate: both nodes must come
+    back resolved=False with the pointer still on a redirecting node."""
+    from xdan_dqa_spark.operators.graph import resolve_redirects
+
+    e = _edges(spark, [(7, 8), (8, 7), (1, 2)])
+    got = {r["node"]: r["resolved"] for r in resolve_redirects(e, max_rounds=4).collect()}
+    assert got[1] is True
+    assert got[7] is False and got[8] is False
+
+
+def test_resolve_redirects_long_chain_doubles_past_rounds(spark):
+    """A 40-hop chain resolves in 8 doubling rounds (2^8 >> 40) — the
+    log-round contract that makes this usable on deep redirect chains."""
+    from xdan_dqa_spark.operators.graph import resolve_redirects
+
+    e = _edges(spark, [(i, i - 1) for i in range(1, 41)])
+    got = {r["node"]: (r["terminal"], r["resolved"])
+           for r in resolve_redirects(e).collect()}
+    assert all(got[i] == (0, True) for i in range(1, 41))

@@ -191,3 +191,57 @@ def pagerank(links: DataFrame, n_iter: int = 3,
     return ranks.select(
         "node", (F.col("fp").cast("double") / F.lit(float(SCALE))).alias("rank")
     )
+
+
+def resolve_redirects(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst",
+                      max_rounds: int = 8) -> DataFrame:
+    """Resolve HTTP-redirect chains to their terminal target — the URL
+    canonicalization step a crawl runs before dedup (a page reachable
+    via 4 hops of 301s must collapse onto its final URL). Input is a
+    FUNCTIONAL edge list (≤1 out-edge per src — a url redirects to one
+    place; feed `url_dedup`'s last-wins winner per src if yours has
+    history). Returns (node, terminal, resolved) for every src:
+    `terminal` is where the chain ends after following up to
+    2^max_rounds hops, `resolved` is False when the pointer still sits
+    on a redirecting node (a longer chain — raise max_rounds — or a
+    redirect LOOP, which real crawls do contain and must flag, not
+    hang on).
+
+    Algorithm: POINTER DOUBLING (path halving), not per-hop walking —
+    each round rewrites ptr ← f(ptr) using the CURRENT resolved table
+    as f, so after k rounds every pointer has advanced 2^k hops. A
+    30-hop chain costs 5 join rounds instead of 30; at web scale the
+    round count is log₂(longest chain), each round ONE equi-join +
+    the convergence count that also materializes the lazy
+    localCheckpoint (the same one-job-per-round discipline as
+    connected_components above). Distinct from CC: this is function
+    iteration on a digraph (chases direction), not undirected label
+    spreading."""
+    f = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("ptr")
+    ).distinct().localCheckpoint(eager=True)
+    srcs = f.select(F.col("node").alias("_s")).distinct().localCheckpoint(eager=True)
+    cur = f
+    for _ in range(max_rounds):
+        nxt = (
+            cur.alias("a")
+            .join(cur.select(F.col("node").alias("ptr"),
+                             F.col("ptr").alias("_p2")).alias("b"),
+                  "ptr", "left")
+            .select(
+                "node",
+                F.col("ptr").alias("_old"),
+                F.coalesce(F.col("_p2"), F.col("ptr")).alias("ptr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = nxt.filter(F.col("ptr") != F.col("_old")).count()
+        cur = nxt.select("node", "ptr")
+        if changed == 0:
+            break
+    return cur.join(srcs, cur.ptr == srcs._s, "left").select(
+        "node",
+        F.col("ptr").alias("terminal"),
+        F.col("_s").isNull().alias("resolved"),
+    )

@@ -6140,6 +6140,38 @@ FROM j GROUP BY 1
 """
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain canonicalization via pointer doubling
+    (operators/graph.py:resolve_redirects): a synthesized functional
+    redirect graph (doc d redirects to d−1 unless d ≡ 0 mod 7, so
+    chains are up to 6 hops ending at multiples of 7) resolved to
+    terminals in log₂(chain) join rounds. The DuckDB twin walks the
+    SAME chains with a recursive CTE and keeps each node's terminal
+    row — two entirely different algorithms, identical answer."""
+    from ..operators.graph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    edges = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    return resolve_redirects(edges)
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 7 <> 0
+),
+walk AS (
+  SELECT src AS node, dst AS ptr FROM e
+  UNION ALL
+  SELECT w.node, e.dst FROM walk w JOIN e ON w.ptr = e.src
+)
+SELECT node, ptr AS terminal,
+       ptr NOT IN (SELECT src FROM e) AS resolved
+FROM walk WHERE ptr NOT IN (SELECT src FROM e)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6278,6 +6310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_provenance": q_dedup_provenance,
     "stream_gopher_score": q_stream_gopher_score,
     "keep_rate_by_lang": q_keep_rate_by_lang,
+    "redirect_resolve": q_redirect_resolve,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6371,6 +6404,7 @@ def oracle_map() -> dict[str, str]:
         "dedup_provenance": _sql_dedup_provenance(),
         "stream_gopher_score": SQL_STREAM_GOPHER_SCORE,
         "keep_rate_by_lang": _sql_keep_rate_by_lang(),
+        "redirect_resolve": SQL_REDIRECT_RESOLVE,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
