@@ -1,0 +1,78 @@
+"""Retrieval operators (operators/search.py): positional phrase search
+semantics (consecutiveness, overlaps, multi-word) and BM25 ranking
+properties (idf monotonicity, length normalization, determinism)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_phrase_search_consecutive_only(spark):
+    from xdan_dqa_spark.operators.search import phrase_search
+
+    df = _docs(spark, [
+        "the quick brown fox",        # 0: has "quick brown"
+        "quick and brown",            # 1: words present, NOT consecutive
+        "so quick brown quick brown", # 2: two matches
+        "nothing here",               # 3
+    ])
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "quick brown").collect()}
+    assert got == {0: 1, 2: 2}
+
+
+def test_phrase_search_overlapping_and_three_words(spark):
+    from xdan_dqa_spark.operators.search import phrase_search
+
+    df = _docs(spark, ["a a a a"])
+    got = phrase_search(df, "a a a").collect()
+    assert got[0]["n_matches"] == 2  # positions 0 and 1 overlap
+    assert phrase_search(df, "a b a").count() == 0
+
+
+def test_bm25_prefers_matching_and_shorter_docs(spark):
+    from xdan_dqa_spark.operators.search import bm25_topk
+
+    df = _docs(spark, [
+        "apple banana",                            # 0: both terms, short
+        "apple banana " + "filler " * 40,          # 1: both terms, long
+        "apple pie recipe",                        # 2: one term
+        "completely unrelated text",               # 3: no terms
+    ])
+    rows = bm25_topk(df, ["apple", "banana"], k=10).collect()
+    order = [r["doc_id"] for r in rows]
+    assert 3 not in order                 # zero-match docs never rank
+    assert order[0] == 0                  # short full match wins
+    assert order.index(0) < order.index(1)  # length normalization
+    assert order.index(1) < order.index(2)  # two terms beat one
+
+
+def test_bm25_scores_match_scalar_reference(spark):
+    import math
+
+    from xdan_dqa_spark.operators.search import bm25_idf, bm25_topk
+
+    df = _docs(spark, ["x y", "x z", "w v"])
+    rows = {r["doc_id"]: r["score"]
+            for r in bm25_topk(df, ["x"], k=10).collect()}
+    # N=3, df(x)=2, every doc dl=2 = avgdl -> denom = tf + k1
+    idf = bm25_idf(3, 2)
+    want = round(round(idf * 1.0 * 2.2 / (1.0 + 1.2), 9), 6)
+    assert rows[0] == pytest.approx(want, abs=1e-9)
+    assert rows[0] == rows[1] and 2 not in rows
+
+
+def test_bm25_repartition_invariant(spark):
+    from xdan_dqa_spark.operators.search import bm25_topk
+
+    df = _docs(spark, [f"term{i % 5} filler word{i}" for i in range(100)])
+    a = sorted(map(tuple, bm25_topk(df, ["term1", "term3"], k=50).collect()))
+    b = sorted(map(tuple,
+                   bm25_topk(df.repartition(11), ["term1", "term3"], k=50).collect()))
+    assert a == b

@@ -6172,6 +6172,71 @@ FROM walk WHERE ptr NOT IN (SELECT src FROM e)
 """
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase search via positional posting-list join
+    (operators/search.py:phrase_search) — each join leg is filtered to
+    ONE phrase term before any exchange, so the join touches two
+    posting lists, never the corpus token stream."""
+    from ..operators.search import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "table value")
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH base AS (SELECT doc_id, {_WORDS_WS_SQL} AS ws FROM documents),
+ex AS (
+  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS term
+  FROM base
+),
+l0 AS (SELECT doc_id, pos AS p0 FROM ex WHERE term = 'table'),
+l1 AS (SELECT doc_id, pos - 1 AS p0 FROM ex WHERE term = 'value')
+SELECT doc_id, COUNT(*) AS n_matches
+FROM l0 JOIN l1 USING (doc_id, p0) GROUP BY 1
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for a 3-term query (operators/search.py:bm25_topk) —
+    postings filtered to the query terms before aggregation, corpus
+    stats broadcast, TakeOrdered top-k; scores bit-deterministic (see
+    the operator's float discipline) so the ranked SET is
+    engine-identical."""
+    from ..operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     ["fast", "scan", "table"], k=20)
+
+
+def _sql_bm25_topk(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = "'fast', 'scan', 'table'"
+    avgdl = "(CAST(L AS DOUBLE) / CAST(N AS DOUBLE))"
+    idf = ("ln(1.0 + (CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+           " / (CAST(df AS DOUBLE) + 0.5))")
+    denom = (f"(CAST(tf AS DOUBLE) + {k1!r} * (1.0 - {b!r}"
+             f" + {b!r} * CAST(dl AS DOUBLE) / {avgdl}))")
+    contrib = f"round({idf} * CAST(tf AS DOUBLE) * {k1 + 1.0!r} / {denom}, 9)"
+    return f"""
+WITH base AS (SELECT doc_id, {_WORDS_WS_SQL} AS ws FROM documents),
+lens AS (SELECT doc_id, len(ws) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS N, SUM(dl) AS L FROM lens),
+ex AS (SELECT doc_id, unnest(ws) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ex
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+j AS (
+  SELECT tf.doc_id, {contrib} AS contrib
+  FROM tf JOIN dfq USING (term) JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+FROM j GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6311,6 +6376,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_gopher_score": q_stream_gopher_score,
     "keep_rate_by_lang": q_keep_rate_by_lang,
     "redirect_resolve": q_redirect_resolve,
+    "phrase_search": q_phrase_search,
+    "bm25_topk": q_bm25_topk,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6405,6 +6472,8 @@ def oracle_map() -> dict[str, str]:
         "stream_gopher_score": SQL_STREAM_GOPHER_SCORE,
         "keep_rate_by_lang": _sql_keep_rate_by_lang(),
         "redirect_resolve": SQL_REDIRECT_RESOLVE,
+        "phrase_search": SQL_PHRASE_SEARCH,
+        "bm25_topk": _sql_bm25_topk(),
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
