@@ -76,3 +76,46 @@ def test_bm25_repartition_invariant(spark):
     b = sorted(map(tuple,
                    bm25_topk(df.repartition(11), ["term1", "term3"], k=50).collect()))
     assert a == b
+
+
+def test_indexed_phrase_search_prunes_buckets_and_matches_scan(spark, tmp_path):
+    """The persisted posting probe must (a) return exactly what the
+    scan-based search returns and (b) READ only the phrase terms\'
+    bucket directories — proven the same way as the IVF index probe:
+    PartitionFilters in the executed plan (inputFiles() cannot show
+    pruning; it reports the full listing) plus input_file_name() over
+    an executed probe leg."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.search import (
+        phrase_search, phrase_search_indexed, posting_index_write)
+
+    df = _docs(spark, [
+        "alpha beta gamma", "beta alpha beta gamma", "gamma beta alpha",
+        "alpha beta", "delta epsilon zeta",
+    ])
+    path = str(tmp_path / "postings")
+    posting_index_write(df, path, n_buckets=16)
+    got = phrase_search_indexed(spark, path, "alpha beta", n_buckets=16)
+    want = phrase_search(df, "alpha beta")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # (1) every FileScan in the executed probe carries a bucket
+    # PartitionFilters entry
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and all("bucket" in ln for ln in pf), plan
+
+    # (2) an executed single-term leg reads files only under its bucket
+    b_alpha = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("alpha")), F.lit(16)).alias("b")
+    ).collect()[0]["b"]
+    leg = spark.read.parquet(path).filter(
+        (F.col("bucket") == F.pmod(F.xxhash64(F.lit("alpha")), F.lit(16)))
+        & (F.col("term") == "alpha")
+    )
+    touched = {
+        r[0].split("bucket=")[1].split("/")[0]
+        for r in leg.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {str(b_alpha)}

@@ -125,3 +125,57 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
 def bm25_idf(n_docs: int, doc_freq: int) -> float:
     """Reference scalar for tests: the same idf the column expr computes."""
     return math.log(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def posting_index_write(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", n_buckets: int = 64,
+                        mode: str = "overwrite") -> None:
+    """Persist the corpus positional posting lists to parquet,
+    hive-partitioned by a term-hash bucket — the search-side analogue
+    of minhash_index_write / the IVF index: at 100 TB you tokenize the
+    corpus ONCE and append each ingested batch (``mode="append"``),
+    and every query prunes to its terms' bucket directories instead of
+    re-reading the corpus. Row payload is (term, doc_id, pos) — the
+    bucket is a DIRECTORY key only, so probe-side filters on the term
+    string still apply within the pruned files. xxhash64 keys the
+    bucket (JVM-side, stable across sessions); it never needs a DuckDB
+    twin because bucketing is plumbing — the QUERY result is what gets
+    oracle-checked."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(_words(text_col)).alias("pos", "term"),
+    ).withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
+    ex.write.partitionBy("bucket").mode(mode).parquet(path)
+
+
+def phrase_search_indexed(spark, index_path: str, phrase: str,
+                          n_buckets: int = 64,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase search against a persisted posting index
+    (:func:`posting_index_write`): reads ONLY the phrase terms' bucket
+    directories — Catalyst partition pruning on the hive `bucket=`
+    layout, proven like the IVF probe (PartitionFilters in the executed
+    plan + input_file_name() over executed rows; ``inputFiles()`` cannot
+    show pruning — it reports the full listing) — then the same aligned-position equi-join as
+    :func:`phrase_search`. A 2-word query over a 64-bucket index
+    touches ≤ 2/64 of the index bytes no matter the corpus size."""
+    terms = [w for w in phrase.split() if w]
+    if not terms:
+        raise ValueError("phrase must contain at least one word")
+    idx = spark.read.parquet(index_path)
+    # one probe per term: bucket literal prunes partitions, term filter
+    # prunes rows within the bucket's files
+    legs = []
+    for i, w in enumerate(terms):
+        leg = (
+            idx.filter(
+                (F.col("bucket") == F.pmod(F.xxhash64(F.lit(w)), F.lit(n_buckets)))
+                & (F.col("term") == w)
+            )
+            .select(F.col(id_col), (F.col("pos") - i).alias("p0"))
+        )
+        legs.append(leg)
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.join(leg, [id_col, "p0"])
+    return joined.groupBy(id_col).agg(F.count("*").alias("n_matches"))

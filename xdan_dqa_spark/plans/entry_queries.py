@@ -6237,6 +6237,29 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_phrase_search_indexed(spark, sf_dir):
+    """Phrase search against the PERSISTED posting index
+    (operators/search.py:posting_index_write / phrase_search_indexed):
+    the index is staged once per sf_dir (idempotent atomic-marker
+    protocol shared with the IVF index), then the probe reads ONLY the
+    phrase terms' bucket directories — the xxhash64 bucket predicate is
+    constant-folded so Catalyst prunes partitions (inputFiles-proven in
+    tests). Same answer as phrase_search, same oracle twin — the index
+    is plumbing; the result is what's checked."""
+    from ..operators.search import phrase_search_indexed, posting_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    stage = "/tmp/xdan_posting_idx_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": docs.count(), "n_buckets": 64, "v": 1}
+    marker = os.path.join(stage, "_SPEC.json")
+    _stage_with_spec(
+        marker, spec,
+        lambda: posting_index_write(docs, f"{stage}/postings", n_buckets=64),
+    )
+    return phrase_search_indexed(spark, f"{stage}/postings", "table value",
+                                 n_buckets=64)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6378,6 +6401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_resolve": q_redirect_resolve,
     "phrase_search": q_phrase_search,
     "bm25_topk": q_bm25_topk,
+    "phrase_search_indexed": q_phrase_search_indexed,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6474,6 +6498,7 @@ def oracle_map() -> dict[str, str]:
         "redirect_resolve": SQL_REDIRECT_RESOLVE,
         "phrase_search": SQL_PHRASE_SEARCH,
         "bm25_topk": _sql_bm25_topk(),
+        "phrase_search_indexed": SQL_PHRASE_SEARCH,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
