@@ -534,3 +534,22 @@ def test_unigram_kl_disjoint_sources_positive_and_ordered(spark):
            for r in unigram_kl_drift(_kl_docs(spark, rows),
                                      group_col="source").collect()}
     assert got["a"] > 0.3 and got["b"] > 0.3
+
+
+def test_snapshot_diff_statuses(spark):
+    from xdan_dqa_spark.operators.curation import (snapshot_diff,
+                                                   snapshot_diff_census)
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "url long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c CHANGED"), (4, None), (5, "new page")],
+        "url long, text string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 5: "added"}
+    census = {r["status"]: r["n"]
+              for r in snapshot_diff_census(old, new).collect()}
+    assert census == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}

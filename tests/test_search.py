@@ -119,3 +119,26 @@ def test_indexed_phrase_search_prunes_buckets_and_matches_scan(spark, tmp_path):
         for r in leg.select(F.input_file_name()).distinct().collect()
     }
     assert touched == {str(b_alpha)}
+
+
+def test_posting_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental ingest: indexing batch A then APPENDING batch B must
+    answer phrase queries identically to a one-shot rebuild over A∪B —
+    the steady-state contract that makes the index worth persisting."""
+    from xdan_dqa_spark.operators.search import (
+        phrase_search, phrase_search_indexed, posting_index_write)
+
+    a = _docs(spark, ["alpha beta gamma", "beta gamma alpha"])
+    b = spark.createDataFrame(
+        [(10, "alpha beta again"), (11, "gamma alpha beta")],
+        "doc_id long, text string",
+    )
+    both = a.unionByName(b)
+    inc = str(tmp_path / "inc")
+    posting_index_write(a, inc, n_buckets=8)
+    posting_index_write(b, inc, n_buckets=8, mode="append")
+    got = sorted(map(tuple,
+                     phrase_search_indexed(spark, inc, "alpha beta",
+                                           n_buckets=8).collect()))
+    want = sorted(map(tuple, phrase_search(both, "alpha beta").collect()))
+    assert got == want and len(got) == 3

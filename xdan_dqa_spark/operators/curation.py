@@ -805,3 +805,44 @@ def unigram_kl_drift(df: DataFrame, text_col: str = "text",
                 F.col("n_g").alias("n_tokens_vocab"),
                 "kl_vs_rest")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """Crawl snapshot diff: per key, whether the document was ADDED,
+    REMOVED, CHANGED, or UNCHANGED between two crawls — the ingest
+    report that decides how much of an incremental crawl actually needs
+    re-scoring (the reference re-reads and re-scores the full dataset
+    per run, src/data_transformer.py:458-473; paired with the anti-join
+    resume this confines work to added ∪ changed).
+
+    Scale shape: content is hashed to a fixed 32-byte md5 map-side on
+    EACH side (document text never shuffles), then ONE full-outer
+    equi-join on the key; the status is a null-pattern CASE. Output is
+    one row per key in either snapshot — linear, no windows. Hash
+    collisions (2⁻¹²⁸) are the standard accepted risk of content-hash
+    diffing."""
+    o = old.select(F.col(key_col).alias("k"),
+                   F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_ho"))
+    n = new.select(F.col(key_col).alias("k"),
+                   F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_hn"))
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("k").alias(key_col), status.alias("status"))
+
+
+def snapshot_diff_census(old: DataFrame, new: DataFrame,
+                         key_col: str = "url",
+                         text_col: str = "text") -> DataFrame:
+    """Bounded census over :func:`snapshot_diff`: row counts per status
+    — the 4-row summary a crawl-ops dashboard plots per ingest."""
+    return (
+        snapshot_diff(old, new, key_col, text_col)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )

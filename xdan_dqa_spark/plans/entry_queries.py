@@ -6260,6 +6260,47 @@ def q_phrase_search_indexed(spark, sf_dir):
                                  n_buckets=64)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl snapshot diff (operators/curation.py:snapshot_diff):
+    snapshot A = doc_id < 400 of documents; snapshot B = doc_id ≥ 100
+    with every doc_id ≡ 0 mod 5 're-crawled changed' (text suffixed).
+    One full-outer join on md5'd content — text never shuffles; the
+    per-key status feeds the resume stage so only added ∪ changed
+    re-score."""
+    from ..operators.curation import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new, key_col="doc_id")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT doc_id AS k, md5(coalesce(text, '')) AS ho
+  FROM documents WHERE doc_id < 400
+),
+n AS (
+  SELECT doc_id AS k,
+         md5(CASE WHEN doc_id % 5 = 0
+                  THEN coalesce(text, '') || ' [rev2]'
+                  ELSE coalesce(text, '') END) AS hn
+  FROM documents WHERE doc_id >= 100
+)
+SELECT coalesce(o.k, n.k) AS doc_id,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.k = n.k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6402,6 +6443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "bm25_topk": q_bm25_topk,
     "phrase_search_indexed": q_phrase_search_indexed,
+    "snapshot_diff": q_snapshot_diff,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6499,6 +6541,7 @@ def oracle_map() -> dict[str, str]:
         "phrase_search": SQL_PHRASE_SEARCH,
         "bm25_topk": _sql_bm25_topk(),
         "phrase_search_indexed": SQL_PHRASE_SEARCH,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
