@@ -6301,6 +6301,39 @@ FROM o FULL OUTER JOIN n ON o.k = n.k
 """
 
 
+def q_zorder_values(spark, sf_dir):
+    """Morton Z-values over (doc_id mod 2¹⁶, n_chars mod 2¹⁶)
+    (operators/layout.py:zvalue) — the data-skipping sort key behind
+    OPTIMIZE ZORDER BY, as a pure bit-twiddling Column expression.
+    Integer-only (shifts/AND/OR with magic masks), bit-identical in any
+    engine; the layout's row-group pruning effect is measured from
+    parquet footers in tests/test_layout.py."""
+    from ..operators.layout import zvalue
+
+    d = _t(spark, sf_dir, "documents")
+    x = F.pmod(F.col("doc_id"), F.lit(65536)).cast("long")
+    y = F.pmod(F.col("n_chars"), F.lit(65536)).cast("long")
+    return d.select("doc_id", x.alias("x"), y.alias("y"),
+                    zvalue(x, y).alias("z"))
+
+
+def _sql_zorder_values() -> str:
+    def spread(e: str) -> str:
+        out = f"({e} & 65535)"
+        for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                         (2, 0x33333333), (1, 0x55555555)):
+            out = f"(({out} | ({out} << {sh})) & {mask})"
+        return out
+
+    x = "(doc_id % 65536)"
+    y = "(n_chars % 65536)"
+    return f"""
+SELECT doc_id, {x} AS x, {y} AS y,
+       ({spread(x)} | ({spread(y)} << 1)) AS z
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6444,6 +6477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "phrase_search_indexed": q_phrase_search_indexed,
     "snapshot_diff": q_snapshot_diff,
+    "zorder_values": q_zorder_values,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6542,6 +6576,7 @@ def oracle_map() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "phrase_search_indexed": SQL_PHRASE_SEARCH,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "zorder_values": _sql_zorder_values(),
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
