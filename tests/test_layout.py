@@ -68,3 +68,25 @@ def test_zorder_layout_prunes_box_queries(spark, tmp_path):
     # and the data round-trips identically
     back = spark.read.parquet(zpath)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, pts.collect()))
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from xdan_dqa_spark.operators.layout import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(src)   # 64 tiny files
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    out_files = glob.glob(f"{dst}/*.parquet")
+    assert n == 1 and len(out_files) == 1   # tiny input -> one file
+    back = spark.read.parquet(dst)
+    assert back.count() == 20000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # refuses to clobber an existing target (never compact in place)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        compact_parquet(spark, src, dst, target_mb=128)

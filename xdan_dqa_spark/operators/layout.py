@@ -69,3 +69,32 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(spark, src_path: str, dst_path: str,
+                    target_mb: int = 128, mode: str = "error") -> int:
+    """Compact a small-files parquet directory into ~``target_mb``-sized
+    files; returns the output file count. The operational fix for the
+    100 TB small-files problem: streaming ingests and fine-grained
+    partitions leave thousands of KB-scale files whose per-file open /
+    footer / task-schedule overhead dominates scans (and strains the
+    namenode / object-store listing long before bytes do).
+
+    Sizing is MEASURED, not guessed: the input's actual on-disk bytes
+    come from the file listing (via the Hadoop FS API — works on any
+    scheme Spark can read), and the file count is ceil(bytes/target).
+    coalesce() merges partitions WITHOUT a shuffle (partition counts
+    only ever shrink here, which is exactly coalesce's no-exchange
+    case); rows are not globally re-sorted — compaction must not
+    destroy an existing z-order/sort layout within files it merges.
+    Write to a NEW directory then swap, never in place (a failed
+    in-place rewrite loses data; ``mode="error"`` refuses to clobber)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.coalesce(int(n_files)).write.mode(mode).parquet(dst_path)
+    return int(n_files)
