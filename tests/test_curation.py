@@ -553,3 +553,35 @@ def test_snapshot_diff_statuses(spark):
     census = {r["status"]: r["n"]
               for r in snapshot_diff_census(old, new).collect()}
     assert census == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+
+
+def test_chunk_plan_strided_coverage_and_overlap(spark):
+    from xdan_dqa_spark.operators.curation import chunk_plan_strided
+
+    df = spark.createDataFrame(
+        [(1, "w " * 100), (2, "w " * 64), (3, "w " * 10), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_plan_strided(df, chunk_tokens=64, stride=48).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["chunk_len"])
+        )
+    # 100 tokens: windows at 0 and 48; second is 52 long (reaches end)
+    assert sorted(got[1]) == [(0, 0, 64), (1, 48, 52)]
+    # exactly one window when doc fits
+    assert got[2] == [(0, 0, 64)]
+    assert got[3] == [(0, 0, 10)]
+    assert 4 not in got                      # empty doc: no chunks
+    # every token covered: max(start+len) == n_tok and starts stride apart
+    assert max(s + ln for _, s, ln in got[1]) == 100
+
+
+def test_chunk_plan_strided_rejects_token_skipping(spark):
+    import pytest as _pytest
+
+    from xdan_dqa_spark.operators.curation import chunk_plan_strided
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_plan_strided(df, chunk_tokens=8, stride=9)

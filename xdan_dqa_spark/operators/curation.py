@@ -846,3 +846,49 @@ def snapshot_diff_census(old: DataFrame, new: DataFrame,
         .groupBy("status")
         .agg(F.count("*").alias("n"))
     )
+
+
+def chunk_plan_strided(docs: DataFrame, chunk_tokens: int = 64,
+                       stride: int = 48, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """OVERLAPPING context-window chunking: windows of ``chunk_tokens``
+    starting every ``stride`` tokens (stride < chunk ⇒ consecutive
+    windows share chunk−stride tokens — the standard pretraining
+    overlap that keeps context from being cut mid-thought at window
+    boundaries; stride == chunk degenerates to :func:`chunk_plan`).
+    Returns (doc_id, chunk_id, start_tok, chunk_len, n_chunks); the
+    final window is the first one that reaches the document's end
+    (shorter if the doc is), so every token is covered exactly and no
+    fully-redundant tail window is emitted.
+
+    Same map-only shape as chunk_plan: integral arithmetic for the
+    window count (n = 1 + ceil(max(0, n_tok − chunk)/stride)), one
+    bounded sequence explode, NO shuffle. Output rows ≈ tokens/stride —
+    the overlap multiplies training data by chunk/stride, a factor the
+    plan makes explicit instead of hiding in a tokenizer."""
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens and stride must be >= 1 "
+                         f"(got {chunk_tokens}, {stride})")
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride {stride} > chunk_tokens {chunk_tokens} would skip tokens"
+        )
+    n_tok = F.size(_words(text_col)).cast("long")
+    d = docs.select(F.col(id_col), n_tok.alias("n_tok")).filter(F.col("n_tok") > 0)
+    n_chunks = F.expr(
+        f"1 + (greatest(n_tok - {chunk_tokens}, 0) + {stride - 1}) DIV {stride}"
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    return (
+        d.withColumn("n_chunks", n_chunks)
+        .select(
+            id_col, "n_tok", "n_chunks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col, "chunk_id",
+            start.alias("start_tok"),
+            F.least(F.lit(chunk_tokens), F.col("n_tok") - start).alias("chunk_len"),
+            "n_chunks",
+        )
+    )

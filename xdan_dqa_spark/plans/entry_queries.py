@@ -6334,6 +6334,33 @@ FROM documents
 """
 
 
+def q_chunk_plan_strided(spark, sf_dir):
+    """Overlapping context-window plan (operators/curation.py:
+    chunk_plan_strided) — 64-token windows every 48 tokens; map-only,
+    integral window math, one bounded sequence explode."""
+    from ..operators.curation import chunk_plan_strided
+
+    return chunk_plan_strided(_t(spark, sf_dir, "documents"),
+                              chunk_tokens=64, stride=48)
+
+
+SQL_CHUNK_STRIDED = f"""
+WITH d AS (
+  SELECT doc_id, len({_WORDS_WS_SQL}) AS n_tok FROM documents
+),
+nz AS (
+  SELECT doc_id, n_tok,
+         1 + (greatest(n_tok - 64, 0) + 47) // 48 AS n_chunks
+  FROM d WHERE n_tok > 0
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 48 AS start_tok,
+       least(64, n_tok - chunk_id * 48) AS chunk_len,
+       n_chunks
+FROM nz, UNNEST(range(0, n_chunks)) AS t(chunk_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6478,6 +6505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search_indexed": q_phrase_search_indexed,
     "snapshot_diff": q_snapshot_diff,
     "zorder_values": q_zorder_values,
+    "chunk_plan_strided": q_chunk_plan_strided,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6577,6 +6605,7 @@ def oracle_map() -> dict[str, str]:
         "phrase_search_indexed": SQL_PHRASE_SEARCH,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "zorder_values": _sql_zorder_values(),
+        "chunk_plan_strided": SQL_CHUNK_STRIDED,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
