@@ -585,3 +585,29 @@ def test_chunk_plan_strided_rejects_token_skipping(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_plan_strided(df, chunk_tokens=8, stride=9)
+
+
+def test_mixture_temperature_limits_and_direction(spark):
+    """T→1 keeps natural shares; T=2 moves small sources UP and large
+    sources DOWN but never past uniform; shares always sum to 1."""
+    from xdan_dqa_spark.operators.curation import mixture_plan_temperature
+
+    rows = [(i, "w " * 90, "big") for i in range(9)] + [(100, "w " * 10, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    t1 = {r["source"]: r for r in
+          mixture_plan_temperature(df, temperature=1.0).collect()}
+    assert t1["big"]["target_share"] == t1["big"]["current_share"]
+    assert t1["big"]["epochs"] == 1.0
+
+    t2 = {r["source"]: r for r in
+          mixture_plan_temperature(df, temperature=2.0).collect()}
+    assert t2["small"]["target_share"] > t2["small"]["current_share"]
+    assert t2["big"]["target_share"] < t2["big"]["current_share"]
+    assert 0.5 > t2["small"]["target_share"]      # never past uniform
+    assert abs(sum(r["target_share"] for r in t2.values()) - 1.0) < 1e-6
+    assert t2["small"]["epochs"] > 1.0 > t2["big"]["epochs"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixture_plan_temperature(df, temperature=0.0)

@@ -892,3 +892,48 @@ def chunk_plan_strided(docs: DataFrame, chunk_tokens: int = 64,
             "n_chunks",
         )
     )
+
+
+def mixture_plan_temperature(docs: DataFrame, temperature: float = 2.0,
+                             text_col: str = "text",
+                             by: str = "source") -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/XLM-R sampling rule):
+    target share ∝ current_shareᵝ with β = 1/temperature — T = 1 keeps
+    natural proportions, T → ∞ approaches uniform, intermediate T
+    upsamples small sources without drowning large ones. Returns per
+    source (n_docs, n_tokens, current_share, target_share, epochs);
+    ``epochs`` > 1 means repeat/upsample.
+
+    Same bounded shape as mixture_plan: ONE hash aggregate to the
+    source grain, totals broadcast back — the corpus scans once. Float
+    discipline: shares are exact integer divisions; the power term
+    pow(share, β) is one fixed IEEE call per SOURCE (a bounded census,
+    not per row), its normalizing sum is rounded + DECIMAL-folded
+    order-free, and every emitted ratio is rounded once."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    beta = 1.0 / temperature
+    per = docs.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_words(text_col)).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    cur = F.col("n_tokens").cast("double") / F.col("_t").cast("double")
+    powed = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.round(F.pow(cur, F.lit(beta)), 12)
+    )
+    norm = powed.agg(
+        F.sum(F.col("_p").cast("decimal(30,12)")).alias("_z")
+    )
+    tgt = F.col("_p") / F.col("_z").cast("double")
+    epochs = tgt / (F.col("n_tokens").cast("double") / F.col("_t").cast("double"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            by, "n_docs", "n_tokens",
+            F.round(F.col("n_tokens").cast("double")
+                    / F.col("_t").cast("double"), 9).alias("current_share"),
+            F.round(tgt, 9).alias("target_share"),
+            F.round(epochs, 9).alias("epochs"),
+        )
+    )

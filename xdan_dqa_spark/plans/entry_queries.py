@@ -6361,6 +6361,39 @@ FROM nz, UNNEST(range(0, n_chunks)) AS t(chunk_id)
 """
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (operators/curation.py:
+    mixture_plan_temperature, T = 2): target ∝ share^(1/T) — the
+    mT5-style upsampling rule for small sources. Bounded census; pow()
+    runs once per source, normalizer DECIMAL-folded."""
+    from ..operators.curation import mixture_plan_temperature
+
+    return mixture_plan_temperature(_t(spark, sf_dir, "documents"),
+                                    temperature=2.0)
+
+
+SQL_MIXTURE_TEMPERATURE = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len({_WORDS_WS_SQL})) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM per),
+powed AS (
+  SELECT per.*, t,
+         round(pow(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 0.5), 12) AS p
+  FROM per CROSS JOIN tot
+),
+norm AS (SELECT SUM(CAST(p AS DECIMAL(30,12))) AS z FROM powed)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 9) AS current_share,
+       round(p / CAST(z AS DOUBLE), 9) AS target_share,
+       round((p / CAST(z AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS epochs
+FROM powed CROSS JOIN norm
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6506,6 +6539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "zorder_values": q_zorder_values,
     "chunk_plan_strided": q_chunk_plan_strided,
+    "mixture_temperature": q_mixture_temperature,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6606,6 +6640,7 @@ def oracle_map() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "zorder_values": _sql_zorder_values(),
         "chunk_plan_strided": SQL_CHUNK_STRIDED,
+        "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
