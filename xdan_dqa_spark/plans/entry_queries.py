@@ -6394,6 +6394,26 @@ FROM powed CROSS JOIN norm
 """
 
 
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency audit (operators/metrics.py:fd_violations)
+    over events: which users violate 'one user ⇒ one event_type' —
+    i.e. the census a declared DQ rule produces when it does NOT hold.
+    Two stacked aggregates (groupBy(lhs, rhs) → groupBy(lhs)) so
+    per-group state stays bounded at any rhs cardinality."""
+    from ..operators.metrics import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+SQL_FD_VIOLATIONS = """
+WITH pairs AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT user_id, SUM(c) AS n_rows, COUNT(*) AS n_distinct_rhs
+FROM pairs GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6540,6 +6560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_values": q_zorder_values,
     "chunk_plan_strided": q_chunk_plan_strided,
     "mixture_temperature": q_mixture_temperature,
+    "fd_violations": q_fd_violations,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6641,6 +6662,7 @@ def oracle_map() -> dict[str, str]:
         "zorder_values": _sql_zorder_values(),
         "chunk_plan_strided": SQL_CHUNK_STRIDED,
         "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
+        "fd_violations": SQL_FD_VIOLATIONS,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
