@@ -357,3 +357,53 @@ def ivf_append(df_new: DataFrame, path: str, centroids: list[list[float]],
     ivf_assign(df_new, centroids, vec_col).write.partitionBy(
         "_list"
     ).mode("append").parquet(path)
+
+
+def int8_topk(emb: DataFrame, query: list[float], k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Brute-force top-k on INT8-QUANTIZED embeddings — the standard
+    4× memory / bandwidth optimization for at-scale vector search
+    (float32 corpus → int8 codes + one float scale per vector; FAISS
+    SQ8 / ScaNN's quantized distance). Each vector is symmetric-range
+    quantized (codes = round(x·127/max|x|) ∈ [−127, 127]); the score
+    is the EXACT INTEGER dot product of codes, rescaled by the two
+    scalar factors: score ≈ ⟨a, q⟩ with error O(1/127) per dimension.
+    Returns (vec_id, score) — the quantized ranking, top-k.
+
+    Determinism: the inner product is INTEGER arithmetic (exact in any
+    engine, any order); only the two per-vector scale factors are
+    floats, applied in one fixed IEEE sequence and rounded — so unlike
+    a float32 dot product (summation-order-dependent), the quantized
+    ranking is bit-identical cross-engine and cross-partitioning BY
+    CONSTRUCTION, which is also why the DuckDB twin can hash-match it.
+    Shape: map-only scoring + TakeOrdered top-k; codes never
+    materialize corpus-wide (computed in the scan projection) — a
+    PERSISTED int8 index would store (codes, scale) columns and cut
+    scan bytes ~4×, same probe plan."""
+    qm = max(abs(float(x)) for x in query) or 1.0
+    qcodes = [int(_round_half_away(x * 127.0 / qm)) for x in query]
+    qarr = F.array(*[F.lit(c).cast("long") for c in qcodes])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.transform(v, lambda x: F.round(x * F.lit(127.0) / m).cast("long"))
+    dot = F.aggregate(
+        F.zip_with(codes, qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    score = F.when(
+        m > 0,
+        F.round(dot.cast("double") * (m / F.lit(127.0))
+                * F.lit(qm / 127.0), 6),
+    ).otherwise(F.lit(0.0))
+    scored = emb.select(F.col(id_col), score.alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _round_half_away(x: float) -> float:
+    """Round half away from zero — the rule Spark's round() and
+    DuckDB's round() share (Python's built-in round is half-to-EVEN
+    and would disagree on exact .5 code boundaries)."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)

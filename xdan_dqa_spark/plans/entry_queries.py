@@ -6414,6 +6414,42 @@ FROM pairs GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def q_int8_topk(spark, sf_dir):
+    """INT8-quantized brute-force top-k (operators/similarity.py:
+    int8_topk) — FAISS-SQ8-style 4× scan-byte reduction; the inner
+    product is EXACT INTEGER arithmetic so the quantized ranking is
+    bit-identical cross-engine by construction (only two scalar
+    rescales are floats, one fixed sequence each)."""
+    from ..operators.similarity import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0]
+    return int8_topk(emb, query, k=10)
+
+
+SQL_INT8_TOPK = """
+WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qm FROM q0),
+qc AS (SELECT qm, [CAST(round(x * 127.0 / qm) AS BIGINT) FOR x IN qv] AS qcodes FROM qq),
+s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+  FROM embeddings
+),
+sc AS (
+  SELECT s.vec_id,
+         CASE WHEN m > 0 THEN
+           round(CAST(list_sum([CAST(round(v[i] * 127.0 / m) AS BIGINT) * qcodes[i]
+                                FOR i IN range(1, len(v) + 1)]) AS DOUBLE)
+                 * (m / 127.0) * (qm / 127.0), 6)
+         ELSE 0.0 END AS score
+  FROM s CROSS JOIN qc
+)
+SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6561,6 +6597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_plan_strided": q_chunk_plan_strided,
     "mixture_temperature": q_mixture_temperature,
     "fd_violations": q_fd_violations,
+    "int8_topk": q_int8_topk,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6663,6 +6700,7 @@ def oracle_map() -> dict[str, str]:
         "chunk_plan_strided": SQL_CHUNK_STRIDED,
         "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
         "fd_violations": SQL_FD_VIOLATIONS,
+        "int8_topk": SQL_INT8_TOPK,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
