@@ -664,3 +664,16 @@ def test_dedup_provenance_family_disagreement(spark):
     assert got[4]["n_families_dropped"] == 0          # unrelated
     assert got[3]["kept_exact"] is True               # different bytes
     assert got[3]["kept_wordset"] is False            # same word set
+
+
+def test_exact_dedup_best_keeps_top_scoring_copy(spark):
+    from xdan_dqa_spark.operators.dedup import exact_dedup_best
+
+    df = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "same text", 0.9), (3, "same text", 0.9),
+         (4, "other", 0.1)],
+        "doc_id long, text string, score double",
+    )
+    got = sorted(r["doc_id"] for r in exact_dedup_best(df, "score").collect())
+    # highest score wins; tie between 2 and 3 goes to the LOWEST id
+    assert got == [2, 4]

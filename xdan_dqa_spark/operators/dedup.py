@@ -908,3 +908,28 @@ def dedup_provenance(df: DataFrame, text_col: str = "text",
         F.col(f"kept_{n}").cast("int") for n in fams
     )
     return res.withColumn("n_families_dropped", n_dropped)
+
+
+def exact_dedup_best(df: DataFrame, score_col: str, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the BEST-SCORING member of each
+    byte-identical cluster (ties → lowest id) — the quality-aware
+    upgrade of :func:`exact_dedup`'s min-id policy: identical TEXT can
+    carry different metadata (crawl freshness, source reputation, a
+    quality score), and the survivor should be the copy worth keeping,
+    not the accidental id minimum.
+
+    Scale shape: the argmax is max(struct(score, −id)) — ONE map-side-
+    combinable hash aggregate whose per-cluster state is a single
+    struct, then a left-semi rejoin. Deliberately NOT a row_number
+    window: at web scale an identical-text cluster is the Zipf head
+    (one cookie-banner page duplicated 10⁹×), and a window would sort
+    that entire cluster in one task, while the struct-max folds it
+    map-side. Selection is deterministic: lexicographic (score, −id)
+    max ⇒ highest score, ties to the LOWEST id."""
+    keyed = df.withColumn("_k", F.md5(F.col(text_col)))
+    reps = keyed.groupBy("_k").agg(
+        F.max(F.struct(F.col(score_col).alias("_s"),
+                       (-F.col(id_col)).alias("_ni"))).alias("_m")
+    ).select("_k", (-F.col("_m._ni")).alias(id_col))
+    return keyed.join(reps, ["_k", id_col], "left_semi").drop("_k")

@@ -6450,6 +6450,29 @@ SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def q_dedup_exact_best(spark, sf_dir):
+    """Quality-aware exact dedup (operators/dedup.py:exact_dedup_best):
+    byte-identical clusters collapse to their HIGHEST-n_chars member
+    (ties → lowest id) instead of the accidental id minimum — one
+    struct-max aggregate, never a window over the Zipf-head cluster."""
+    from ..operators.dedup import exact_dedup_best
+
+    return exact_dedup_best(
+        _t(spark, sf_dir, "documents"), score_col="n_chars"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_DEDUP_EXACT_BEST = """
+WITH keyed AS (SELECT *, md5(text) AS k FROM documents),
+ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY k ORDER BY n_chars DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6598,6 +6621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_temperature": q_mixture_temperature,
     "fd_violations": q_fd_violations,
     "int8_topk": q_int8_topk,
+    "dedup_exact_best": q_dedup_exact_best,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6701,6 +6725,7 @@ def oracle_map() -> dict[str, str]:
         "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
         "fd_violations": SQL_FD_VIOLATIONS,
         "int8_topk": SQL_INT8_TOPK,
+        "dedup_exact_best": SQL_DEDUP_EXACT_BEST,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
