@@ -288,3 +288,20 @@ def test_int8_topk_repartition_invariant(spark, emb, query):
     a = [tuple(r) for r in int8_topk(emb, query, k=10).collect()]
     b = [tuple(r) for r in int8_topk(emb.repartition(7), query, k=10).collect()]
     assert a == b   # integer inner product: exact at any partitioning
+
+
+def test_embedding_dim_stats_exact_and_invariant(spark):
+    from xdan_dqa_spark.operators.similarity import embedding_dim_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0), (3, [5.0, 2.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["dim"]): (r["n"], r["mean_val"], r["var_val"])
+           for r in embedding_dim_stats(emb).collect()}
+    assert got[(0, 0)] == (2, 2.0, 1.0)       # mean(1,3)=2, var=1
+    assert got[(0, 1)] == (2, 0.0, 0.0)
+    assert got[(1, 0)] == (1, 5.0, 0.0)
+    a = sorted(map(tuple, embedding_dim_stats(emb).collect()))
+    b = sorted(map(tuple, embedding_dim_stats(emb.repartition(5)).collect()))
+    assert a == b

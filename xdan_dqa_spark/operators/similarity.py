@@ -407,3 +407,43 @@ def _round_half_away(x: float) -> float:
     import math
 
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def embedding_dim_stats(emb: DataFrame, by: str = "label",
+                        vec_col: str = "embedding",
+                        ) -> DataFrame:
+    """Per-group, per-DIMENSION embedding statistics (mean and spread of
+    each coordinate) — the embedding-space drift monitor completing the
+    drift trio (ks_drift: numeric columns; unigram_kl_drift: vocabulary;
+    this: representation space). A retrained encoder, a normalization
+    bug, or a poisoned slice shows up as coordinate means walking away
+    from the corpus baseline long before downstream recall moves.
+    Returns (group, dim, n, mean_val, var_val).
+
+    Scale shape: ONE posexplode (rows = vectors × dims, map-only) into
+    ONE hash aggregate keyed (group, dim) — bounded output (groups ×
+    dims), map-side combinable, no windows, no driver state. Float
+    discipline: coordinates are rounded to 9 dp and DECIMAL-summed
+    (order-free) for both Σx and Σx²; mean/variance come from the
+    closed form with one fixed IEEE sequence each, rounded. Variance is
+    the population form Σx²/n − mean² — exact-moment arithmetic, the
+    same pattern as feature_correlation."""
+    ex = emb.select(
+        F.col(by),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .alias("dim", "x"),
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(30,9)")  # noqa: E731
+    agg = ex.groupBy(by, "dim").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).alias("_sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("_sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("_sx").cast("double") / nd
+    var = F.col("_sxx").cast("double") / nd - mean * mean
+    return agg.select(
+        by, "dim", "n",
+        F.round(mean, 6).alias("mean_val"),
+        F.round(var, 6).alias("var_val"),
+    )

@@ -6473,6 +6473,39 @@ SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
 """
 
 
+def q_emb_dim_stats(spark, sf_dir):
+    """Per-label per-dimension embedding mean/variance
+    (operators/similarity.py:embedding_dim_stats) — representation-
+    space drift monitor (the third leg of the drift trio). One
+    posexplode into one bounded (label, dim) aggregate; exact decimal
+    moments."""
+    from ..operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMB_DIM_STATS = """
+WITH ex AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+agg AS (
+  SELECT label, dim, COUNT(*) AS n,
+         SUM(CAST(round(x, 9) AS DECIMAL(30,9))) AS sx,
+         SUM(CAST(round(x * x, 9) AS DECIMAL(30,9))) AS sxx
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, dim, n,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_val,
+       round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS var_val
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6622,6 +6655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fd_violations": q_fd_violations,
     "int8_topk": q_int8_topk,
     "dedup_exact_best": q_dedup_exact_best,
+    "emb_dim_stats": q_emb_dim_stats,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6726,6 +6760,7 @@ def oracle_map() -> dict[str, str]:
         "fd_violations": SQL_FD_VIOLATIONS,
         "int8_topk": SQL_INT8_TOPK,
         "dedup_exact_best": SQL_DEDUP_EXACT_BEST,
+        "emb_dim_stats": SQL_EMB_DIM_STATS,
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
