@@ -6506,6 +6506,141 @@ FROM agg
 """
 
 
+def q_benford_census(spark, sf_dir):
+    """Benford first-digit audit over events.value — the classic
+    fabricated-numbers alarm: natural multi-scale magnitudes follow
+    P(d) = log10(1 + 1/d); synthetic or truncated feeds don't. One
+    map-only digit extraction + one 9-row aggregate; observed shares
+    are integers divided once; expected shares are fixed literals
+    generated from the same formula on both sides."""
+    import math
+
+    e = _t(spark, sf_dir, "events").filter(F.abs(F.col("value")) > 0)
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col("value")), 12), r"[0.,]", ""
+        ), 1, 1
+    ).cast("int")
+    counts = e.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("_t"))
+    exp_map = F.create_map(
+        *[x for d in range(1, 10)
+          for x in (F.lit(d), F.lit(round(math.log10(1 + 1 / d), 9)))]
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 9)
+            .alias("obs_share"),
+            exp_map[F.col("digit")].alias("benford_share"),
+        )
+    )
+
+
+def _sql_benford_census() -> str:
+    import math
+
+    exp_case = " ".join(
+        f"WHEN {d} THEN {round(math.log10(1 + 1 / d), 9)!r}"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH e AS (SELECT abs(value) AS v FROM events WHERE abs(value) > 0),
+d AS (
+  SELECT CAST(substr(regexp_replace(format('{{:.12f}}', v), '[0.,]', '', 'g'), 1, 1)
+              AS INT) AS digit
+  FROM e
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS t FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 9) AS obs_share,
+       CASE digit {exp_case} END AS benford_share
+FROM c CROSS JOIN t
+"""
+
+
+def q_incremental_curation_e2e(spark, sf_dir):
+    """Round-5 capstone CHAIN, oracle-checked as ONE plan (composition
+    is where semantic drift hides — web_curation_e2e's discipline):
+    snapshot_diff picks the added ∪ changed docs of an incremental
+    crawl, ONLY those pass the Gopher keep rule, and survivors collapse
+    via quality-aware exact dedup (best = longest copy). Each stage is
+    individually oracle-paired (snapshot_diff, stream_gopher_score's
+    rule, dedup_exact_best); the chain proves they compose. Scale
+    shapes are preserved: md5 diff join, map-only heuristics,
+    struct-max dedup — no windows over raw docs anywhere."""
+    from ..functions.heuristics import heuristic_columns, words_col
+    from ..operators.curation import snapshot_diff
+    from ..operators.dedup import exact_dedup_best
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev2]")))
+        .otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    todo = (
+        snapshot_diff(old, new, key_col="doc_id")
+        .filter(F.col("status").isin("added", "changed"))
+        .select("doc_id")
+    )
+    work = new.join(todo, "doc_id", "left_semi")
+    h = heuristic_columns(F.col("text"), words_col(F.col("text")))
+    kept = work.select(
+        "doc_id", "text",
+        h["n_words"].cast("long").alias("_w"),
+        F.round(h["symbol_ratio"], 9).alias("_sym"),
+        F.round(h["dup_line_frac"], 9).alias("_dlf"),
+    ).filter(
+        (F.col("_sym") <= 0.1) & (F.col("_w") >= 5) & (F.col("_dlf") <= 0.3)
+    ).select("doc_id", "text", F.octet_length("text").alias("_nb"))
+    return exact_dedup_best(kept, score_col="_nb").select(
+        "doc_id", F.col("_nb").alias("n_bytes_clean")
+    )
+
+
+def _sql_incremental_curation() -> str:
+    gopher2 = SQL_GOPHER_STATS.replace("FROM documents", "FROM docs2")
+    assert "docs2" in gopher2 and "FROM documents" not in gopher2
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' [rev2]'
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id >= 100
+),
+o AS (
+  SELECT doc_id AS k, md5(coalesce(text, '')) AS ho
+  FROM documents WHERE doc_id < 400
+),
+nn AS (SELECT doc_id AS k, md5(text) AS hn FROM docs2),
+todo AS (
+  SELECT nn.k AS doc_id FROM nn LEFT JOIN o ON o.k = nn.k
+  WHERE o.k IS NULL OR o.ho <> nn.hn
+),
+g AS ({gopher2}),
+kept AS (
+  SELECT g.doc_id, d2.text, strlen(d2.text) AS nb
+  FROM g JOIN todo ON todo.doc_id = g.doc_id
+  JOIN docs2 d2 ON d2.doc_id = g.doc_id
+  WHERE round(g.symbol_ratio, 9) <= 0.1 AND g.n_words >= 5
+    AND round(g.dup_line_frac, 9) <= 0.3
+),
+ranked AS (
+  SELECT doc_id, nb,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY nb DESC, doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id, nb AS n_bytes_clean FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6656,6 +6791,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "int8_topk": q_int8_topk,
     "dedup_exact_best": q_dedup_exact_best,
     "emb_dim_stats": q_emb_dim_stats,
+    "benford_census": q_benford_census,
+    "incremental_curation_e2e": q_incremental_curation_e2e,
     "o7_top_supplier": q_o7_top_supplier,
     "dup_cross_source": q_dup_cross_source,
     "s3_stratified_sample": q_s3_stratified_sample,
@@ -6761,6 +6898,8 @@ def oracle_map() -> dict[str, str]:
         "int8_topk": SQL_INT8_TOPK,
         "dedup_exact_best": SQL_DEDUP_EXACT_BEST,
         "emb_dim_stats": SQL_EMB_DIM_STATS,
+        "benford_census": _sql_benford_census(),
+        "incremental_curation_e2e": _sql_incremental_curation(),
         "lang_id_heuristic": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
