@@ -611,3 +611,32 @@ def test_mixture_temperature_limits_and_direction(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mixture_plan_temperature(df, temperature=0.0)
+
+
+def test_benford_digit_extraction_edges(spark):
+    """First-significant-digit extraction must survive negatives,
+    sub-1 magnitudes, and interior zeros (stripping [0.,] keeps the
+    significant digits in order — interior zeros are never FIRST)."""
+    import os
+    import tempfile
+
+    import xdan_dqa_spark.plans.entry_queries as eq
+
+    rows = [
+        (1, -123.4),    # -> 1
+        (2, 0.00456),   # -> 4
+        (3, 102.5),     # -> 1 (interior zero must not shift)
+        (4, 0.0),       # filtered out
+        (5, 900.0),     # -> 9
+    ]
+    df = spark.createDataFrame(
+        [(i, __import__("datetime").datetime(2024, 1, 1), 7, "t", v, "{}")
+         for i, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {r["digit"]: r["n"]
+               for r in eq.QUERIES["benford_census"](spark, tmp).collect()}
+    assert got == {1: 2, 4: 1, 9: 1}
