@@ -1,0 +1,181 @@
+"""Sketch invariants (operators/sketches.py): HyperLogLog must land
+within its theoretical error band and its register state must merge by
+max; count-min must never undercount; the Bloom filter must have zero
+false negatives and a measured false-positive rate near theory; Gini
+and CUSUM (operators/curation.py) hit their closed-form extremes.
+Value-level cross-engine identity is pinned by the DuckDB twins
+(hll_vocab / cms_terms / bloom_custkeys / gini_sources / cusum_drift in
+plans/entry_queries.py); these tests pin the probabilistic contracts
+and merge algebra the oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdan_dqa_spark.operators.sketches import (
+    BLOOM_K,
+    HLL_M,
+    bloom_build,
+    bloom_probe_report,
+    bloom_theoretical_fp,
+    cms_heavy_hitters,
+    cms_table,
+    hll_estimate,
+    hll_registers,
+)
+from xdan_dqa_spark.operators.curation import (
+    cusum_changepoint,
+    gini_concentration,
+)
+
+
+@pytest.fixture(scope="module")
+def keys10k(spark):
+    return spark.range(10_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v")
+    ).cache()
+
+
+def test_hll_within_theoretical_error(spark, keys10k):
+    row = hll_estimate(keys10k, "v").collect()[0]
+    assert row["exact_distinct"] == 10_000
+    assert row["m"] == HLL_M
+    # standard error is 1.04/sqrt(m) ~= 6.5%; allow 4 sigma
+    assert abs(row["rel_error"]) < 4 * 1.04 / (HLL_M ** 0.5)
+    assert abs(row["hll_estimate"] / 10_000.0 - 1.0) < 0.26
+
+
+def test_hll_duplicate_insensitive(spark, keys10k):
+    dup = keys10k.union(keys10k).union(keys10k)
+    a = hll_estimate(keys10k, "v").collect()[0]
+    b = hll_estimate(dup, "v").collect()[0]
+    assert a["hll_estimate"] == b["hll_estimate"]
+    assert a["n_zero_registers"] == b["n_zero_registers"]
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The whole point of the sketch at 100 TB: shard register tables
+    merge with a plain max() and equal the single-pass registers."""
+    half1 = spark.range(0, 5_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v"))
+    half2 = spark.range(5_000, 10_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v"))
+    merged = (
+        hll_registers(half1, "v").unionByName(hll_registers(half2, "v"))
+        .groupBy("idx").agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(half1.union(half2), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect()))
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities route through the linear-counting branch and
+    come out near-exact (that's why the branch exists)."""
+    tiny = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    row = hll_estimate(tiny, "v").collect()[0]
+    assert row["exact_distinct"] == 30
+    assert abs(row["hll_estimate"] - 30.0) < 4.0
+    assert row["n_zero_registers"] > 0
+
+
+def test_cms_never_undercounts_and_is_exact_on_sparse_streams(spark):
+    words = (["alpha"] * 500 + ["beta"] * 200 + ["gamma"] * 50
+             + [f"tail-{i}" for i in range(100)])
+    df = spark.createDataFrame([(w,) for w in words], "v string")
+    out = {r["value"]: r for r in cms_heavy_hitters(df, "v", top_k=3).collect()}
+    assert set(out) == {"alpha", "beta", "gamma"}
+    for r in out.values():
+        assert r["cms_estimate"] >= r["true_cnt"]
+        assert r["overcount"] == r["cms_estimate"] - r["true_cnt"]
+    # 103 distinct values over 4x1024 counters: heads collide with the
+    # tail only rarely; the heavy estimates stay within the eps*N bound
+    n = len(words)
+    eps = 2.718281828 / 1024
+    for r in out.values():
+        assert r["overcount"] <= eps * n + 1
+
+
+def test_cms_table_state_is_bounded(spark):
+    big = spark.range(50_000).select(
+        (F.col("id") % 997).cast("string").alias("v"))
+    cells = cms_table(big, "v")
+    assert cells.count() <= 4 * 1024
+    # cell-wise sums conserve the stream length per row
+    per_row = cells.groupBy("row_id").agg(F.sum("cnt").alias("s")).collect()
+    assert all(r["s"] == 50_000 for r in per_row)
+
+
+def test_bloom_no_false_negatives_and_fp_near_theory(spark):
+    build = spark.range(2_000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("k"))
+    probe_in = build
+    probe_out = spark.range(20_000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("k"))
+    rep_in = bloom_probe_report(build, "k", probe_in, "k").collect()[0]
+    assert rep_in["n_claimed_present"] == rep_in["n_probes"] == 2_000
+    assert rep_in["n_false_positives"] == 0
+    rep_out = bloom_probe_report(build, "k", probe_out, "k").collect()[0]
+    assert rep_out["n_actually_present"] == 0
+    theory = bloom_theoretical_fp(2_000)
+    # 20k negative probes: the measured rate should be within ~3x of
+    # theory (binomial noise at this sample size is far tighter; the
+    # slack covers md5's mild non-uniformity over structured keys)
+    assert rep_out["fp_rate"] <= 3 * theory + 1e-4
+    assert rep_out["n_claimed_present"] == rep_out["n_false_positives"]
+
+
+def test_bloom_bitset_is_bounded_and_broadcast(spark):
+    build = spark.range(3_000).select(F.col("id").cast("string").alias("k"))
+    bits = bloom_build(build, "k")
+    n_bits = bits.count()
+    assert n_bits <= min(65_536, 3_000 * BLOOM_K)
+    probe = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    plan = (
+        bloom_probe_report(build, "k", probe, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gini_extremes(spark):
+    even = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(400)], "source string")
+    g_even = gini_concentration(even, "source").collect()[0]
+    assert g_even["n_groups"] == 4
+    assert g_even["gini"] == 0.0
+    skewed = spark.createDataFrame(
+        [("whale",)] * 997 + [("a",), ("b",), ("c",)], "source string")
+    g_skew = gini_concentration(skewed, "source").collect()[0]
+    assert g_skew["gini"] > 0.7
+    # weighted variant agrees with counts when the weight is constant 1
+    even1 = even.withColumn("w", F.lit(1.0))
+    g_w = gini_concentration(even1, "source", weight_col="w").collect()[0]
+    assert g_w["gini"] == 0.0
+
+
+def test_cusum_finds_injected_level_shift(spark):
+    # 30 days at 10/day, then 30 days at 50/day: the max |D_t| of a
+    # clean step function sits exactly at the step boundary (day 30)
+    import datetime as dt
+
+    rows = []
+    for d in range(60):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=d)
+        rows.append(("feed", f"{day} 00:00:00", 10.0 if d < 30 else 50.0))
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = cusum_changepoint(df).collect()[0]
+    assert out["n_days"] == 60
+    assert str(out["changepoint_day"]) == "2024-01-30"
+    # D_30 = n*P_30 - 30*T = 60*300 - 30*1800 = -36000 -> /n = 600
+    assert out["max_abs_cusum"] == 600.0
+
+
+def test_cusum_flat_series_is_null_signal(spark):
+    rows = [("flat", f"2024-03-{d + 1:02d} 12:00:00", 7.0) for d in range(20)]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = cusum_changepoint(df).collect()[0]
+    assert out["max_abs_cusum"] == 0.0

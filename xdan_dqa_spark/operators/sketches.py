@@ -1,0 +1,301 @@
+"""Distributed probabilistic sketches: HyperLogLog cardinality,
+count-min frequency, and Bloom-filter membership — the sublinear-state
+summaries a 100 TB pipeline runs where exact answers would shuffle the
+corpus (vocabulary size per shard, heavy-hitter terms, join pre-filters).
+
+Reference scope: the reference (src/processor.py) has no sketch surface;
+this module is part of the beyond-reference scale layer (SURVEY.md
+§2.6). Spark ships built-in approximations (approx_count_distinct,
+Bloom in the optimizer), but their hash seeds and merge order are
+engine-internal, so their OUTPUTS cannot be oracle-checked. These
+sketches instead derive every hash from md5 — available and
+bit-identical in any engine — and keep all aggregation in integer /
+DECIMAL space (max and exact sums are order-independent), so the whole
+sketch, not just its contract, is verifiable bit-for-bit against DuckDB
+at any parallelism. The float ops that remain are single terminal
+scalar expressions on already-aggregated values (deterministic: one
+round-to-nearest conversion, no reassociation).
+
+Cross-engine determinism discipline (shared with graph.py's fixed-point
+PageRank): aggregate in {max, integer sum, DECIMAL(38,0) sum} only;
+divide once at the end.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# HyperLogLog geometry: m = 2^P registers; the remaining W bits of the
+# 64-bit md5-derived hash feed the leading-zero rank, rho in [1, W+1].
+HLL_P = 8
+HLL_M = 1 << HLL_P          # 256 registers
+_HLL_W = 56                 # hash bits left after the register index
+_HLL_RHO_MAX = _HLL_W + 1   # rank when the suffix is all zeros
+
+# Count-min geometry: D independent rows of WIDTH counters. Error bound
+# is eps = e/WIDTH of the stream length with prob 1 - e^-D.
+CMS_D = 4
+CMS_WIDTH = 1024
+
+BLOOM_BITS = 1 << 16        # 65 536 positions
+BLOOM_K = 4
+
+
+def _h32(col: F.Column, salt: str | int = "") -> F.Column:
+    """First 32 bits of md5(salt:value) as a non-negative BIGINT — the
+    one hash primitive every engine evaluates identically."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 8),
+                  16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(idx, rho) HyperLogLog register table over ``df[col]``.
+
+    Per value: a 64-bit hash from md5 carried as two 32-bit halves
+    (conv of 16 hex chars would overflow a signed long — same layout as
+    operators/dedup.py's SimHash). Low HLL_P bits of the first half are
+    the register index; the remaining 56 bits w rank by leading zeros,
+    computed EXACTLY as 57 - length(bin(w)) — bin() renders the minimal
+    binary string in both Spark and DuckDB, so no float log2 near a
+    power-of-two boundary can flip the rank. Register merge is max():
+    order-independent, duplicate-insensitive (so the input needs no
+    distinct), and map-side combinable — shuffle rows out = registers
+    touched, never values."""
+    c = F.col(col).cast("string")
+    hl = _h32(c, "hl")
+    hh = _h32(c, "hh")
+    idx = hl.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(hl, HLL_P) * F.lit(1 << 32).cast("long") + hh
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row HyperLogLog cardinality report: (m, n_zero_registers,
+    hll_estimate, exact_distinct, rel_error).
+
+    The harmonic mean is kept EXACT until the last step: each register
+    contributes 2^(57 - rho) — an integer in [1, 2^56] — summed as
+    DECIMAL(38,0) (256 registers x 2^56 can exceed a signed long);
+    absent registers contribute 2^57 each. The single float division
+    happens once on the two aggregated scalars, and the small-range
+    linear-counting correction (E <= 2.5m with empty registers) is one
+    scalar ln. alpha_m is the standard bias constant for m = 256.
+
+    ``exact_distinct`` is computed alongside (count_distinct — one extra
+    aggregate over the same scan) so the report self-documents the
+    sketch error; at 100 TB you would drop that column and keep only
+    the 256-row register state, which merges across shards/days with
+    max() — the whole point of the sketch."""
+    regs = hll_registers(df, col)
+    # 2^(57-rho) exactly: never float pow() — an integer shiftleft (the
+    # max single contribution 2^56 fits a long), widened to DECIMAL(38,0)
+    # before the sum because 256 registers x 2^56 can exceed 2^63. The
+    # python API's shiftleft only takes a literal shift, so SQL-expr it.
+    contrib = F.expr(
+        f"cast(shiftleft(cast(1 as bigint), cast({_HLL_RHO_MAX} - rho as int)) "
+        "as decimal(38,0))"
+    )
+    s = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(contrib).alias("s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    out = s.crossJoin(exact).select(
+        F.lit(HLL_M).alias("m"),
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero_registers"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("decimal(38,0)")
+            * F.lit(1 << 57).cast("decimal(38,0)")
+        ).alias("_s_total"),
+        F.col("exact_distinct"),
+    )
+    raw = (
+        F.lit(alpha * HLL_M * HLL_M * float(1 << 57))
+        / F.col("_s_total").cast("double")
+    )
+    v = F.col("n_zero_registers").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return out.select(
+        "m",
+        "n_zero_registers",
+        F.round(est, 4).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            (est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def cms_table(df: DataFrame, col: str, weight: F.Column | None = None) -> DataFrame:
+    """(row_id, col_id, cnt) count-min sketch of the ``col`` stream —
+    CMS_D x CMS_WIDTH counters, one exploded struct array per input row
+    (x D rows into ONE map-side-combined aggregate; shuffle rows out
+    are bounded by D*WIDTH = 4 096 regardless of stream length)."""
+    w = weight if weight is not None else F.lit(1).cast("long")
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("row_id"),
+            F.pmod(_h32(F.col(col).cast("string"), d), F.lit(CMS_WIDTH)).alias("col_id"),
+        )
+        for d in range(CMS_D)
+    ])
+    return (
+        df.select(F.explode(cells).alias("_c"), w.alias("_w"))
+        .groupBy(F.col("_c.row_id").alias("row_id"), F.col("_c.col_id").alias("col_id"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, top_k: int = 20) -> DataFrame:
+    """Heavy-hitter report: the ``top_k`` most frequent values with
+    their TRUE counts next to their count-min ESTIMATES —
+    (value, true_cnt, cms_estimate, overcount).
+
+    The estimate is min over the D rows of the value's counter cell; by
+    construction cms_estimate >= true_cnt always, and the overcount
+    column makes the sketch's collision error visible on real data
+    instead of asserted. At 100 TB the true-count side is what you can
+    NOT afford on the full stream — you'd keep only cms_table (4 096
+    counters, mergeable by cell-wise sum) and probe candidates; this
+    report form exists to be oracle-checked end to end.
+
+    All integer: true counts and cell sums are exact; min/least is
+    order-independent. Top-k selection tie-breaks by value ascending so
+    the report is total-order deterministic."""
+    sketch = cms_table(df, col)
+    truth = df.groupBy(F.col(col).cast("string").alias("value")).agg(
+        F.count("*").alias("true_cnt")
+    )
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("value"))
+    top = truth.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= top_k
+    ).drop("_rk")
+    # probe: join each candidate's D cells against the sketch
+    probes = top.select(
+        "value", "true_cnt",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("row_id"),
+                F.pmod(_h32(F.col("value"), d), F.lit(CMS_WIDTH)).alias("col_id"),
+            )
+            for d in range(CMS_D)
+        ])).alias("_c"),
+    ).select("value", "true_cnt",
+             F.col("_c.row_id").alias("row_id"), F.col("_c.col_id").alias("col_id"))
+    est = (
+        probes.join(sketch, ["row_id", "col_id"])
+        .groupBy("value", "true_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "value", "true_cnt", "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_cnt")).alias("overcount"),
+    )
+
+
+def bloom_positions(col: F.Column) -> F.Column:
+    """Array of the BLOOM_K bit positions a key sets/probes."""
+    return F.array(*[
+        F.pmod(_h32(col.cast("string"), k), F.lit(BLOOM_BITS))
+        for k in range(BLOOM_K)
+    ])
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """(pos) set-bit table of the Bloom filter over ``df[col]`` — the
+    relational representation of the bitset (<= BLOOM_BITS rows after
+    distinct, independent of input size), which is what a join
+    pre-filter broadcasts."""
+    return (
+        df.select(F.explode(bloom_positions(F.col(col))).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe_report(build_df: DataFrame, build_col: str,
+                       probe_df: DataFrame, probe_col: str,
+                       group_col: str | None = None) -> DataFrame:
+    """Probe every ``probe_df[probe_col]`` key against the Bloom filter
+    built over ``build_df[build_col]`` and report, per ``group_col``
+    (or one global row): (n_probes, n_claimed_present,
+    n_actually_present, n_false_positives, fp_rate).
+
+    A key is CLAIMED present iff all BLOOM_K of its positions are set —
+    computed as an inner join of the probe's exploded positions against
+    the (broadcastable) bit table, counting matches per key; ACTUAL
+    membership is a left-semi mark against the distinct build keys. The
+    filter guarantees no false negatives (claimed >= actual, verified
+    by the report's columns) and the fp_rate column measures the real
+    false-positive rate against the theoretical (1 - e^(-kn/m))^k.
+
+    Scale shape: the bit table and the distinct build-key set are the
+    only non-probe-side state; the bit table is <= 65 536 rows (always
+    broadcastable), so probing N keys is one broadcast join + one
+    bounded aggregate — the exact shape Spark's own runtime bloom-join
+    filter uses, made explicit and oracle-checkable."""
+    bits = bloom_build(build_df, build_col)
+    gcol = F.col(group_col) if group_col else F.lit("all")
+    probes = probe_df.select(
+        gcol.alias("grp"),
+        F.col(probe_col).cast("string").alias("key"),
+    ).distinct()
+    ex = probes.select(
+        "grp", "key", F.explode(bloom_positions(F.col("key"))).alias("pos")
+    )
+    claimed = (
+        ex.join(F.broadcast(bits), "pos")
+        .groupBy("grp", "key")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") == BLOOM_K)
+        .select("grp", "key", F.lit(True).alias("claimed"))
+    )
+    actual_keys = build_df.select(
+        F.col(build_col).cast("string").alias("key")
+    ).distinct().withColumn("actual", F.lit(True))
+    marked = (
+        probes.join(claimed, ["grp", "key"], "left")
+        .join(actual_keys, "key", "left")
+        .select(
+            "grp",
+            F.coalesce(F.col("claimed"), F.lit(False)).alias("claimed"),
+            F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+        )
+    )
+    return marked.groupBy(F.col("grp").alias(group_col or "scope")).agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("claimed"), 1).otherwise(0)).alias("n_claimed_present"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).alias("n_actually_present"),
+        F.sum(
+            F.when(F.col("claimed") & ~F.col("actual"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+        F.round(
+            F.sum(F.when(F.col("claimed") & ~F.col("actual"), 1).otherwise(0))
+            .cast("double")
+            / F.greatest(
+                F.sum(F.when(~F.col("actual"), 1).otherwise(0)), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def bloom_theoretical_fp(n_keys: int) -> float:
+    """Textbook expected false-positive rate for the module geometry."""
+    return (1.0 - math.exp(-BLOOM_K * n_keys / BLOOM_BITS)) ** BLOOM_K

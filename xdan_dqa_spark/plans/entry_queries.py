@@ -6641,6 +6641,265 @@ SELECT doc_id, nb AS n_bytes_clean FROM ranked WHERE rn = 1
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 37
+# Probabilistic-sketch family (operators/sketches.py): md5-derived
+# deterministic HyperLogLog, count-min, and Bloom filter — the whole
+# sketch state is oracle-checkable, not just its contract — plus Gini
+# source concentration and a CUSUM changepoint detector (curation.py).
+
+_HLL_RAW_NUM = repr((0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256 * float(1 << 57))
+
+
+def q_hll_vocab(spark, sf_dir):
+    """Deterministic HyperLogLog (m=256) over the corpus term stream
+    next to the exact distinct count (operators/sketches.py:
+    hll_estimate) — integer register max + DECIMAL harmonic sum, one
+    terminal float division, so the ESTIMATE itself is bit-identical
+    cross-engine at any parallelism."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.sketches import hll_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+        ).alias("v")
+    )
+    return hll_estimate(terms, "v")
+
+
+SQL_HLL_VOCAB = f"""
+WITH terms AS (SELECT unnest({_WORDS_WS_SQL}) AS v FROM documents),
+h AS (
+  SELECT CAST('0x' || substr(md5('hl:' || v), 1, 8) AS BIGINT) AS hl,
+         CAST('0x' || substr(md5('hh:' || v), 1, 8) AS BIGINT) AS hh
+  FROM terms
+),
+r AS (SELECT hl & 255 AS idx, (hl >> 8) * 4294967296 + hh AS w FROM h),
+regs AS (
+  SELECT idx,
+         MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS rho
+  FROM r GROUP BY idx
+),
+s AS (
+  SELECT COUNT(*) AS n_present,
+         SUM(CAST((CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS DECIMAL(38,0))) AS s_present
+  FROM regs
+),
+e AS (SELECT COUNT(DISTINCT v) AS exact_distinct FROM terms),
+t AS (
+  SELECT 256 AS m,
+         256 - n_present AS n_zero_registers,
+         s_present + CAST(256 - n_present AS DECIMAL(38,0))
+                     * CAST(144115188075855872 AS DECIMAL(38,0)) AS s_total,
+         exact_distinct
+  FROM s CROSS JOIN e
+),
+est AS (
+  SELECT m, n_zero_registers, exact_distinct,
+         {_HLL_RAW_NUM} / CAST(s_total AS DOUBLE) AS raw
+  FROM t
+),
+fin AS (
+  SELECT m, n_zero_registers, exact_distinct,
+         CASE WHEN raw <= 640.0 AND n_zero_registers > 0
+              THEN 256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE))
+              ELSE raw END AS est
+  FROM est
+)
+SELECT m, n_zero_registers, round(est, 4) AS hll_estimate, exact_distinct,
+       round((est - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+FROM fin
+"""
+
+
+def q_cms_terms(spark, sf_dir):
+    """Count-min heavy hitters: top-20 corpus terms with true counts
+    next to their 4x1024-counter sketch estimates (operators/
+    sketches.py:cms_heavy_hitters) — estimate >= truth by construction,
+    the overcount column measures real collision error."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.sketches import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+        ).alias("v")
+    )
+    return cms_heavy_hitters(terms, "v", top_k=20)
+
+
+SQL_CMS_TERMS = f"""
+WITH terms AS (SELECT unnest({_WORDS_WS_SQL}) AS v FROM documents),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT d AS row_id,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || v), 1, 8) AS BIGINT)
+         % 1024 AS col_id
+  FROM terms CROSS JOIN ds
+),
+sketch AS (SELECT row_id, col_id, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+truth AS (SELECT v AS value, COUNT(*) AS true_cnt FROM terms GROUP BY 1),
+top AS (
+  SELECT value, true_cnt,
+         row_number() OVER (ORDER BY true_cnt DESC, value) AS rk
+  FROM truth QUALIFY rk <= 20
+),
+probes AS (
+  SELECT value, true_cnt, d AS row_id,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || value), 1, 8) AS BIGINT)
+         % 1024 AS col_id
+  FROM top CROSS JOIN ds
+),
+est AS (
+  SELECT value, true_cnt, MIN(cnt) AS cms_estimate
+  FROM probes JOIN sketch USING (row_id, col_id)
+  GROUP BY 1, 2
+)
+SELECT value, true_cnt, cms_estimate, cms_estimate - true_cnt AS overcount
+FROM est
+"""
+
+
+def q_bloom_custkeys(spark, sf_dir):
+    """Bloom-filter membership report: a 65 536-bit / 4-hash filter
+    built over orders.o_custkey, probed by every customer key, per
+    market segment (operators/sketches.py:bloom_probe_report) — the
+    explicit, oracle-checkable form of the runtime bloom join
+    pre-filter; claimed >= actual (no false negatives) with the real
+    false-positive rate per segment."""
+    from ..operators.sketches import bloom_probe_report
+
+    return bloom_probe_report(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey",
+        group_col="c_mktsegment",
+    ).orderBy("c_mktsegment")
+
+
+SQL_BLOOM_CUSTKEYS = """
+WITH ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+bits AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+         % 65536 AS pos
+  FROM orders CROSS JOIN ks
+),
+probes AS (
+  SELECT DISTINCT c_mktsegment AS grp, CAST(c_custkey AS VARCHAR) AS key
+  FROM customer
+),
+ex AS (
+  SELECT grp, key,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || key), 1, 8) AS BIGINT)
+         % 65536 AS pos
+  FROM probes CROSS JOIN ks
+),
+claimed AS (
+  SELECT grp, key FROM ex JOIN bits USING (pos)
+  GROUP BY grp, key HAVING COUNT(*) = 4
+),
+actual AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+marked AS (
+  SELECT p.grp,
+         (c.key IS NOT NULL) AS claimed,
+         (a.key IS NOT NULL) AS actual
+  FROM probes p
+  LEFT JOIN claimed c ON c.grp = p.grp AND c.key = p.key
+  LEFT JOIN actual a ON a.key = p.key
+)
+SELECT grp AS c_mktsegment,
+       COUNT(*) AS n_probes,
+       SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS n_claimed_present,
+       SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS n_actually_present,
+       SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS n_false_positives,
+       round(CAST(SUM(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(greatest(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END), 1) AS DOUBLE),
+             6) AS fp_rate
+FROM marked GROUP BY grp ORDER BY grp
+"""
+
+
+def q_gini_sources(spark, sf_dir):
+    """One-row Gini coefficient of document concentration across
+    sources (operators/curation.py:gini_concentration) — the
+    single-number corpus-diversity alarm; exact decimal rank-weighted
+    sums, one terminal float division."""
+    from ..operators.curation import gini_concentration
+
+    return gini_concentration(_t(spark, sf_dir, "documents"), "source")
+
+
+SQL_GINI_SOURCES = """
+WITH per AS (
+  SELECT source AS grp, CAST(COUNT(*) AS DECIMAL(20,6)) AS x
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT grp, x, row_number() OVER (ORDER BY x, grp) AS i FROM per
+),
+agg AS (
+  SELECT COUNT(*) AS n_groups, SUM(x) AS sx,
+         SUM(CAST(i AS DECIMAL(10,0)) * x) AS six
+  FROM ranked
+)
+SELECT n_groups,
+       CAST(sx AS DOUBLE) AS total_weight,
+       round((2.0 * CAST(six AS DOUBLE)
+              - CAST(n_groups + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_groups AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM agg
+"""
+
+
+def q_cusum_drift(spark, sf_dir):
+    """Per-event-type CUSUM changepoint over daily value totals
+    (operators/curation.py:cusum_changepoint) — the exact-arithmetic
+    level-shift detector (D_t = n*P_t - t*T, all DECIMAL), one float
+    division per group at the end."""
+    from ..operators.curation import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+SQL_CUSUM_DRIFT = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(20,6))) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT grp, day,
+         row_number() OVER (PARTITION BY grp ORDER BY day) AS t,
+         SUM(x) OVER (PARTITION BY grp ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         COUNT(*) OVER (PARTITION BY grp) AS n,
+         SUM(x) OVER (PARTITION BY grp) AS tot
+  FROM daily
+),
+scored AS (
+  SELECT grp, day, n,
+         abs(CAST(n AS DECIMAL(10,0)) * CAST(p AS DECIMAL(26,6))
+             - CAST(t AS DECIMAL(10,0)) * CAST(tot AS DECIMAL(26,6))) AS absd
+  FROM st
+),
+pick AS (
+  SELECT grp, day, n, absd,
+         row_number() OVER (PARTITION BY grp ORDER BY absd DESC, day) AS rk
+  FROM scored
+)
+SELECT grp AS event_type, n AS n_days, day AS changepoint_day,
+       round(CAST(absd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS max_abs_cusum
+FROM pick WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -6766,6 +7025,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hapax_rate": q_hapax_rate,
     "a39_salted_hot_agg": q_a39_salted_hot_agg,
     "zipf_slope": q_zipf_slope,
+    "hll_vocab": q_hll_vocab,
+    "cms_terms": q_cms_terms,
+    "bloom_custkeys": q_bloom_custkeys,
+    "gini_sources": q_gini_sources,
+    "cusum_drift": q_cusum_drift,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -6873,6 +7137,11 @@ def oracle_map() -> dict[str, str]:
         "hapax_rate": SQL_HAPAX_RATE,
         "a39_salted_hot_agg": SQL_A39_SALTED_HOT_AGG,
         "zipf_slope": SQL_ZIPF_SLOPE,
+        "hll_vocab": SQL_HLL_VOCAB,
+        "cms_terms": SQL_CMS_TERMS,
+        "bloom_custkeys": SQL_BLOOM_CUSTKEYS,
+        "gini_sources": SQL_GINI_SOURCES,
+        "cusum_drift": SQL_CUSUM_DRIFT,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
