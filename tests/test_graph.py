@@ -137,3 +137,63 @@ def test_resolve_redirects_long_chain_doubles_past_rounds(spark):
     got = {r["node"]: (r["terminal"], r["resolved"])
            for r in resolve_redirects(e).collect()}
     assert all(got[i] == (0, True) for i in range(1, 41))
+
+
+def test_hits_authority_concentrates_and_zero_degree_persists(spark):
+    """Three hubs all pointing at node 10, one also at 11: node 10 must
+    be the top authority (norm 1.0), the pure sources must be hubs with
+    authority 0, and every node keeps a row."""
+    from xdan_dqa_spark.operators.graph import hits_scores
+
+    e = _edges(spark, [(1, 10), (2, 10), (3, 10), (3, 11)])
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits_scores(e, n_iter=2).collect()}
+    assert set(got) == {1, 2, 3, 10, 11}
+    assert got[10][1] == 1.0                       # max authority, L-inf norm
+    assert got[11][1] < got[10][1]
+    for src in (1, 2, 3):
+        assert got[src][1] == 0.0                  # never linked-to
+        assert got[src][0] > 0.0
+    assert got[3][0] >= got[1][0]                  # 3 links an extra authority
+    assert got[10][0] == 0.0                       # sink: no out-links
+
+
+def test_hits_is_partition_invariant(spark):
+    """Integer fixed-point ⇒ bit-identical scores at any parallelism."""
+    from xdan_dqa_spark.operators.graph import hits_scores
+
+    pairs = [(i, (i * 7 + 3) % 23) for i in range(200)] + [(i, 5) for i in range(40)]
+    e1 = _edges(spark, pairs)
+    e2 = e1.repartition(13)
+    a = sorted(map(tuple, hits_scores(e1, n_iter=2).collect()))
+    b = sorted(map(tuple, hits_scores(e2, n_iter=2).collect()))
+    assert a == b
+
+
+def test_hits_rejects_bad_params(spark):
+    from xdan_dqa_spark.operators.graph import hits_scores
+
+    with pytest.raises(ValueError):
+        hits_scores(_edges(spark, [(1, 2)]), n_iter=0)
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Staircase construction == quadratic dominance definition on a
+    corpus with duplicate x groups, duplicate y, and full ties."""
+    from xdan_dqa_spark.operators.metrics import pareto_frontier_2d
+
+    rows = [(1, 10.0, 5), (2, 10.0, 9), (3, 8.0, 9), (4, 8.0, 12),
+            (5, 12.0, 1), (6, 12.0, 1), (7, 3.0, 20), (8, 3.0, 20),
+            (9, 2.0, 2)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y").collect())
+
+    def dominated(a, b):   # b dominates a
+        return (b[1] >= a[1] and b[2] >= a[2]
+                and (b[1] > a[1] or b[2] > a[2]))
+
+    want = sorted(a[0] for a in rows
+                  if not any(dominated(a, b) for b in rows if b[0] != a[0]))
+    assert got == want
+    # ties on BOTH coords survive together; dominated duplicates die
+    assert 7 in got and 8 in got and 5 in got and 6 in got and 1 not in got

@@ -245,3 +245,92 @@ def resolve_redirects(edges: DataFrame, src_col: str = "src",
         F.col("ptr").alias("terminal"),
         F.col("_s").isNull().alias("resolved"),
     )
+
+
+HITS_SCALE = 10 ** 6
+
+
+def hits_scores(links: DataFrame, n_iter: int = 2,
+                src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): (node, hub, authority) for
+    every node in the edge list — the complementary link signal to
+    PageRank for crawl curation: a good HUB is a page whose out-links
+    concentrate on good authorities (directory/index pages worth
+    recrawling often), a good AUTHORITY is one linked by good hubs
+    (content worth keeping); link farms light up BOTH at once, which is
+    exactly the spam fingerprint.
+
+    Semantics per round: a'(v) = sum of h(u) over in-edges u->v, then
+    h'(u) = sum of a'(v) over out-edges; after each half-step scores
+    renormalize so max = 1 (the standard L-inf normalization, which
+    keeps the iteration from diverging and makes scores comparable).
+
+    Cross-engine determinism (module docstring): scores are BIGINT
+    fixed-point at 1e6 scale, sums are integer (order-independent), and
+    the renormalization is round-half-up integral division by the
+    current max — scale chosen so the worst intermediate
+    (sum <= n_nodes * HITS_SCALE, times 2 in _rdiv, times HITS_SCALE in
+    the renorm numerator) stays under 2^63 for graphs up to ~10^6
+    nodes per connected blast radius; for larger graphs drop
+    HITS_SCALE a decade per decade of nodes (documented knob, the
+    ranking resolution is still 1e-5 at 1e5 scale).
+
+    Scale shape per round: TWO key-grained shuffles (one per
+    half-step: hub mass groups on dst, authority mass groups on src,
+    both with map-side partial sums) plus a 1-row max broadcast per
+    half-step. The Python loop builds the plan only; n_iter is a small
+    constant (2 rounds separate farms from organic hubs; the classic
+    convergent ranking needs ~20 — checkpoint per round past ~5 like
+    pagerank's lineage note). Zero-degree sides persist via LEFT joins
+    from the node table, scoring 0 rather than vanishing."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = links.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
+
+    def _renorm(df, col):
+        mx = df.agg(F.max(col).alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.when(F.col("_mx") > 0,
+                   _rdiv(f"{col} * {HITS_SCALE}", "_mx"))
+            .otherwise(F.lit(0)).cast("long").alias(col),
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _renorm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce(F.col("a"), F.lit(0)).alias("a")
+            ),
+            "a",
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _renorm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce(F.col("h"), F.lit(0)).alias("h")
+            ),
+            "h",
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            (F.col("h").cast("double") / float(HITS_SCALE)).alias("hub"),
+            (F.col("a").cast("double") / float(HITS_SCALE)).alias("authority"),
+        )
+    )

@@ -10,7 +10,7 @@ and a resumed run can prove which partitions committed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -164,3 +164,50 @@ def fd_violations(df, lhs: str, rhs: str):
         F.count("*").alias("n_distinct_rhs"),
     )
     return per.filter(F.col("n_distinct_rhs") > 1)
+
+
+def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows NOT dominated by any
+    other row, where a dominates b iff x_a >= x_b AND y_a >= y_b with
+    at least one strict — the multi-objective shortlist query
+    ("newest AND highest-value orders", "highest-quality AND longest
+    documents") that a flat ORDER BY cannot express. Returns the
+    dominating rows of ``df`` (all columns preserved).
+
+    Scale shape (the staircase construction, NOT the quadratic
+    NOT-EXISTS self-join): (1) fold to per-distinct-x maxima — ONE
+    map-side-combinable aggregate, output bounded by |distinct x|,
+    which IS the distributed pre-prune (the skyline of per-group
+    maxima equals the skyline of the corpus); (2) a running max of y
+    over x-groups sorted descending — a group survives iff its max-y
+    strictly exceeds every higher-x group's (rows-between frame, O(1)
+    state); (3) survivors join back BROADCAST, keeping rows at their
+    group's max y (same-x lower-y rows are dominated within the
+    group). The single-task window runs over |distinct x| rows; at
+    extreme x-cardinality (x is a raw float score over 10^12 rows),
+    quantize x into fixed-width grid cells first — grid-cell maxima
+    keep the frontier a superset, then re-run exact on the survivor
+    set (documented two-phase refinement; not needed at warehouse key
+    cardinalities).
+
+    Only comparisons and max() touch the values — no arithmetic — so
+    floats/dates/ints are all safe and the result is engine-exact."""
+    g = df.groupBy(F.col(x_col).alias("_x")).agg(
+        F.max(F.col(y_col)).alias("_gy")
+    )
+    w = (
+        Window.orderBy(F.desc("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        g.withColumn("_prev", F.max("_gy").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_gy") > F.col("_prev")))
+        .select("_x", "_gy")
+    )
+    return (
+        df.join(
+            F.broadcast(kept),
+            (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_gy")),
+        )
+        .drop("_x", "_gy")
+    )

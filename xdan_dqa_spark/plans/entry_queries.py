@@ -6900,6 +6900,263 @@ FROM pick WHERE rk = 1
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 38
+# Graph authority scores, multi-objective skyline, Q11-shaped revenue
+# concentration, Spark's native session_window pinned against a
+# first-principles gap-logic twin, and a column-completeness profiler.
+
+
+def q_hits_scores(spark, sf_dir):
+    """2-iteration HITS hubs/authorities over the synthesized link
+    graph (operators/graph.py:hits_scores) — the complementary link
+    signal to PageRank (link farms light up hub AND authority at once).
+    1e6-scaled integer fixed-point with round-half-up integral
+    renormalization, bit-identical cross-engine."""
+    from ..operators.graph import hits_scores
+
+    return hits_scores(_link_edges(spark, sf_dir), n_iter=2)
+
+
+def _sql_hits(n_iter: int = 2) -> str:
+    s = 10 ** 6
+    parts = [f"""
+WITH e AS ({_SQL_LINK_EDGES}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST({s} AS BIGINT) AS h FROM nodes)"""]
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+a{i}_full AS (
+  SELECT nd.node, coalesce(x.a, 0) AS a
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.h) AS a
+    FROM e JOIN {prev_h} r ON e.src = r.node GROUP BY e.dst) x
+  ON nd.node = x.node
+),
+a{i}_mx AS (SELECT MAX(a) AS mx FROM a{i}_full),
+a{i} AS (
+  SELECT node,
+         CASE WHEN mx > 0 THEN (a * {s} * 2 + mx) // (mx * 2) ELSE 0 END AS a
+  FROM a{i}_full CROSS JOIN a{i}_mx
+),
+h{i}_full AS (
+  SELECT nd.node, coalesce(x.h, 0) AS h
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, SUM(r.a) AS h
+    FROM e JOIN a{i} r ON e.dst = r.node GROUP BY e.src) x
+  ON nd.node = x.node
+),
+h{i}_mx AS (SELECT MAX(h) AS mx FROM h{i}_full),
+h{i} AS (
+  SELECT node,
+         CASE WHEN mx > 0 THEN (h * {s} * 2 + mx) // (mx * 2) ELSE 0 END AS h
+  FROM h{i}_full CROSS JOIN h{i}_mx
+)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT h.node, CAST(h.h AS DOUBLE) / 1e6 AS hub,
+       CAST(a.a AS DOUBLE) / 1e6 AS authority
+FROM h{n_iter} h JOIN a{n_iter} a ON a.node = h.node
+""")
+    return "".join(parts)
+
+
+SQL_HITS_SCORES = _sql_hits(2)
+
+
+def q_skyline_orders(spark, sf_dir):
+    """2-D Pareto frontier over orders: the orders not dominated on
+    (o_totalprice, o_orderdate) — "newest AND highest-value" shortlist
+    (operators/metrics.py:pareto_frontier_2d). Staircase construction
+    (per-x maxima fold -> running-max window over the bounded distinct-x
+    table -> broadcast join back), never the quadratic NOT-EXISTS
+    self-join; pure comparisons so floats/timestamps are engine-exact."""
+    from ..operators.metrics import pareto_frontier_2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_tus"),
+    )
+    return pareto_frontier_2d(o, "o_totalprice", "order_tus")
+
+
+SQL_SKYLINE_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS order_tus
+  FROM orders
+),
+g AS (SELECT o_totalprice AS x, MAX(order_tus) AS gy FROM o GROUP BY 1),
+k AS (
+  SELECT x, gy,
+         MAX(gy) OVER (ORDER BY x DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM g
+),
+kept AS (SELECT x, gy FROM k WHERE prev IS NULL OR gy > prev)
+SELECT o.o_orderkey, o.o_totalprice, o.order_tus
+FROM o JOIN kept ON o.o_totalprice = kept.x AND o.order_tus = kept.gy
+"""
+
+
+def q_a40_revenue_concentration(spark, sf_dir):
+    """TPC-H Q11-shaped revenue concentration: parts whose discounted
+    revenue exceeds 1.5x the MEAN per-part share — the scale-free form
+    of Q11's SF-scaled fraction (a fixed basis-point cut empties or
+    floods as the part count grows; a mean-multiple is invariant). The
+    global-threshold HAVING shape: one fact fold to part grain, the
+    1-row (total, n_parts) broadcast back, and the threshold test is an
+    exact DECIMAL/BIGINT cross-multiplication (rev * n_parts * 2 >
+    tot * 3) so the boundary never rides a float ULP."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(20,6)")
+        ).alias("_rev")
+    )
+    tot = per.agg(F.sum("_rev").alias("_tot"), F.count("*").alias("_np"))
+    out = per.crossJoin(F.broadcast(tot)).filter(
+        F.col("_rev") * F.col("_np") * 2 > F.col("_tot") * 3
+    )
+    return out.select(
+        "l_partkey",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double") * 10000.0 / F.col("_tot").cast("double"),
+            6,
+        ).alias("share_bp"),
+    )
+
+
+SQL_A40_REVENUE_CONCENTRATION = """
+WITH per AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS tot, COUNT(*) AS np FROM per)
+SELECT l_partkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) * 10000.0 / CAST(tot AS DOUBLE), 6) AS share_bp
+FROM per CROSS JOIN tot
+WHERE rev * np * 2 > tot * 3
+"""
+
+
+def q_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window (30-minute gap) over events,
+    pinned value-for-value against a first-principles gap-logic twin
+    (lag -> new-session flag -> running-sum id -> fold): proves the
+    built-in operator's merge semantics (session end = last event +
+    gap, exclusive boundary) match the hand-rolled definition
+    sessionize_events uses — so the two are interchangeable and the
+    cheaper native form can serve batch AND streaming. Timestamps
+    emitted as epoch-us longs (repo discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+SQL_SESSION_WINDOW_NATIVE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, tus,
+         CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                   >= 1800000000
+              OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sid AS (
+  SELECT user_id, tus,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM flagged
+)
+SELECT user_id,
+       MIN(tus) AS session_start_us,
+       MAX(tus) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sid GROUP BY user_id, s
+"""
+
+
+def q_profile_documents(spark, sf_dir):
+    """Column-completeness profile of the documents table — per column:
+    row count, nulls, empty strings, exact distincts. The data-quality
+    profiling report every ingest gate runs first; ONE wide aggregate
+    (Spark plans the multi-distinct via Expand — one shuffle, map-side
+    partials), unpivoted to long form over a bounded literal stack."""
+    d = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+        if c in ("text", "lang", "source"):
+            aggs.append(
+                F.sum(F.when(F.col(c) == "", 1).otherwise(0)).alias(f"_emp_{c}")
+            )
+    wide = d.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").cast("long").alias("n_null"),
+            (F.col(f"_emp_{c}").cast("long") if c in ("text", "lang", "source")
+             else F.lit(None).cast("long")).alias("n_empty"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.explode(rows).alias("_r")).select(
+        "_r.column", "_r.n_rows", "_r.n_null", "_r.n_empty", "_r.n_distinct"
+    )
+
+
+SQL_PROFILE_DOCUMENTS = """
+SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+       SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(NULL AS BIGINT) AS n_empty,
+       COUNT(DISTINCT doc_id) AS n_distinct
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*),
+       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN text = '' THEN 1 ELSE 0 END),
+       COUNT(DISTINCT text)
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*),
+       SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN lang = '' THEN 1 ELSE 0 END),
+       COUNT(DISTINCT lang)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*),
+       SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+       SUM(CASE WHEN source = '' THEN 1 ELSE 0 END),
+       COUNT(DISTINCT source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*),
+       SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+       CAST(NULL AS BIGINT),
+       COUNT(DISTINCT n_chars)
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -7030,6 +7287,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_custkeys": q_bloom_custkeys,
     "gini_sources": q_gini_sources,
     "cusum_drift": q_cusum_drift,
+    "hits_scores": q_hits_scores,
+    "skyline_orders": q_skyline_orders,
+    "a40_revenue_concentration": q_a40_revenue_concentration,
+    "session_window_native": q_session_window_native,
+    "profile_documents": q_profile_documents,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -7142,6 +7404,11 @@ def oracle_map() -> dict[str, str]:
         "bloom_custkeys": SQL_BLOOM_CUSTKEYS,
         "gini_sources": SQL_GINI_SOURCES,
         "cusum_drift": SQL_CUSUM_DRIFT,
+        "hits_scores": SQL_HITS_SCORES,
+        "skyline_orders": SQL_SKYLINE_ORDERS,
+        "a40_revenue_concentration": SQL_A40_REVENUE_CONCENTRATION,
+        "session_window_native": SQL_SESSION_WINDOW_NATIVE,
+        "profile_documents": SQL_PROFILE_DOCUMENTS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
