@@ -640,3 +640,28 @@ def test_benford_digit_extraction_edges(spark):
         got = {r["digit"]: r["n"]
                for r in eq.QUERIES["benford_census"](spark, tmp).collect()}
     assert got == {1: 2, 4: 1, 9: 1}
+
+
+def test_scd2_intervals_runs_and_reappearance(spark):
+    """A -> B -> A over one page: three intervals (re-appearing content
+    opens a NEW interval), contiguous valid ranges, exactly one current."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.curation import scd2_intervals
+
+    rows = [("u", 100, "A"), ("u", 200, "A"), ("u", 300, "B"),
+            ("u", 400, "A"), ("u", 500, "A"), ("v", 100, "X")]
+    df = spark.createDataFrame(rows, "page string, t long, content_hash string")
+    df = df.withColumn("crawl_ts", F.timestamp_seconds(F.col("t")))
+    out = scd2_intervals(df, "page", "crawl_ts", "content_hash")
+    u = sorted(
+        ((r["content_hash"], r["valid_from"].timestamp(),
+          None if r["valid_to"] is None else r["valid_to"].timestamp(),
+          r["is_current"]) for r in out.filter(F.col("page") == "u").collect()),
+        key=lambda x: x[1],
+    )
+    assert [(h, vf, vt) for h, vf, vt, _ in u] == [
+        ("A", 100.0, 300.0), ("B", 300.0, 400.0), ("A", 400.0, None)]
+    assert [c for *_, c in u] == [False, False, True]
+    v = out.filter(F.col("page") == "v").collect()
+    assert len(v) == 1 and v[0]["is_current"]

@@ -197,3 +197,65 @@ def test_pareto_frontier_matches_bruteforce(spark):
     assert got == want
     # ties on BOTH coords survive together; dominated duplicates die
     assert 7 in got and 8 in got and 5 in got and 6 in got and 1 not in got
+
+
+def test_kcore_keeps_clique_drops_pendants(spark):
+    """K4 + a pendant chain: every K4 node has degree 3 and survives a
+    3-core peel; pendants (degree <= 2) peel away round by round."""
+    from xdan_dqa_spark.operators.graph import kcore_peel
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    got = {r["node"]: r["degree"]
+           for r in kcore_peel(_edges(spark, k4 + chain), k=3, n_rounds=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(d == 3 for d in got.values())
+
+
+def test_kcore_rounds_are_monotone(spark):
+    """Each extra round only removes nodes (bounded peel is a monotone
+    over-approximation of the true core)."""
+    from xdan_dqa_spark.operators.graph import kcore_peel
+
+    # a long cycle with one chord: cycle nodes have degree 2 -> a 3-core
+    # peel erodes progressively
+    cyc = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)]
+    e = _edges(spark, cyc)
+    n1 = kcore_peel(e, k=3, n_rounds=1).count()
+    n2 = kcore_peel(e, k=3, n_rounds=2).count()
+    n3 = kcore_peel(e, k=3, n_rounds=3).count()
+    assert n1 >= n2 >= n3
+
+
+def test_kcore_rejects_bad_params(spark):
+    from xdan_dqa_spark.operators.graph import kcore_peel
+
+    with pytest.raises(ValueError):
+        kcore_peel(_edges(spark, [(1, 2)]), k=0)
+
+
+def test_link_structure_reciprocity_extremes(spark):
+    from xdan_dqa_spark.operators.graph import link_structure_stats
+
+    mutual = _edges(spark, [(1, 2), (2, 1), (3, 4), (4, 3)])
+    r = link_structure_stats(mutual).collect()[0]
+    assert r["n_edges"] == 4 and r["reciprocity"] == 1.0
+    oneway = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    r2 = link_structure_stats(oneway).collect()[0]
+    assert r2["reciprocity"] == 0.0
+
+
+def test_link_structure_assortativity_sign(spark):
+    """Hub-and-spoke is maximally DISassortative — but with every edge
+    leaving the hub the src-degree has zero variance and r is guarded
+    to 0.0, so the fixture mixes edge directions (some leaves point
+    INTO their hub) to put variance on both endpoints; the high-degree
+    endpoint still always pairs with a degree-1 leaf -> strongly
+    negative."""
+    from xdan_dqa_spark.operators.graph import link_structure_stats
+
+    e = ([(0, i) for i in (1, 2, 3)] + [(4, 0), (5, 0)]
+         + [(10, i) for i in (11, 12, 13)] + [(14, 10), (15, 10)]
+         + [(0, 10)])
+    r = link_structure_stats(_edges(spark, e)).collect()[0]
+    assert r["assortativity"] < 0

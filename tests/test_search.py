@@ -142,3 +142,18 @@ def test_posting_index_append_equals_rebuild(spark, tmp_path):
                                            n_buckets=8).collect()))
     want = sorted(map(tuple, phrase_search(both, "alpha beta").collect()))
     assert got == want and len(got) == 3
+
+
+def test_boolean_and_search_requires_every_term(spark):
+    from xdan_dqa_spark.operators.search import boolean_and_search
+
+    rows = [(1, "join hash vector fast"), (2, "join hash only"),
+            (3, "vector join hash join join"), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_terms_matched"]
+           for r in boolean_and_search(df, ["join", "hash", "vector"]).collect()}
+    assert got == {1: 3, 3: 3}   # doc 3: repeated terms count once
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        boolean_and_search(df, [])

@@ -1052,3 +1052,44 @@ def cusum_changepoint(events: DataFrame, ts_col: str = "ts",
             ).alias("max_abs_cusum"),
         )
     )
+
+
+def scd2_intervals(df: DataFrame, key_col: str = "canonical_url",
+                   ts_col: str = "crawl_ts",
+                   hash_col: str = "content_hash") -> DataFrame:
+    """Slowly-changing-dimension (type 2) content history: collapse a
+    crawl log (key, ts, content_hash) into validity INTERVALS —
+    (key, content_hash, valid_from, valid_to, is_current), one row per
+    maximal run of consecutive crawls with the same content. This is
+    the content-history table an incremental crawl keeps next to
+    snapshot_diff: "what did this page say during March" becomes an
+    interval probe instead of a scan over every crawl.
+
+    Construction: lag(hash) over the per-key crawl order marks change
+    rows (first crawl, or hash differs from the previous crawl); each
+    change row opens an interval; lead(valid_from) over the change rows
+    closes it (NULL = still current). Re-appearing content (A -> B -> A)
+    correctly opens a NEW interval — runs are consecutive, not global.
+
+    Scale shape: two windows, both partitioned by the page key and
+    bounded by that key's own crawl count (crawl history per page is
+    tens-to-thousands of rows — never corpus-scaled); the second window
+    runs over the ALREADY-FILTERED change rows, a further collapse.
+    Equal-timestamp duplicate crawls should be pre-collapsed
+    (url_dedup); ordering here adds the hash as a tie-break so even
+    un-collapsed input stays deterministic."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(hash_col))
+    prev = F.lag(F.col(hash_col)).over(w)
+    chg = (
+        df.withColumn(
+            "_chg", prev.isNull() | (prev != F.col(hash_col))
+        )
+        .filter(F.col("_chg"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(hash_col))
+    return chg.select(
+        F.col(key_col),
+        F.col(hash_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -334,3 +334,122 @@ def hits_scores(links: DataFrame, n_iter: int = 2,
             (F.col("a").cast("double") / float(HITS_SCALE)).alias("authority"),
         )
     )
+
+
+def kcore_peel(links: DataFrame, k: int = 3, n_rounds: int = 3,
+               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Bounded k-core peel over the UNDIRECTED simplification of an edge
+    list: repeatedly drop nodes with degree < k (and their edges) for
+    ``n_rounds`` rounds; returns the surviving (node, degree). The
+    k-core is the densely-interlinked kernel of a link graph — paid-link
+    rings and mirror farms survive deep cores that organic neighborhoods
+    don't, so this rides next to triangle_census in spam reports.
+
+    BOUNDED rounds, deliberately: the exact k-core needs
+    peel-until-fixpoint (O(peel depth) rounds), but a FIXED round count
+    makes the result a deterministic, engine-portable function of the
+    input — each extra round only removes more nodes, so round r is a
+    monotone over-approximation of the true core, and spam kernels
+    (the target) are already stable after 2-3 rounds. Pass a larger
+    ``n_rounds`` + localCheckpoint per round (cc_dedup's pattern) when
+    the exact core matters more than the oracle.
+
+    Scale shape per round: ONE degree aggregate (map-side combinable) +
+    two semi-joins filtering the edge list on surviving endpoints —
+    all equi-keyed, no windows, no driver state. Self-loops dropped,
+    parallel/reverse duplicates collapsed (a multigraph would inflate
+    degrees)."""
+    if k < 1 or n_rounds < 1:
+        raise ValueError(f"k and n_rounds must be >= 1 (got k={k}, n_rounds={n_rounds})")
+    e = links.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    for _ in range(n_rounds):
+        deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def link_structure_stats(links: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """One-row structural health report of a directed link graph:
+    (n_edges, reciprocity, assortativity). Reciprocity — the fraction
+    of distinct directed edges whose reverse also exists — separates
+    mutual-exchange link rings (high) from organic citation flow (low);
+    degree assortativity — Pearson r between the endpoints' total
+    degrees across edges — is positive when heavy nodes link heavy
+    nodes (farm cliques) and negative for hub-and-spoke organic webs.
+
+    Determinism discipline (feature_correlation's moment pattern):
+    degrees are integers, all five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    are exact DECIMAL(38,0) integer aggregates — order-independent and
+    map-side combinable — and the final r is ONE fixed IEEE expression
+    on the aggregated scalars. Reciprocity is an integer count ratio
+    divided once.
+
+    Scale shape: dedup + self-loop drop (one shuffle), reciprocity via
+    a LEFT SEMI self-join on the reversed key (never an all-pairs
+    product), degree attach via two node-keyed joins against the
+    bounded degree table, then ONE global fold to a single row."""
+    e = (
+        links.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    recip = e.join(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"], "left_semi",
+    ).agg(F.count("*").alias("_nr"))
+    tot_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    paired = (
+        e.join(tot_deg.withColumnRenamed("node", "u")
+               .withColumnRenamed("deg", "dx"), "u")
+        .join(tot_deg.withColumnRenamed("node", "v")
+              .withColumnRenamed("deg", "dy"), "v")
+    )
+    # moment widths mirror metrics.feature_correlation: products at
+    # DECIMAL(19,0) x DECIMAL(18,0) -> exact (38,0) with no engine
+    # precision clamp, then (38,0) sums
+    x19, y19 = F.col("dx").cast("decimal(19,0)"), F.col("dy").cast("decimal(19,0)")
+    x18, y18 = F.col("dx").cast("decimal(18,0)"), F.col("dy").cast("decimal(18,0)")
+    m = paired.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("_sy"),
+        F.sum((x19 * y18).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((x19 * x18).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((y19 * y18).cast("decimal(38,0)")).alias("_syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    var_ok = ((n * sxx - sx * sx) > 0) & ((n * syy - sy * sy) > 0)
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.crossJoin(F.broadcast(recip)).select(
+        "n_edges",
+        F.round(
+            F.col("_nr").cast("double") / F.col("n_edges").cast("double"), 9
+        ).alias("reciprocity"),
+        F.round(F.when(var_ok, r).otherwise(F.lit(0.0)), 9).alias("assortativity"),
+    )

@@ -179,3 +179,34 @@ def phrase_search_indexed(spark, index_path: str, phrase: str,
     for leg in legs[1:]:
         joined = joined.join(leg, [id_col, "p0"])
     return joined.groupBy(id_col).agg(F.count("*").alias("n_matches"))
+
+
+def boolean_and_search(df: DataFrame, terms: list[str],
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Boolean AND retrieval: documents containing EVERY term in
+    ``terms`` (exact whitespace-token match, the posting-list
+    intersection of a classic inverted index). Returns (doc_id,
+    n_terms_matched) with n_terms_matched == len(terms) for every row —
+    the column exists so a relaxed OR/at-least-k variant is the same
+    plan with a different HAVING bound.
+
+    Scale shape: the query term set is a LITERAL isin filter applied at
+    the (doc, distinct-term) explode — map-side, no join at all — then
+    one combinable fold per doc with HAVING count = k. Distinct-ing the
+    tokens per doc BEFORE the explode-filter bounds per-doc output at k
+    regardless of term frequency inside the doc. Against a PERSISTED
+    posting index (posting_index_write) the same query is k pruned
+    partition reads + a count-k fold — this form is the index-free
+    single-pass equivalent."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = F.array_distinct(_words(text_col))
+    ex = df.select(
+        F.col(id_col), F.explode(toks).alias("_t")
+    ).filter(F.col("_t").isin(list(terms)))
+    return (
+        ex.groupBy(id_col)
+        .agg(F.count("*").alias("n_terms_matched"))
+        .filter(F.col("n_terms_matched") == len(terms))
+    )

@@ -96,7 +96,28 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     sketch error; at 100 TB you would drop that column and keep only
     the 256-row register state, which merges across shards/days with
     max() — the whole point of the sketch."""
-    regs = hll_registers(df, col)
+    base = hll_estimate_from_registers(hll_registers(df, col))
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    return base.crossJoin(exact).select(
+        "m",
+        "n_zero_registers",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(m, n_zero_registers, hll_estimate) from an (idx, rho) register
+    table — the MERGE-SIDE finisher: shard/day/stream register tables
+    union + max() into one table, and this turns it into the estimate.
+    Split out from hll_estimate so the STREAMING path (complete-mode
+    max() aggregation = the register table as streaming state) reuses
+    the identical arithmetic (q_stream_hll)."""
     # 2^(57-rho) exactly: never float pow() — an integer shiftleft (the
     # max single contribution 2^56 fits a long), widened to DECIMAL(38,0)
     # before the sum because 256 registers x 2^56 can exceed 2^63. The
@@ -110,8 +131,7 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         F.sum(contrib).alias("s_present"),
     )
     alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
-    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
-    out = s.crossJoin(exact).select(
+    out = s.select(
         F.lit(HLL_M).alias("m"),
         (F.lit(HLL_M) - F.col("n_present")).alias("n_zero_registers"),
         (
@@ -119,7 +139,6 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
             + (F.lit(HLL_M) - F.col("n_present")).cast("decimal(38,0)")
             * F.lit(1 << 57).cast("decimal(38,0)")
         ).alias("_s_total"),
-        F.col("exact_distinct"),
     )
     raw = (
         F.lit(alpha * HLL_M * HLL_M * float(1 << 57))
@@ -134,12 +153,6 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         "m",
         "n_zero_registers",
         F.round(est, 4).alias("hll_estimate"),
-        "exact_distinct",
-        F.round(
-            (est - F.col("exact_distinct").cast("double"))
-            / F.col("exact_distinct").cast("double"),
-            6,
-        ).alias("rel_error"),
     )
 
 

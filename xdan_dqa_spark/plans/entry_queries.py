@@ -6710,7 +6710,7 @@ fin AS (
   FROM est
 )
 SELECT m, n_zero_registers, round(est, 4) AS hll_estimate, exact_distinct,
-       round((est - CAST(exact_distinct AS DOUBLE))
+       round((round(est, 4) - CAST(exact_distinct AS DOUBLE))
              / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
 FROM fin
 """
@@ -7157,6 +7157,262 @@ FROM documents
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 39
+# Streaming HLL (register state under a real micro-batch stream), k-core
+# peel, link reciprocity/assortativity report, SCD2 content-history
+# intervals, and boolean AND retrieval.
+
+
+def q_stream_hll(spark, sf_dir):
+    """The HyperLogLog register table as STREAMING STATE: the corpus
+    term stream runs through a real 4-micro-batch file stream, the
+    (idx, max(rho)) aggregation is the stream's complete-mode state
+    (256 rows — the canonical streaming-sketch story), and the finisher
+    (operators/sketches.py:hll_estimate_from_registers) turns the final
+    register table into the estimate. The oracle is the batch SQL: max()
+    is batch-order-insensitive, so streaming registers MUST equal batch
+    registers bit-for-bit — the sketch mergeability guarantee run under
+    the real streaming engine, not asserted. Staging/naming discipline
+    mirrors q_stream_gopher_score."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.sketches import hll_estimate_from_registers, hll_registers
+
+    batch = _t(spark, sf_dir, "documents")
+    stage = "/tmp/xdan_stream_docs_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4}
+    marker = os.path.join(stage, "_SPEC.json")
+    _stage_with_spec(
+        marker, spec,
+        lambda: batch.repartition(4).write.mode("overwrite")
+        .parquet(f"{stage}/documents"),
+    )
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/documents")
+    )
+    terms = src.select(
+        F.explode(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+        ).alias("v")
+    )
+    regs = hll_registers(terms, "v")
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"stream_hll_{key}_{next(_STREAM_QUERY_SEQ)}"
+    q = (
+        regs.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    local_regs = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+    return hll_estimate_from_registers(local_regs)
+
+
+SQL_STREAM_HLL = f"""
+WITH terms AS (SELECT unnest({_WORDS_WS_SQL}) AS v FROM documents),
+h AS (
+  SELECT CAST('0x' || substr(md5('hl:' || v), 1, 8) AS BIGINT) AS hl,
+         CAST('0x' || substr(md5('hh:' || v), 1, 8) AS BIGINT) AS hh
+  FROM terms
+),
+r AS (SELECT hl & 255 AS idx, (hl >> 8) * 4294967296 + hh AS w FROM h),
+regs AS (
+  SELECT idx,
+         MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS rho
+  FROM r GROUP BY idx
+),
+s AS (
+  SELECT COUNT(*) AS n_present,
+         SUM(CAST((CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS DECIMAL(38,0))) AS s_present
+  FROM regs
+),
+t AS (
+  SELECT 256 AS m,
+         256 - n_present AS n_zero_registers,
+         s_present + CAST(256 - n_present AS DECIMAL(38,0))
+                     * CAST(144115188075855872 AS DECIMAL(38,0)) AS s_total
+  FROM s
+),
+est AS (
+  SELECT m, n_zero_registers, {_HLL_RAW_NUM} / CAST(s_total AS DOUBLE) AS raw
+  FROM t
+)
+SELECT m, n_zero_registers,
+       round(CASE WHEN raw <= 640.0 AND n_zero_registers > 0
+                  THEN 256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE))
+                  ELSE raw END, 4) AS hll_estimate
+FROM est
+"""
+
+
+def q_kcore_links(spark, sf_dir):
+    """3-round 3-core peel over the synthesized link graph
+    (operators/graph.py:kcore_peel) — the densely-interlinked kernel
+    that paid-link rings survive and organic neighborhoods don't.
+    Bounded rounds make the result a deterministic function of the
+    input (each round a monotone over-approximation of the true core),
+    so the unrolled-CTE twin matches exactly."""
+    from ..operators.graph import kcore_peel
+
+    return kcore_peel(_link_edges(spark, sf_dir), k=3, n_rounds=3)
+
+
+def _sql_kcore(k: int = 3, n_rounds: int = 3) -> str:
+    parts = [f"""
+WITH e AS ({_SQL_LINK_EDGES}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+s0 AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+k{i} AS (SELECT u FROM s{i - 1} GROUP BY u HAVING COUNT(*) >= {k}),
+s{i} AS (
+  SELECT s.u, s.v FROM s{i - 1} s
+  JOIN k{i} a ON s.u = a.u JOIN k{i} b ON s.v = b.u
+)""")
+    parts.append(f"""
+SELECT u AS node, COUNT(*) AS degree
+FROM s{n_rounds} GROUP BY u HAVING COUNT(*) >= {k}
+""")
+    return "".join(parts)
+
+
+SQL_KCORE_LINKS = _sql_kcore(3, 3)
+
+
+def q_link_structure(spark, sf_dir):
+    """One-row reciprocity + degree-assortativity report over the link
+    graph (operators/graph.py:link_structure_stats) — mutual-exchange
+    rings score high reciprocity, farm cliques positive assortativity;
+    exact DECIMAL moment sums, one terminal IEEE expression."""
+    from ..operators.graph import link_structure_stats
+
+    return link_structure_stats(_link_edges(spark, sf_dir))
+
+
+SQL_LINK_STRUCTURE = f"""
+WITH e0 AS ({_SQL_LINK_EDGES}),
+e AS (SELECT DISTINCT src AS u, dst AS v FROM e0 WHERE src <> dst),
+recip AS (
+  SELECT COUNT(*) AS nr FROM e a
+  WHERE EXISTS (SELECT 1 FROM e b WHERE b.u = a.v AND b.v = a.u)
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+paired AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+m AS (
+  SELECT COUNT(*) AS n_edges,
+         CAST(SUM(CAST(dx AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(dx AS HUGEINT) * dy) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy
+  FROM paired
+)
+SELECT n_edges,
+       round(CAST(nr AS DOUBLE) / CAST(n_edges AS DOUBLE), 9) AS reciprocity,
+       round(CASE WHEN CAST(n_edges AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n_edges AS DOUBLE) * syy - sy * sy > 0
+                  THEN (CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+                          * sqrt(CAST(n_edges AS DOUBLE) * syy - sy * sy))
+                  ELSE 0.0 END, 9) AS assortativity
+FROM m CROSS JOIN recip
+"""
+
+
+def q_scd2_pages(spark, sf_dir):
+    """SCD2 content-history intervals over a synthesized crawl log
+    (operators/curation.py:scd2_intervals): 50 logical pages, ~10
+    crawls each at sf0.01, content version changing every 3rd crawl AND cycling
+    back (A->B->C->A) so re-appearing content provably opens a NEW
+    interval. The content-history table an incremental crawl keeps next
+    to snapshot_diff; timestamps emitted as epoch-us."""
+    from ..operators.curation import scd2_intervals
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(F.lit("p"), (F.col("doc_id") % 50).cast("string"))
+    ts = F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 37)
+    ver = F.expr("(doc_id DIV 150) % 3").cast("string")
+    crawls = docs.select(
+        page.alias("page"),
+        ts.alias("crawl_ts"),
+        F.md5(F.concat(page, F.lit(":"), ver)).alias("content_hash"),
+    )
+    out = scd2_intervals(crawls, "page", "crawl_ts", "content_hash")
+    return out.select(
+        "page", "content_hash",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+SQL_SCD2_PAGES = """
+WITH crawls AS (
+  SELECT 'p' || CAST(doc_id % 50 AS VARCHAR) AS page,
+         to_timestamp(1700000000 + doc_id * 37) AS crawl_ts,
+         md5('p' || CAST(doc_id % 50 AS VARCHAR) || ':'
+             || CAST((doc_id // 150) % 3 AS VARCHAR)) AS content_hash
+  FROM documents
+),
+flagged AS (
+  SELECT page, crawl_ts, content_hash,
+         lag(content_hash) OVER (PARTITION BY page
+                                 ORDER BY crawl_ts, content_hash) AS prev
+  FROM crawls
+),
+chg AS (
+  SELECT page, content_hash, crawl_ts AS vf
+  FROM flagged WHERE prev IS NULL OR prev <> content_hash
+),
+iv AS (
+  SELECT page, content_hash, vf,
+         lead(vf) OVER (PARTITION BY page ORDER BY vf, content_hash) AS vt
+  FROM chg
+)
+SELECT page, content_hash,
+       epoch_us(vf) AS valid_from_us,
+       epoch_us(vt) AS valid_to_us,
+       vt IS NULL AS is_current
+FROM iv
+"""
+
+
+def q_bool_search(spark, sf_dir):
+    """Boolean AND retrieval: documents containing ALL of
+    {join, hash, vector} (operators/search.py:boolean_and_search) —
+    posting-list intersection as a literal map-side term filter + one
+    count-k fold, no join at all."""
+    from ..operators.search import boolean_and_search
+
+    return boolean_and_search(
+        _t(spark, sf_dir, "documents"), ["join", "hash", "vector"]
+    )
+
+
+SQL_BOOL_SEARCH = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_WS_SQL})) AS t FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_terms_matched
+FROM ex WHERE t IN ('join', 'hash', 'vector')
+GROUP BY doc_id HAVING COUNT(*) = 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -7292,6 +7548,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a40_revenue_concentration": q_a40_revenue_concentration,
     "session_window_native": q_session_window_native,
     "profile_documents": q_profile_documents,
+    "stream_hll": q_stream_hll,
+    "kcore_links": q_kcore_links,
+    "link_structure": q_link_structure,
+    "scd2_pages": q_scd2_pages,
+    "bool_search": q_bool_search,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -7409,6 +7670,11 @@ def oracle_map() -> dict[str, str]:
         "a40_revenue_concentration": SQL_A40_REVENUE_CONCENTRATION,
         "session_window_native": SQL_SESSION_WINDOW_NATIVE,
         "profile_documents": SQL_PROFILE_DOCUMENTS,
+        "stream_hll": SQL_STREAM_HLL,
+        "kcore_links": SQL_KCORE_LINKS,
+        "link_structure": SQL_LINK_STRUCTURE,
+        "scd2_pages": SQL_SCD2_PAGES,
+        "bool_search": SQL_BOOL_SEARCH,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
