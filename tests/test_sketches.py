@@ -179,3 +179,108 @@ def test_cusum_flat_series_is_null_signal(spark):
     df = df.withColumn("ts", F.to_timestamp("ts"))
     out = cusum_changepoint(df).collect()[0]
     assert out["max_abs_cusum"] == 0.0
+
+
+# ---- batch 40: weighted reservoir, spike z, MI, FD discovery ----
+
+
+def test_wrs_exact_k_weight_bias_and_partition_invariance(spark):
+    from xdan_dqa_spark.operators.curation import gini_concentration  # noqa: F401
+    from xdan_dqa_spark.sources.readers import weighted_reservoir_topk
+
+    rows = ([(i, 1000) for i in range(50)]          # heavy
+            + [(i, 1) for i in range(50, 1050)])    # light
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_reservoir_topk(df, 40, "w").collect()
+    assert len(got) == 40
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    # heavy ids hold ~98% of total weight; expect the sample dominated
+    # by them (binomial slack)
+    assert heavy >= 30
+    re = weighted_reservoir_topk(df.repartition(17), 40, "w").collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in re)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_reservoir_topk(df, 0, "w")
+
+
+def test_wrs_excludes_nonpositive_weights(spark):
+    from xdan_dqa_spark.sources.readers import weighted_reservoir_topk
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, 5)], "doc_id long, w long")
+    got = sorted(r["doc_id"] for r in weighted_reservoir_topk(df, 10, "w").collect())
+    assert got == [1, 4]
+
+
+def test_spike_zscore_flags_injected_burst(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.sessions import daily_spike_zscore
+
+    rows = []
+    for d in range(10):
+        day = dt.date(2024, 5, 1) + dt.timedelta(days=d)
+        n = 100 if d != 8 else 500          # burst on day index 8
+        jitter = d % 3                       # baseline variance > 0
+        for i in range(n + jitter):
+            rows.append(("click", f"{day} 01:00:00"))
+    df = spark.createDataFrame(rows, "event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"]): r["z"] for r in daily_spike_zscore(df).collect()}
+    # first 7 days have no complete trailing window
+    assert len(out) == 3
+    assert out["2024-05-09"] > 5          # the burst
+    assert abs(out["2024-05-08"]) < 3
+
+
+def test_spike_zscore_zero_variance_guard(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.sessions import daily_spike_zscore
+
+    rows = []
+    for d in range(9):
+        day = dt.date(2024, 6, 1) + dt.timedelta(days=d)
+        rows += [("flat", f"{day} 01:00:00")] * 10
+    df = spark.createDataFrame(rows, "event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    zs = [r["z"] for r in daily_spike_zscore(df).collect()]
+    assert zs and all(z == 0.0 for z in zs)
+
+
+def test_mutual_information_extremes(spark):
+    from xdan_dqa_spark.operators.metrics import mutual_information
+
+    # independent + balanced: every cell term is ln(1) = 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(25)],
+        "a string, b string")
+    r = mutual_information(indep, "a", "b").collect()[0]
+    assert r["mi_nats"] == 0.0 and r["n_cells"] == 4
+    # b == a: MI = H(a) = ln 2 for a balanced binary column
+    dep = spark.createDataFrame(
+        [(a, a) for a in "xy" for _ in range(50)], "a string, b string")
+    r2 = mutual_information(dep, "a", "b").collect()[0]
+    import math
+    assert abs(r2["mi_nats"] - math.log(2)) < 1e-6
+
+
+def test_fd_discovery_census(spark):
+    from xdan_dqa_spark.operators.metrics import fd_discovery
+
+    # city -> country holds; country -> city violated
+    rows = [("paris", "fr"), ("lyon", "fr"), ("rome", "it"),
+            ("paris", "fr"), ("rome", "it")]
+    df = spark.createDataFrame(rows, "city string, country string")
+    got = {(r["lhs"], r["rhs"]): (r["n_violating"], r["holds"])
+           for r in fd_discovery(df, ["city", "country"]).collect()}
+    assert got[("city", "country")] == (0, True)
+    assert got[("country", "city")][0] == 1 and not got[("country", "city")][1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fd_discovery(df, ["city"])

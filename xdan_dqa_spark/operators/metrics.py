@@ -211,3 +211,94 @@ def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         )
         .drop("_x", "_gy")
     )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """One-row mutual information (nats) between two categorical
+    columns — (n_rows, n_cells, mi_nats). MI(lang; source) near 0 means
+    sources are language-balanced; high MI means language is predicted
+    by source (a single-language source dominating its slice) — the
+    information-theoretic audit behind the lang_confusion /
+    keep_rate_by_lang fairness reports.
+
+    Determinism discipline (token_entropy's pattern): a raw float sum
+    of p·ln terms is accumulation-order-dependent, so each cell's term
+    (c_ab/N)·ln(c_ab·N/(c_a·c_b)) — ONE fixed IEEE sequence on exact
+    integer counts — is rounded to 9 dp and summed as DECIMAL
+    (order-free, map-side combinable). Cells with c_ab = 0 contribute
+    exactly 0 by the MI definition and never appear (the contingency
+    fold only emits observed cells).
+
+    Scale shape: one contingency fold at (a, b) grain (bounded by the
+    category product), marginals are two further folds of THAT bounded
+    table, attached by key joins; the final fold is one row."""
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count("*").alias("c_ab"))
+    ma = cells.groupBy("_a").agg(F.sum("c_ab").alias("c_a"))
+    mb = cells.groupBy("_b").agg(F.sum("c_ab").alias("c_b"))
+    tot = cells.agg(F.sum("c_ab").alias("n_rows"))
+    joined = (
+        cells.join(ma, "_a").join(mb, "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n_rows").cast("double")
+    term = (
+        F.col("c_ab").cast("double") / n
+    ) * F.log(
+        F.col("c_ab").cast("double") * n
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return (
+        joined.select(
+            "n_rows",
+            F.round(term, 9).cast("decimal(20,9)").alias("_t"),
+        )
+        .groupBy("n_rows")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(F.sum("_t").cast("double"), 6).alias("mi_nats"),
+        )
+    )
+
+
+def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise functional-dependency CENSUS over a column set: for
+    every ordered pair (lhs -> rhs), how many lhs values exist, how
+    many violate (map to >1 distinct rhs), and whether the FD holds —
+    the profiling upgrade of fd_violations (which checks ONE declared
+    FD) to discovery over all candidate pairs. The schema-inference
+    report a new feed gets before anyone writes constraints by hand.
+
+    Scale shape: each pair is the same two-stacked-aggregate shape as
+    fd_violations (groupBy(lhs, rhs) → groupBy(lhs) — per-group state
+    bounded at any rhs cardinality), the per-pair 1-row summaries
+    union into one bounded report. len(cols)² − len(cols) small plans
+    over one cacheable input — run it on a profile sample, not the
+    full corpus (as with any profiler)."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    outs = []
+    for lhs in cols:
+        for rhs in cols:
+            if lhs == rhs:
+                continue
+            pairs = df.groupBy(F.col(lhs).alias("_l"),
+                               F.col(rhs).alias("_r")).agg(
+                F.count("*").alias("_c")
+            )
+            per = pairs.groupBy("_l").agg(
+                F.count("*").alias("_nd")
+            )
+            outs.append(per.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count("*").alias("n_lhs_values"),
+                F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).alias(
+                    "n_violating"
+                ),
+            ).withColumn("holds", F.col("n_violating") == 0))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

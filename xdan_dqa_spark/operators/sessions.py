@@ -191,3 +191,52 @@ def burst_users(df: DataFrame, window_sec: int = 86400, min_events: int = 8,
         .agg(F.count("*").alias("n_events"), F.max("_c").alias("max_burst"))
         .filter(F.col("max_burst") >= min_events)
     )
+
+
+def daily_spike_zscore(events: DataFrame, ts_col: str = "ts",
+                       group_col: str = "event_type",
+                       window_days: int = 7) -> DataFrame:
+    """Per-group daily-volume spike detector: each day's event count
+    z-scored against the TRAILING ``window_days`` full days (current
+    day excluded — a spike must not inflate its own baseline).
+    Returns (group, day, n_events, z) for every day with a complete
+    trailing window — the feed-health alarm that catches a bot burst
+    or a broken dedup upstream in one pass.
+
+    Determinism discipline: the trailing mean/variance come from EXACT
+    integer sums (Σc, Σc²) over a ROWS frame of the per-day count
+    table; the z is ONE fixed IEEE sequence (mu = sx/n; var = sxx/n −
+    mu·mu; z = (c − mu)/sqrt(var)) on those integers, with the
+    zero-variance case guarded to z = 0 (a constant baseline makes any
+    deviation infinite-sigma; flagging it is a policy choice left to
+    the caller via n_events vs mu).
+
+    Scale shape: the day grain folds FIRST (map-side combinable;
+    shuffle rows = groups × days), windows then run over that bounded
+    per-group day table — hundreds of rows per partition, never raw
+    events."""
+    if window_days < 2:
+        raise ValueError(f"window_days must be >= 2 (got {window_days})")
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("grp").orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    staged = daily.select(
+        "grp", "day", "n_events",
+        F.count("*").over(w).alias("_np"),
+        F.sum("n_events").over(w).alias("_sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_sxx"),
+    ).filter(F.col("_np") == window_days)
+    n = float(window_days)
+    mu = F.col("_sx").cast("double") / F.lit(n)
+    var = F.col("_sxx").cast("double") / F.lit(n) - mu * mu
+    z = F.when(var > 0,
+               (F.col("n_events").cast("double") - mu) / F.sqrt(var)
+               ).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col("grp").alias(group_col), "day", "n_events",
+        F.round(z, 6).alias("z"),
+    )

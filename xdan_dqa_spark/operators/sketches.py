@@ -312,3 +312,82 @@ def bloom_probe_report(build_df: DataFrame, build_col: str,
 def bloom_theoretical_fp(n_keys: int) -> float:
     """Textbook expected false-positive rate for the module geometry."""
     return (1.0 - math.exp(-BLOOM_K * n_keys / BLOOM_BITS)) ** BLOOM_K
+
+
+def hll_registers_by(df: DataFrame, col: str, by: str) -> DataFrame:
+    """(group, idx, rho) GROUPED HyperLogLog registers — one 256-row
+    register table per group, the per-slice cardinality monitor
+    (vocabulary per source/shard/day). Same construction as
+    hll_registers with the group key carried through the ONE map-side-
+    combined max aggregate; state is 256 rows × groups, merges across
+    shards with max() exactly like the global sketch."""
+    c = F.col(col).cast("string")
+    hl = _h32(c, "hl")
+    hh = _h32(c, "hh")
+    idx = hl.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(hl, HLL_P) * F.lit(1 << 32).cast("long") + hh
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.select(F.col(by).alias("grp"), idx.alias("idx"), rho.alias("rho"))
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(df: DataFrame, col: str, by: str) -> DataFrame:
+    """Per-group HyperLogLog report: (group, m, n_zero_registers,
+    hll_estimate, exact_distinct, rel_error) — hll_estimate's math
+    applied group-wise (identical constants and op order, so each
+    group's estimate is bit-identical to running the global sketch on
+    that slice alone). The exact column rides a second aggregate over
+    the same scan for self-documentation; at 100 TB keep only the
+    grouped register table."""
+    regs = hll_registers_by(df, col, by)
+    contrib = F.expr(
+        f"cast(shiftleft(cast(1 as bigint), cast({_HLL_RHO_MAX} - rho as int)) "
+        "as decimal(38,0))"
+    )
+    s = regs.groupBy("grp").agg(
+        F.count("*").alias("n_present"),
+        F.sum(contrib).alias("s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    staged = s.select(
+        "grp",
+        F.lit(HLL_M).alias("m"),
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero_registers"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("decimal(38,0)")
+            * F.lit(1 << 57).cast("decimal(38,0)")
+        ).alias("_s_total"),
+    )
+    raw = (
+        F.lit(alpha * HLL_M * HLL_M * float(1 << 57))
+        / F.col("_s_total").cast("double")
+    )
+    v = F.col("n_zero_registers").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    exact = df.groupBy(F.col(by).alias("grp")).agg(
+        F.count_distinct(F.col(col)).alias("exact_distinct")
+    )
+    return (
+        staged.join(exact, "grp")
+        .select(
+            F.col("grp").alias(by),
+            "m",
+            "n_zero_registers",
+            F.round(est, 4).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                (F.round(est, 4) - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

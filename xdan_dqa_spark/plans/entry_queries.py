@@ -7413,6 +7413,212 @@ GROUP BY doc_id HAVING COUNT(*) = 3
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 40
+# Exact-k weighted sampling, spike detection, grouped HLL, mutual
+# information, and pairwise FD discovery.
+
+
+def q_wrs_sample(spark, sf_dir):
+    """Efraimidis-Spirtakis weighted reservoir top-k: exactly 100 docs
+    sampled without replacement with inclusion probability ~ n_chars
+    (sources/readers.py:weighted_reservoir_topk). u is md5-derived (no
+    RNG), key = ln(u)/w is one fixed IEEE sequence rounded at 12 dp
+    with an id tie-break, so the SAMPLE SET ITSELF is engine-exact;
+    selection plans TakeOrderedAndProject (per-partition heaps)."""
+    from ..sources.readers import weighted_reservoir_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_reservoir_topk(d, 100, "n_chars").select(
+        "doc_id", "n_chars", "wrs_key"
+    )
+
+
+SQL_WRS_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         round(
+           ln((CAST(CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)),
+                                        1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+              / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE), 12) AS wrs_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, wrs_key FROM s
+ORDER BY wrs_key DESC, doc_id LIMIT 100
+"""
+
+
+def q_spike_zscore(spark, sf_dir):
+    """Per-type daily-volume spike detector: each day's event count
+    z-scored against the trailing 7 FULL days (operators/sessions.py:
+    daily_spike_zscore) — exact integer window sums, one fixed IEEE z
+    per row, zero-variance guarded."""
+    from ..operators.sessions import daily_spike_zscore
+
+    return daily_spike_zscore(_t(spark, sf_dir, "events"))
+
+
+SQL_SPIKE_ZSCORE = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT grp, day, n_events,
+         COUNT(*) OVER w AS np,
+         SUM(n_events) OVER w AS sx,
+         SUM(n_events * n_events) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY grp ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT grp AS event_type, day, n_events,
+       round(CASE WHEN CAST(sxx AS DOUBLE) / 7.0
+                       - (CAST(sx AS DOUBLE) / 7.0) * (CAST(sx AS DOUBLE) / 7.0)
+                       > 0
+                  THEN (CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / 7.0)
+                       / sqrt(CAST(sxx AS DOUBLE) / 7.0
+                              - (CAST(sx AS DOUBLE) / 7.0)
+                                * (CAST(sx AS DOUBLE) / 7.0))
+                  ELSE 0.0 END, 6) AS z
+FROM st WHERE np = 7
+"""
+
+
+def q_hll_by_source(spark, sf_dir):
+    """GROUPED HyperLogLog: per-source vocabulary estimate next to the
+    exact distinct (operators/sketches.py:hll_estimate_by) — one
+    256-row register table per source, merging across shards with
+    max(); identical constants/op order to the global sketch."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.sketches import hll_estimate_by
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+        ).alias("v"),
+    )
+    return hll_estimate_by(terms, "v", "source")
+
+
+SQL_HLL_BY_SOURCE = f"""
+WITH terms AS (
+  SELECT source, unnest({_WORDS_WS_SQL}) AS v FROM documents
+),
+h AS (
+  SELECT source,
+         CAST('0x' || substr(md5('hl:' || v), 1, 8) AS BIGINT) AS hl,
+         CAST('0x' || substr(md5('hh:' || v), 1, 8) AS BIGINT) AS hh
+  FROM terms
+),
+r AS (SELECT source, hl & 255 AS idx, (hl >> 8) * 4294967296 + hh AS w FROM h),
+regs AS (
+  SELECT source, idx,
+         MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS rho
+  FROM r GROUP BY 1, 2
+),
+s AS (
+  SELECT source, COUNT(*) AS n_present,
+         SUM(CAST((CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS DECIMAL(38,0))) AS s_present
+  FROM regs GROUP BY 1
+),
+e AS (SELECT source, COUNT(DISTINCT v) AS exact_distinct FROM terms GROUP BY 1),
+t AS (
+  SELECT s.source, 256 AS m, 256 - n_present AS n_zero_registers,
+         s_present + CAST(256 - n_present AS DECIMAL(38,0))
+                     * CAST(144115188075855872 AS DECIMAL(38,0)) AS s_total,
+         exact_distinct
+  FROM s JOIN e ON s.source = e.source
+),
+est AS (
+  SELECT source, m, n_zero_registers, exact_distinct,
+         {_HLL_RAW_NUM} / CAST(s_total AS DOUBLE) AS raw
+  FROM t
+),
+fin AS (
+  SELECT source, m, n_zero_registers, exact_distinct,
+         CASE WHEN raw <= 640.0 AND n_zero_registers > 0
+              THEN 256.0 * ln(256.0 / CAST(n_zero_registers AS DOUBLE))
+              ELSE raw END AS est
+  FROM est
+)
+SELECT source, m, n_zero_registers, round(est, 4) AS hll_estimate,
+       exact_distinct,
+       round((round(est, 4) - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+FROM fin
+"""
+
+
+def q_lang_source_mi(spark, sf_dir):
+    """One-row mutual information (nats) between lang and source
+    (operators/metrics.py:mutual_information) — the information-
+    theoretic fairness audit: high MI means language is predicted by
+    source; per-cell terms rounded + DECIMAL-summed (order-free)."""
+    from ..operators.metrics import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+SQL_LANG_SOURCE_MI = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, COUNT(*) AS c_ab FROM documents GROUP BY 1, 2
+),
+ma AS (SELECT a, SUM(c_ab) AS c_a FROM cells GROUP BY 1),
+mb AS (SELECT b, SUM(c_ab) AS c_b FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c_ab) AS n_rows FROM cells),
+j AS (
+  SELECT n_rows,
+         CAST(round(
+           (CAST(c_ab AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           * ln(CAST(c_ab AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 9)
+         AS DECIMAL(20,9)) AS t
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+)
+SELECT n_rows, COUNT(*) AS n_cells,
+       round(CAST(SUM(t) AS DOUBLE), 6) AS mi_nats
+FROM j GROUP BY n_rows
+"""
+
+
+def q_fd_census(spark, sf_dir):
+    """Pairwise FD discovery over (lang, source, n_chars)
+    (operators/metrics.py:fd_discovery) — which column determines
+    which, as a violation census per ordered pair; the
+    schema-inference report a new feed gets before constraints are
+    written by hand."""
+    from ..operators.metrics import fd_discovery
+
+    return fd_discovery(
+        _t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"]
+    )
+
+
+def _sql_fd_pair(lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       COUNT(*) AS n_lhs_values,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT {lhs}, COUNT(*) AS nd
+  FROM (SELECT DISTINCT {lhs}, {rhs} FROM documents) GROUP BY 1
+)"""
+
+
+SQL_FD_CENSUS = "\nUNION ALL\n".join(
+    _sql_fd_pair(a, b)
+    for a in ("lang", "source", "n_chars")
+    for b in ("lang", "source", "n_chars")
+    if a != b
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -7553,6 +7759,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_structure": q_link_structure,
     "scd2_pages": q_scd2_pages,
     "bool_search": q_bool_search,
+    "wrs_sample": q_wrs_sample,
+    "spike_zscore": q_spike_zscore,
+    "hll_by_source": q_hll_by_source,
+    "lang_source_mi": q_lang_source_mi,
+    "fd_census": q_fd_census,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -7675,6 +7886,11 @@ def oracle_map() -> dict[str, str]:
         "link_structure": SQL_LINK_STRUCTURE,
         "scd2_pages": SQL_SCD2_PAGES,
         "bool_search": SQL_BOOL_SEARCH,
+        "wrs_sample": SQL_WRS_SAMPLE,
+        "spike_zscore": SQL_SPIKE_ZSCORE,
+        "hll_by_source": SQL_HLL_BY_SOURCE,
+        "lang_source_mi": SQL_LANG_SOURCE_MI,
+        "fd_census": SQL_FD_CENSUS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,

@@ -163,3 +163,40 @@ def read_many(spark: SparkSession, cfgs: list[SourceConfig],
     if not dfs:
         raise ValueError("no sources configured")
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def weighted_reservoir_topk(df: DataFrame, k: int, weight_col: str,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows
+    (Efraimidis–Spirtakis A-Res, 2006): each row draws a deterministic
+    pseudo-uniform u from its id hash and scores key = ln(u)/w; the k
+    LARGEST keys are the sample. Inclusion probability is proportional
+    to weight WITHOUT replacement — the property rate-based sampling
+    (stratified_hash_sample, quality-weighted s3) cannot give you when
+    the budget is an exact row count.
+
+    Determinism discipline: u = (h + 0.5)/2^60 with h the 60-bit
+    md5-derived hash of the id — no RNG, reproducible across runs,
+    engines, cluster sizes; ln and the division are single fixed IEEE
+    ops on identical inputs, so even the rank boundary is
+    engine-portable (ties additionally broken by id). Zero/negative
+    weights are excluded (they cannot be sampled — documented, not
+    silent: a weight of 0 has key -inf in the limit).
+
+    Scale shape: the selection is a global top-k — Spark plans
+    TakeOrderedAndProject (per-partition heaps, O(k) state each, no
+    global sort); the key is map-side arithmetic on the scan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wrs:"), F.col(id_col).cast("string"))),
+                    1, 15), 16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("wrs_key", F.round(key, 12))
+        .orderBy(F.desc("wrs_key"), F.asc(id_col))
+        .limit(k)
+    )
