@@ -284,3 +284,97 @@ def test_fd_discovery_census(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fd_discovery(df, ["city"])
+
+
+# ---- batch 41: Theil-Sen, paths, CMS join estimate, PSI, negatives ----
+
+
+def test_theilsen_exact_on_linear_and_robust_to_outlier(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import theilsen_daily_trend
+
+    rows = []
+    for d in range(12):
+        day = dt.date(2024, 7, 1) + dt.timedelta(days=d)
+        n = 10 + 5 * d if d != 6 else 500     # linear +5/day, one glitch day
+        rows += [("feed", f"{day} 01:00:00")] * n
+    df = spark.createDataFrame(rows, "event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = theilsen_daily_trend(df).collect()[0]
+    assert out["n_days"] == 12 and out["n_pairs"] == 66
+    # median pairwise slope stays 5.0 despite the 500-count outlier
+    assert out["slope_per_day"] == 5.0
+
+
+def test_event_paths_counts_known_sequences(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import event_paths
+
+    rows = []
+    t0 = dt.datetime(2024, 8, 1)
+    for u in range(10):
+        for i, e in enumerate(["view", "click", "buy", "view"]):
+            rows.append((u, str(t0 + dt.timedelta(minutes=i)), e))
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {r["path"]: r["n_occurrences"] for r in event_paths(df).collect()}
+    assert got == {"view>click>buy": 10, "click>buy>view": 10}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        event_paths(df, n=1)
+
+
+def test_cms_join_estimate_never_underestimates(spark):
+    from xdan_dqa_spark.operators.sketches import cms_join_cardinality
+
+    left = spark.createDataFrame(
+        [(i % 50,) for i in range(500)], "k long")        # 10 rows per key
+    right = spark.createDataFrame(
+        [(i,) for i in range(40)], "k long")              # keys 0..39
+    out = cms_join_cardinality(left, "k", right, "k").collect()[0]
+    assert out["exact_join_count"] == 400                 # 40 keys x 10
+    assert out["cms_estimate"] >= 400
+    assert out["overcount"] == out["cms_estimate"] - 400
+
+
+def test_psi_zero_on_identical_and_large_on_shift(spark):
+    from xdan_dqa_spark.operators.curation import psi_drift
+
+    # identical halves: every bucket two-sided with equal shares -> 0
+    same = spark.createDataFrame(
+        [(float(v % 100), v % 2 == 0) for v in range(2000)],
+        "value double, ref boolean")
+    r = psi_drift(same, "value", F.col("ref")).collect()[0]
+    assert r["psi"] == 0.0 and r["n_skipped"] == 0
+    # reproportioned current slice: ref uniform over buckets 0-3, cur
+    # concentrates 80% of its mass in buckets 0-1 -> textbook
+    # "population shift" PSI (~0.42); plus one cur-only bucket that
+    # must be COUNTED as skipped, not epsilon-fudged
+    ref_rows = [(float(v % 40), True) for v in range(1000)]
+    cur_rows = ([(float(v % 20), False) for v in range(800)]
+                + [(20.0 + float(v % 20), False) for v in range(190)]
+                + [(45.0, False)] * 10)
+    shift = spark.createDataFrame(ref_rows + cur_rows, "value double, ref boolean")
+    r2 = psi_drift(shift, "value", F.col("ref")).collect()[0]
+    assert r2["psi"] > 0.25
+    assert r2["n_skipped"] == 1   # the cur-only bucket 4
+
+
+def test_negative_samples_contract(spark):
+    from xdan_dqa_spark.operators.curation import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2)) for i in range(200)], "doc_id long, source string")
+    out = negative_samples(docs, n_negatives=3).collect()
+    src = {i: "s" + str(i % 2) for i in range(200)}
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]
+        assert src[r["negative_id"]] == src[r["anchor_id"]]   # same group
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_slot"])
+    assert all(len(s) <= 3 for s in per_anchor.values())
+    again = negative_samples(docs.repartition(7), n_negatives=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

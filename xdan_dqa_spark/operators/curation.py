@@ -1093,3 +1093,104 @@ def scd2_intervals(df: DataFrame, key_col: str = "canonical_url",
         F.col(ts_col).alias("valid_from"),
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def psi_drift(df: DataFrame, value_col: str, split_col,
+              bucket_width: float = 10.0) -> DataFrame:
+    """Population Stability Index between two slices of a numeric
+    column — the industry-standard drift score model monitors alarm on
+    (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 population shift).
+    ``split_col`` is a boolean Column marking the reference slice;
+    values bucket at fixed ``bucket_width``. Returns one row
+    (n_buckets, n_skipped, psi).
+
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over buckets observed in BOTH
+    slices; one-sided buckets make the term infinite, so they are
+    EXCLUDED and counted in ``n_skipped`` — no silent epsilon fudge,
+    the report says exactly what it dropped (the standard alternative,
+    epsilon-smoothing, is a documented swap).
+
+    Determinism discipline: bucket = floor(value/width) — one IEEE
+    division+floor, identical cross-engine; p, q are exact integer
+    counts over slice totals; each bucket's term is ONE fixed IEEE
+    sequence rounded to 9 dp and DECIMAL-summed (order-free — the
+    mutual_information pattern). Shape: one (slice, bucket) fold
+    (bounded by the bucket count), a pivot to per-bucket (ref, cur)
+    counts, a 1-row total broadcast, one bounded final fold."""
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(bucket_width)))
+    cells = df.select(
+        b.alias("bucket"),
+        F.when(split_col, F.lit("ref")).otherwise(F.lit("cur")).alias("side"),
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    term = (p - q) * F.log(p / q)
+    return j.select(
+        both.alias("_both"),
+        F.when(both, F.round(term, 9)).otherwise(F.lit(0.0))
+        .cast("decimal(20,9)").alias("_t"),
+    ).agg(
+        F.sum(F.when(F.col("_both"), 1).otherwise(0)).alias("n_buckets"),
+        F.sum(F.when(~F.col("_both"), 1).otherwise(0)).alias("n_skipped"),
+        F.round(F.sum("_t").cast("double"), 6).alias("psi"),
+    )
+
+
+def negative_samples(docs: DataFrame, n_negatives: int = 3,
+                     n_buckets: int = 64,
+                     id_col: str = "doc_id", group_col: str = "source",
+                     anchor_filter=None) -> DataFrame:
+    """Deterministic hard-negative attachment for contrastive training:
+    for each anchor document, ``n_negatives`` other documents from the
+    SAME group (same-source docs share style/topic — the informative
+    negatives; random cross-source negatives are too easy). Returns
+    (anchor_id, neg_slot, negative_id).
+
+    Scale shape — deliberately NOT a per-group rank window (a
+    row_number over a mega-source is one task sorting 10⁹ rows):
+    every doc maps to one of ``n_buckets`` md5 buckets per group, each
+    (group, bucket) collapses to its min-id representative — ONE
+    map-side-combinable fold — and anchor j's negative is the
+    representative of bucket h(anchor‖j) mod B, attached by an
+    equi-join against the bounded (groups × B) rep table (broadcast at
+    any realistic group count). Self-negatives are filtered; a slot
+    whose bucket has no rep (or only the anchor) drops, so degenerate
+    tiny groups yield fewer negatives rather than wrong ones.
+
+    Everything is md5-derived — reproducible across runs, engines,
+    cluster sizes; no RNG."""
+    if n_negatives < 1:
+        raise ValueError(f"n_negatives must be >= 1 (got {n_negatives})")
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    reps = docs.groupBy(
+        F.col(group_col).alias("_g"),
+        F.pmod(h(F.col(id_col).cast("string")), F.lit(n_buckets)).alias("_b"),
+    ).agg(F.min(id_col).alias("negative_id"))
+    anchors = docs if anchor_filter is None else docs.filter(anchor_filter)
+    slots = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(group_col).alias("_g"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, n_negatives + 1)])).alias(
+            "neg_slot"
+        ),
+    ).withColumn(
+        "_b",
+        F.pmod(
+            h(F.concat(F.col("anchor_id").cast("string"), F.lit("#"),
+                       F.col("neg_slot").cast("string"))),
+            F.lit(n_buckets),
+        ),
+    )
+    return (
+        slots.join(F.broadcast(reps), ["_g", "_b"])
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_slot", "negative_id")
+    )

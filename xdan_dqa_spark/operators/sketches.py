@@ -391,3 +391,50 @@ def hll_estimate_by(df: DataFrame, col: str, by: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+def cms_join_cardinality(df1: DataFrame, col1: str,
+                         df2: DataFrame, col2: str) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min sketches —
+    (cms_estimate, exact_join_count, overcount). The inner product of
+    two streams' frequency vectors Σ_v f1(v)·f2(v) IS the equi-join
+    output size, and the count-min estimate of it is min over the D
+    rows of the cell-wise product sum (Cormode–Muthukrishnan 2005) —
+    never an underestimate, biased up by hash collisions.
+
+    This is the sketch composition a query planner wants at 100 TB:
+    join size from two 4 096-counter summaries that each side
+    maintains independently (and merges by cell-wise sum), with
+    neither table scanned at planning time. The exact count rides
+    alongside for self-documentation — it is the expensive thing the
+    sketch replaces.
+
+    All-integer: cell counts are exact sums, the product sum is
+    DECIMAL(38,0) (two 10^9-row streams can put ~10^18 in one cell
+    product), min is order-independent — the estimate itself is
+    oracle-exact."""
+    s1 = cms_table(df1, col1)
+    s2 = cms_table(df2, col2)
+    per_row = (
+        s1.join(
+            s2.withColumnRenamed("cnt", "cnt2"), ["row_id", "col_id"]
+        )
+        .groupBy("row_id")
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("cnt2").cast("decimal(18,0)")
+            ).alias("_ip")
+        )
+    )
+    est = per_row.agg(F.min("_ip").cast("long").alias("cms_estimate"))
+    exact = (
+        df1.select(F.col(col1).cast("string").alias("_k"))
+        .join(df2.select(F.col(col2).cast("string").alias("_k")), "_k")
+        .agg(F.count("*").alias("exact_join_count"))
+    )
+    return est.crossJoin(exact).select(
+        "cms_estimate",
+        "exact_join_count",
+        (F.col("cms_estimate") - F.col("exact_join_count")).alias("overcount"),
+    )

@@ -7619,6 +7619,204 @@ SQL_FD_CENSUS = "\nUNION ALL\n".join(
 )
 
 
+
+# ------------------------------------------------------------ round-5 batch 41
+# Robust trend (Theil-Sen), behavioral path mining, sketch-composed
+# join-size estimation, PSI drift, and contrastive negative sampling.
+
+
+def q_theilsen_trend(spark, sf_dir):
+    """Per-type Theil-Sen median slope of daily event volume
+    (operators/sessions.py:theilsen_daily_trend) — the robust trend a
+    glitch day cannot move; pairwise slopes over the BOUNDED per-group
+    day table, rank-selected median."""
+    from ..operators.sessions import theilsen_daily_trend
+
+    return theilsen_daily_trend(_t(spark, sf_dir, "events"))
+
+
+SQL_THEILSEN_TREND = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY day) AS t, c
+  FROM daily
+),
+pairs AS (
+  SELECT a.grp, a.t AS i, b.t AS j,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM t a JOIN t b ON a.grp = b.grp AND a.t < b.t
+),
+ranked AS (
+  SELECT grp, slope,
+         row_number() OVER (PARTITION BY grp ORDER BY slope, i, j) AS rk,
+         COUNT(*) OVER (PARTITION BY grp) AS np
+  FROM pairs
+),
+mid AS (
+  SELECT grp, slope, np FROM ranked
+  WHERE rk = floor((np + 1) / 2) OR rk = ceil((np + 1) / 2)
+),
+med AS (
+  SELECT grp, MAX(np) AS n_pairs, SUM(slope) / COUNT(*) AS m
+  FROM mid GROUP BY grp
+),
+days AS (SELECT grp, MAX(t) AS n_days FROM t GROUP BY grp)
+SELECT med.grp AS event_type, n_days, n_pairs, round(m, 6) AS slope_per_day
+FROM med JOIN days ON med.grp = days.grp
+"""
+
+
+def q_event_paths3(spark, sf_dir):
+    """Top-20 3-event behavioral paths (operators/sessions.py:
+    event_paths) — path mining over per-user event order; one user-key
+    shuffle, map-side path fold, TakeOrderedAndProject selection."""
+    from ..operators.sessions import event_paths
+
+    return event_paths(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENT_PATHS3 = """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+)
+SELECT e1 || '>' || e2 || '>' || event_type AS path,
+       COUNT(*) AS n_occurrences
+FROM o WHERE e1 IS NOT NULL
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20
+"""
+
+
+def q_cms_join_est(spark, sf_dir):
+    """Join-size estimation by count-min inner product
+    (operators/sketches.py:cms_join_cardinality): |orders x customer on
+    custkey| estimated from two 4 096-counter sketches (min over rows
+    of the cell-wise product sum — never an underestimate), next to
+    the exact count it replaces at planning time."""
+    from ..operators.sketches import cms_join_cardinality
+
+    return cms_join_cardinality(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey",
+    )
+
+
+SQL_CMS_JOIN_EST = """
+WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+c1 AS (
+  SELECT d AS row_id,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+         % 1024 AS col_id
+  FROM orders CROSS JOIN ds
+),
+s1 AS (SELECT row_id, col_id, COUNT(*) AS cnt FROM c1 GROUP BY 1, 2),
+c2 AS (
+  SELECT d AS row_id,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+         % 1024 AS col_id
+  FROM customer CROSS JOIN ds
+),
+s2 AS (SELECT row_id, col_id, COUNT(*) AS cnt2 FROM c2 GROUP BY 1, 2),
+ip AS (
+  SELECT s1.row_id,
+         SUM(CAST(s1.cnt AS DECIMAL(19,0)) * CAST(s2.cnt2 AS DECIMAL(18,0))) AS ipd
+  FROM s1 JOIN s2 ON s1.row_id = s2.row_id AND s1.col_id = s2.col_id
+  GROUP BY 1
+),
+est AS (SELECT CAST(MIN(ipd) AS BIGINT) AS cms_estimate FROM ip),
+ex AS (
+  SELECT COUNT(*) AS exact_join_count
+  FROM orders o JOIN customer c
+  ON CAST(o.o_custkey AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+)
+SELECT cms_estimate, exact_join_count,
+       cms_estimate - exact_join_count AS overcount
+FROM est CROSS JOIN ex
+"""
+
+
+def q_psi_value_drift(spark, sf_dir):
+    """Population Stability Index of events.value, first half of
+    January vs second (operators/curation.py:psi_drift) — the
+    industry-standard drift score with an explicit skipped-bucket
+    census instead of a silent epsilon."""
+    from ..operators.curation import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = F.unix_micros(F.col("ts").cast("timestamp")) < 1705363200000000
+    return psi_drift(ev, "value", ref)
+
+
+SQL_PSI_VALUE_DRIFT = """
+WITH cells AS (
+  SELECT floor(CAST(value AS DOUBLE) / 10.0) AS bucket,
+         SUM(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END) AS n_cur
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells),
+j AS (
+  SELECT (n_ref > 0 AND n_cur > 0) AS is_both,
+         CASE WHEN n_ref > 0 AND n_cur > 0
+              THEN CAST(round(
+                (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+                 - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+                * ln((CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+                     / (CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))), 9)
+              AS DECIMAL(20,9))
+              ELSE CAST(0.0 AS DECIMAL(20,9)) END AS t
+  FROM cells CROSS JOIN tot
+)
+SELECT SUM(CASE WHEN is_both THEN 1 ELSE 0 END) AS n_buckets,
+       SUM(CASE WHEN is_both THEN 0 ELSE 1 END) AS n_skipped,
+       round(CAST(SUM(t) AS DOUBLE), 6) AS psi
+FROM j
+"""
+
+
+def q_negative_samples(spark, sf_dir):
+    """Deterministic same-source hard negatives for contrastive
+    training (operators/curation.py:negative_samples): anchors are
+    every 100th doc, 3 negatives each from md5-bucket representatives
+    — no per-group rank window (scale-safe on mega-sources), no RNG."""
+    from ..operators.curation import negative_samples
+
+    d = _t(spark, sf_dir, "documents")
+    return negative_samples(
+        d, n_negatives=3, anchor_filter=(F.col("doc_id") % 100 == 0)
+    )
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH reps AS (
+  SELECT source AS g,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         % 64 AS b,
+         MIN(doc_id) AS negative_id
+  FROM documents GROUP BY 1, 2
+),
+slots AS (
+  SELECT doc_id AS anchor_id, source AS g, j AS neg_slot,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                 || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)
+         % 64 AS b
+  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+  WHERE doc_id % 100 = 0
+)
+SELECT anchor_id, neg_slot, negative_id
+FROM slots JOIN reps USING (g, b)
+WHERE negative_id <> anchor_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -7764,6 +7962,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_by_source": q_hll_by_source,
     "lang_source_mi": q_lang_source_mi,
     "fd_census": q_fd_census,
+    "theilsen_trend": q_theilsen_trend,
+    "event_paths3": q_event_paths3,
+    "cms_join_est": q_cms_join_est,
+    "psi_value_drift": q_psi_value_drift,
+    "negative_samples": q_negative_samples,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -7891,6 +8094,11 @@ def oracle_map() -> dict[str, str]:
         "hll_by_source": SQL_HLL_BY_SOURCE,
         "lang_source_mi": SQL_LANG_SOURCE_MI,
         "fd_census": SQL_FD_CENSUS,
+        "theilsen_trend": SQL_THEILSEN_TREND,
+        "event_paths3": SQL_EVENT_PATHS3,
+        "cms_join_est": SQL_CMS_JOIN_EST,
+        "psi_value_drift": SQL_PSI_VALUE_DRIFT,
+        "negative_samples": SQL_NEGATIVE_SAMPLES,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
