@@ -378,3 +378,71 @@ def test_negative_samples_contract(spark):
     assert all(len(s) <= 3 for s in per_anchor.values())
     again = negative_samples(docs.repartition(7), n_negatives=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---- batch 42: k-anonymity, fingerprint, prefix filter, key drift ----
+
+
+def test_k_anonymity_census_counts_risk(spark):
+    from xdan_dqa_spark.operators.metrics import k_anonymity_census
+
+    rows = ([("en", 1, "a")] * 10          # class of 10, 1 sensitive value
+            + [("en", 2, "a"), ("en", 2, "b"), ("en", 2, "c")]  # class of 3
+            + [("fr", 1, "a")])            # singleton
+    df = spark.createDataFrame(rows, "lang string, b long, s string")
+    r = k_anonymity_census(df, ["lang", "b"], k=5, sensitive_col="s").collect()[0]
+    assert r["n_classes"] == 3 and r["n_rows"] == 14
+    assert r["n_classes_below_k"] == 2 and r["n_rows_at_risk"] == 4
+    assert r["min_class_size"] == 1 and r["min_l"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_anonymity_census(df, [], k=5)
+
+
+def test_commutative_fingerprint_order_and_null_sensitivity(spark):
+    from xdan_dqa_spark.operators.metrics import commutative_fingerprint
+
+    a = spark.createDataFrame([(1, "x"), (2, None), (3, "z")], "id long, v string")
+    b = spark.createDataFrame([(3, "z"), (1, "x"), (2, None)], "id long, v string")
+    fa = commutative_fingerprint(a.repartition(5), ["id", "v"], "t").collect()[0]
+    fb = commutative_fingerprint(b, ["id", "v"], "t").collect()[0]
+    assert (fa["n_rows"], fa["checksum"]) == (fb["n_rows"], fb["checksum"])
+    # NULL is not the same as the string it would silently collapse to
+    c = spark.createDataFrame([(1, "x"), (2, ""), (3, "z")], "id long, v string")
+    fc = commutative_fingerprint(c, ["id", "v"], "t").collect()[0]
+    assert fc["checksum"] != fa["checksum"]
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    """Recall 1.0 is the contract: prefix-filtered pairs == the full
+    quadratic token-set Jaccard join on a small corpus."""
+    from itertools import combinations
+
+    from xdan_dqa_spark.operators.dedup import prefix_filter_pairs
+
+    texts = {
+        1: "a b c d e",
+        2: "a b c d f",        # J(1,2) = 4/6
+        3: "a b c d e",        # J(1,3) = 1
+        4: "x y z",
+        5: "x y z w",          # J(4,5) = 3/4
+        6: "q r s t u v",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["n_shared"]
+           for r in prefix_filter_pairs(df, threshold_num=2,
+                                        threshold_den=3).collect()}
+
+    def jac(x, y):
+        sx, sy = set(texts[x].split()), set(texts[y].split())
+        return len(sx & sy), len(sx | sy)
+
+    want = {}
+    for x, y in combinations(sorted(texts), 2):
+        c, u = jac(x, y)
+        if c * 3 >= 2 * u:
+            want[(x, y)] = c
+    assert got == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prefix_filter_pairs(df, threshold_num=0, threshold_den=3)

@@ -302,3 +302,77 @@ def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def k_anonymity_census(df: DataFrame, qi_cols: list[str], k: int = 5,
+                       sensitive_col: str | None = None) -> DataFrame:
+    """One-row k-anonymity (and optional l-diversity) risk census over
+    a quasi-identifier column set: (n_classes, n_rows,
+    n_classes_below_k, n_rows_at_risk, min_class_size[, min_l]) — the
+    privacy audit a dataset release gate runs: every equivalence class
+    of QI values smaller than k re-identifies its members; if a
+    sensitive column is given, min_l is the smallest number of distinct
+    sensitive values in any class (l-diversity — a k-anonymous class
+    where everyone shares one diagnosis still leaks it).
+
+    Shape: ONE fold to the QI grain (map-side combinable; class count
+    bounded by the QI value product), then one bounded fold to the
+    report row. The distinct-sensitive count per class uses the
+    stacked-aggregate form (groupBy(QI, sensitive) first) so per-class
+    state stays bounded at any sensitive cardinality."""
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    if sensitive_col is None:
+        classes = df.groupBy(*qi_cols).agg(F.count("*").alias("_n"))
+        lcol = []
+        lagg = []
+    else:
+        pairs = df.groupBy(*qi_cols, sensitive_col).agg(
+            F.count("*").alias("_c")
+        )
+        classes = pairs.groupBy(*qi_cols).agg(
+            F.sum("_c").alias("_n"), F.count("*").alias("_l")
+        )
+        lcol = ["_l"]
+        lagg = [F.min("_l").alias("min_l")]
+    return classes.select("_n", *lcol).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("_n").alias("n_rows"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0)).alias("n_classes_below_k"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)).alias("n_rows_at_risk"),
+        F.min("_n").alias("min_class_size"),
+        *lagg,
+    )
+
+
+def commutative_fingerprint(df: DataFrame, cols: list[str],
+                            label: str) -> DataFrame:
+    """One-row ORDER-INSENSITIVE dataset fingerprint: (table_name,
+    n_rows, checksum) with checksum = Σ over rows of the 60-bit
+    md5-derived integer of the row's canonical serialization, as an
+    exact DECIMAL(38,0) sum. Two replicas of a table (different
+    clusters, different partitionings, different row orders) are
+    byte-equal iff counts and checksums match (collision odds ~n²/2⁶⁰)
+    — the cheap cross-cluster integrity check a 100 TB replication job
+    runs instead of a sort-merge diff.
+
+    Canonical serialization: each column cast to string, NULL mapped
+    to a sentinel (concat_ws silently DROPS nulls, which would make
+    (NULL,'x') collide with ('x',NULL)), joined with an \\x1f unit
+    separator. Addition is commutative/associative on exact decimals —
+    any partitioning gives the identical checksum, and the same SQL
+    computes it in any engine."""
+    canon = F.concat_ws(
+        "\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("_h")).agg(
+        F.lit(label).alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_h").cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )

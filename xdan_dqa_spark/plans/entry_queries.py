@@ -7817,6 +7817,205 @@ WHERE negative_id <> anchor_id
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 42
+# Privacy risk census, order-insensitive dataset fingerprints, EXACT
+# set-similarity join (prefix filtering), and props-key schema drift.
+
+
+def q_k_anon_docs(spark, sf_dir):
+    """k-anonymity + l-diversity risk census over the (lang,
+    length-bucket) quasi-identifier with source as the sensitive
+    attribute (operators/metrics.py:k_anonymity_census) — the release
+    gate's privacy audit; bounded class-grain folds only."""
+    from ..operators.metrics import k_anonymity_census
+
+    base = _t(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars DIV 100").alias("len_bucket"), "source"
+    )
+    return k_anonymity_census(base, ["lang", "len_bucket"], k=5,
+                              sensitive_col="source")
+
+
+SQL_K_ANON_DOCS = """
+WITH base AS (
+  SELECT lang, n_chars // 100 AS len_bucket, source FROM documents
+),
+pairs AS (
+  SELECT lang, len_bucket, source, COUNT(*) AS c FROM base GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT lang, len_bucket, SUM(c) AS n, COUNT(*) AS l
+  FROM pairs GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_classes, SUM(n) AS n_rows,
+       SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_classes_below_k,
+       SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS n_rows_at_risk,
+       MIN(n) AS min_class_size,
+       MIN(l) AS min_l
+FROM classes
+"""
+
+
+def q_dataset_fingerprint(spark, sf_dir):
+    """Order-insensitive replica fingerprints for two tables
+    (operators/metrics.py:commutative_fingerprint): (table, n_rows,
+    Σ row-hash as DECIMAL) — byte-equality across clusters checked
+    from two scans and no shuffle-heavy diff. Doubles/timestamps are
+    canonicalized (DECIMAL(18,2) price, epoch-us date) BEFORE
+    serialization so the string form is engine-exact."""
+    from ..operators.metrics import commutative_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_c"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("date_us"),
+        "o_orderpriority",
+    )
+    f1 = commutative_fingerprint(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"], "documents"
+    )
+    f2 = commutative_fingerprint(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "price_c", "date_us",
+         "o_orderpriority"],
+        "orders",
+    )
+    return f1.unionByName(f2)
+
+
+_FPSEP = "chr(31)"
+_FPNULL = "chr(0) || 'NULL'"
+
+
+def _sql_fingerprint(table_expr: str, label: str, cols: list[str]) -> str:
+    canon = f" || {_FPSEP} || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), {_FPNULL})" for c in cols
+    )
+    return f"""
+SELECT '{label}' AS table_name, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST('0x' || substr(md5({canon}), 1, 15) AS BIGINT)
+                AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM {table_expr}
+"""
+
+
+SQL_DATASET_FINGERPRINT = (
+    _sql_fingerprint("documents", "documents",
+                     ["doc_id", "text", "lang", "source", "n_chars"])
+    + "\nUNION ALL\n"
+    + _sql_fingerprint(
+        """(SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price_c,
+                   epoch_us(o_orderdate) AS date_us,
+                   o_orderpriority FROM orders)""",
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "price_c", "date_us",
+         "o_orderpriority"],
+    )
+)
+
+
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    """EXACT token-set similarity join at Jaccard >= 9/10 via prefix
+    filtering (operators/dedup.py:prefix_filter_pairs, the PPJoin
+    family) — guaranteed recall 1.0, the exact complement to
+    MinHash-LSH; all-integer verify with a rational boundary.
+
+    Scoped to a deterministic 1-in-5 shard: pair ENUMERATION over a
+    near-dup-dense corpus has quadratic TRUE output by definition (this
+    synthetic template corpus holds ~965k genuine pairs at tau = 0.9 at
+    sf0.1 — measured in both engines), so the enumeration form is a
+    shard-level diagnostic; the production path consumes CLUSTERS via
+    cc_dedup/minhash_dedup, which collapse without enumerating."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return prefix_filter_pairs(docs, threshold_num=9, threshold_den=10)
+
+
+SQL_PREFIX_JACCARD_PAIRS = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+tok AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_WS_SQL})) AS term FROM base
+),
+vocab AS (SELECT term, COUNT(*) AS dfq FROM tok GROUP BY 1),
+ranks AS (
+  SELECT term, row_number() OVER (ORDER BY dfq, term) AS grank FROM vocab
+),
+sizes AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+pref AS (
+  SELECT doc_id, term, s FROM (
+    SELECT t.doc_id, t.term, z.s,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY r.grank) AS dr
+    FROM tok t JOIN ranks r ON t.term = r.term JOIN sizes z ON t.doc_id = z.doc_id
+  ) WHERE dr <= s - (9 * s + 9) // 10 + 1
+),
+cand AS (
+  SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b
+  FROM pref pa JOIN pref pb ON pa.term = pb.term AND pa.doc_id < pb.doc_id
+   AND pb.s * 10 >= pa.s * 9 AND pa.s * 10 >= pb.s * 9
+),
+shared AS (
+  SELECT c.a, c.b, COUNT(*) AS n_shared
+  FROM cand c JOIN tok ta ON ta.doc_id = c.a
+  JOIN tok tb ON tb.doc_id = c.b AND tb.term = ta.term
+  GROUP BY 1, 2
+)
+SELECT s.a, s.b, s.n_shared,
+       round(CAST(s.n_shared AS DOUBLE)
+             / CAST(za.s + zb.s - s.n_shared AS DOUBLE), 6) AS jaccard
+FROM shared s JOIN sizes za ON za.doc_id = s.a JOIN sizes zb ON zb.doc_id = s.b
+WHERE s.n_shared * 10 >= 9 * (za.s + zb.s - s.n_shared)
+"""
+
+
+def q_props_key_drift(spark, sf_dir):
+    """JSON-schema DRIFT census of the open props sidecar: keys that
+    appear in only ONE half of the month flag as drifted, per event
+    type — the upstream-deploy detector behind props_key_census (a key
+    vanishing or appearing mid-month is a producer schema change); the
+    full censused matrix is emitted so a stable feed still yields a
+    non-trivial, hash-checked report."""
+    ev = _t(spark, sf_dir, "events")
+    first = F.unix_micros(F.col("ts").cast("timestamp")) < 1705363200000000
+    ex = ev.select(
+        "event_type",
+        first.alias("_h1"),
+        F.explode(F.expr("json_object_keys(props)")).alias("key"),
+    )
+    agg = ex.groupBy("event_type", "key").agg(
+        F.max(F.when(F.col("_h1"), 1).otherwise(0)).alias("_f"),
+        F.max(F.when(~F.col("_h1"), 1).otherwise(0)).alias("_s"),
+    )
+    return agg.select(
+        "event_type", "key",
+        (F.col("_f") == 1).alias("in_first_half"),
+        (F.col("_s") == 1).alias("in_second_half"),
+        (F.col("_f") != F.col("_s")).alias("drifted"),
+    )
+
+
+SQL_PROPS_KEY_DRIFT = """
+WITH ex AS (
+  SELECT event_type,
+         epoch_us(ts) < 1705363200000000 AS h1,
+         unnest(json_keys(props)) AS key
+  FROM events
+),
+agg AS (
+  SELECT event_type, key,
+         MAX(CASE WHEN h1 THEN 1 ELSE 0 END) AS f,
+         MAX(CASE WHEN h1 THEN 0 ELSE 1 END) AS s
+  FROM ex GROUP BY 1, 2
+)
+SELECT event_type, key, f = 1 AS in_first_half, s = 1 AS in_second_half,
+       f <> s AS drifted
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -7967,6 +8166,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_join_est": q_cms_join_est,
     "psi_value_drift": q_psi_value_drift,
     "negative_samples": q_negative_samples,
+    "k_anon_docs": q_k_anon_docs,
+    "dataset_fingerprint": q_dataset_fingerprint,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "props_key_drift": q_props_key_drift,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -8099,6 +8302,10 @@ def oracle_map() -> dict[str, str]:
         "cms_join_est": SQL_CMS_JOIN_EST,
         "psi_value_drift": SQL_PSI_VALUE_DRIFT,
         "negative_samples": SQL_NEGATIVE_SAMPLES,
+        "k_anon_docs": SQL_K_ANON_DOCS,
+        "dataset_fingerprint": SQL_DATASET_FINGERPRINT,
+        "prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS,
+        "props_key_drift": SQL_PROPS_KEY_DRIFT,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
