@@ -446,3 +446,69 @@ def test_prefix_filter_matches_bruteforce(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         prefix_filter_pairs(df, threshold_num=0, threshold_den=3)
+
+
+# ---- batch 43: concurrency sweep, source cosine, rolling HLL ----
+
+
+def test_concurrency_peak_sweep_and_touching_boundary(spark):
+    from xdan_dqa_spark.operators.sessions import concurrency_peak
+
+    rows = [("a", 0, 100), ("a", 50, 150), ("a", 90, 200),   # triple overlap at 90
+            ("a", 150, 160),                                  # starts AT an end: no overlap bump
+            ("b", 0, 10), ("b", 10, 20)]                      # touching -> peak 1
+    df = spark.createDataFrame(rows, "scope string, s long, e long")
+    got = {r["scope"]: r for r in
+           concurrency_peak(df, "s", "e", group_col="scope").collect()}
+    assert got["a"]["peak_concurrency"] == 3 and got["a"]["peak_at"] == 90
+    assert got["a"]["n_intervals"] == 4
+    assert got["b"]["peak_concurrency"] == 1
+
+
+def test_source_cosine_extremes(spark):
+    from xdan_dqa_spark.operators.textstats import source_similarity_matrix
+
+    rows = ([(1, "alpha beta gamma", "en", "s1")] * 5
+            + [(2, "alpha beta gamma", "en", "s2")] * 5       # identical profile
+            + [(3, "delta epsilon", "en", "s3")] * 5)          # disjoint vocab
+    df = spark.createDataFrame(
+        [(i * 10 + j, t, l, s) for j, (i, t, l, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string")
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in source_similarity_matrix(df).collect()}
+    assert got[("s1", "s2")] == 1.0
+    assert ("s1", "s3") not in got      # zero shared terms -> no row
+
+
+def test_rolling_hll_window1_equals_daily_and_window_covers_span(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sketches import (
+        hll_estimate,
+        hll_rolling_estimate,
+    )
+
+    rows = []
+    for d in range(4):
+        day = dt.date(2024, 9, 1) + dt.timedelta(days=d)
+        for u in range(100 * (d + 1)):
+            rows.append((f"u{d}-{u}", f"{day} 10:00:00"))
+    df = spark.createDataFrame(rows, "user_id string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    # a window spanning the whole fixture equals the global estimate on
+    # the LAST day (register merge == union of all days)
+    whole = hll_rolling_estimate(df, "user_id", "ts", window_days=10)
+    last = max(r["day"] for r in whole.collect())
+    got_last = {r["day"]: r["hll_estimate"] for r in whole.collect()}[last]
+    glob = hll_estimate(df, "user_id").collect()[0]["hll_estimate"]
+    assert got_last == glob
+    # window=1 equals each day's own estimate
+    w1 = {r["day"]: r["hll_estimate"]
+          for r in hll_rolling_estimate(df, "user_id", "ts",
+                                        window_days=1).collect()}
+    for d in range(4):
+        day_df = df.filter(
+            F.to_date("ts") == str(dt.date(2024, 9, 1) + dt.timedelta(days=d)))
+        solo = hll_estimate(day_df, "user_id").collect()[0]["hll_estimate"]
+        dkey = sorted(w1)[d]
+        assert w1[dkey] == solo

@@ -325,3 +325,50 @@ def event_paths(events: DataFrame, ts_col: str = "ts",
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def concurrency_peak(sessions: DataFrame, start_col: str, end_col: str,
+                     group_col: str = "event_type") -> DataFrame:
+    """Peak concurrency per group from (start, end) intervals — the
+    sweep-line classic: explode each interval into a +1 at start and a
+    −1 at end, order by time, running-sum, take the max. Returns
+    (group, n_intervals, peak_concurrency, peak_at) with ``peak_at``
+    the EARLIEST instant the peak is reached (deterministic tie-break).
+
+    Boundary semantics: ends sort BEFORE starts at the same instant
+    (a session ending exactly when another starts does not overlap it)
+    — encoded by ordering on (t, delta) with delta = −1 first; both
+    engines sort identically on the integer pair.
+
+    Scale shape: ONE shuffle on the group key; the running sum is a
+    per-group window over 2× the interval count with O(1) frame state;
+    peak selection is a max(struct) fold, not a second sort."""
+    pts = sessions.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).cast("long").alias("t"),
+                         F.lit(1).alias("delta")),
+                F.struct(F.col(end_col).cast("long").alias("t"),
+                         F.lit(-1).alias("delta")),
+            )
+        ).alias("_p"),
+    ).select("grp", F.col("_p.t").alias("t"), F.col("_p.delta").alias("delta"))
+    w = (
+        Window.partitionBy("grp").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    # argmax as ONE struct-max fold: max (conc, -t) is the peak value
+    # with the EARLIEST time among its instants — no second window.
+    agg = run.groupBy("grp").agg(
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.max(
+            F.struct(F.col("conc").alias("c"), (-F.col("t")).alias("nt"))
+        ).alias("_m"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col), "n_intervals",
+        F.col("_m.c").alias("peak_concurrency"),
+        (-F.col("_m.nt")).alias("peak_at"),
+    )

@@ -438,3 +438,88 @@ def cms_join_cardinality(df1: DataFrame, col1: str,
         "exact_join_count",
         (F.col("cms_estimate") - F.col("exact_join_count")).alias("overcount"),
     )
+
+
+def hll_rolling_estimate(df: DataFrame, col: str, ts_col: str,
+                         window_days: int = 7) -> DataFrame:
+    """Rolling ``window_days``-day distinct-cardinality estimate from
+    WINDOWED register merges — (day, hll_estimate): "7-day active
+    users" at sketch cost. The exact rolling distinct needs either a
+    distinct-per-window recount (window_days full scans) or a giant
+    dedup state; the HLL form keeps ONE 256-row register table per day
+    and merges a trailing window of them with max() — the canonical
+    production shape for rolling reach/NDV dashboards.
+
+    Construction: daily registers (day, idx, rho) via one fold, then
+    max(rho) over a ROWS window per idx ordered by day — the per-idx
+    partition holds one row per day, so the window state is bounded by
+    the calendar, never the data. Day indexing is integral
+    (epoch-day), so trailing-N-days is a rows frame on a gap-filled
+    day grid; missing (day, idx) combinations contribute nothing to a
+    max, which is exactly HLL-correct. The finisher is
+    hll_estimate_from_registers' arithmetic applied per day."""
+    # integral epoch-day: DIV, not float-divide-then-floor (the float
+    # path is a different op than DuckDB's BIGINT // and invites ULP
+    # drift at day boundaries)
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    ).cast("long")
+    c = F.col(col).cast("string")
+    hl = _h32(c, "hl")
+    hh = _h32(c, "hh")
+    idx = hl.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(hl, HLL_P) * F.lit(1 << 32).cast("long") + hh
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    daily = (
+        df.select(day.alias("day"), idx.alias("idx"), rho.alias("rho"))
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # gap-fill the day axis per idx so the ROWS frame means calendar
+    # days: build the full (day x idx) grid from the observed day span
+    days = daily.select("day").distinct()
+    span = days.agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day")
+    ).crossJoin(
+        daily.select("idx").distinct()
+    )
+    filled = grid.join(daily, ["day", "idx"], "left")
+    wr = (
+        Window.partitionBy("idx").orderBy("day")
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    rolled = filled.withColumn("mrho", F.max("rho").over(wr)).filter(
+        F.col("mrho").isNotNull()
+    )
+    regs = rolled.select("day", F.col("idx"), F.col("mrho").alias("rho"))
+    contrib = F.expr(
+        f"cast(shiftleft(cast(1 as bigint), cast({_HLL_RHO_MAX} - rho as int)) "
+        "as decimal(38,0))"
+    )
+    s = regs.groupBy("day").agg(
+        F.count("*").alias("n_present"),
+        F.sum(contrib).alias("s_present"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    staged = s.select(
+        "day",
+        (F.lit(HLL_M) - F.col("n_present")).alias("_nz"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("decimal(38,0)")
+            * F.lit(1 << 57).cast("decimal(38,0)")
+        ).alias("_s_total"),
+    )
+    raw = (
+        F.lit(alpha * HLL_M * HLL_M * float(1 << 57))
+        / F.col("_s_total").cast("double")
+    )
+    v = F.col("_nz").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return staged.select("day", F.round(est, 4).alias("hll_estimate"))

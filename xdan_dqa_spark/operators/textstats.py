@@ -657,3 +657,71 @@ def script_profile(df: DataFrame, text_col: str = "text",
         dom.alias("dominant_script"),
         ratio.alias("script_mix_ratio"),
     )
+
+
+def source_similarity_matrix(docs: DataFrame, text_col: str = "text",
+                             by: str = "source") -> DataFrame:
+    """Pairwise unigram-profile cosine similarity between sources —
+    (a, b, n_shared_terms, cosine) for a < b — the corpus MAP a mixing
+    stage reads: near-duplicate sources (mirrors, syndication feeds)
+    sit at cosine → 1 and should not both be upweighted; the complement
+    to dup_cross_source's document-level contamination matrix at the
+    aggregate profile level.
+
+    Determinism discipline: cos = Σ c_a·c_b / (√Σc_a²·√Σc_b²) where
+    every sum is an EXACT DECIMAL(38,0) aggregate of integer term
+    counts (feature_correlation's widths: (19,0)×(18,0) products) —
+    order-free — and the two sqrt/one division run ONCE per pair on the
+    aggregated scalars.
+
+    Scale shape: term counts fold at (source, term) grain (map-side
+    combinable); norms fold that bounded table per source; the cross
+    term is a self-join ON TERM whose output is Σ_term s_t² rows with
+    s_t = sources containing the term — bounded by S²·vocab worst-case
+    and far less on real skew. At large S, block the join by source
+    buckets; S here is the mixing-table cardinality (tens-to-hundreds),
+    so the matrix is tiny."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    tc = (
+        docs.select(F.col(by).alias("src"), F.explode(words).alias("term"))
+        .groupBy("src", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    c19 = F.col("c").cast("decimal(19,0)")
+    c18 = F.col("c").cast("decimal(18,0)")
+    norms = tc.groupBy("src").agg(
+        F.sum((c19 * c18).cast("decimal(38,0)")).alias("_n2")
+    )
+    ta = tc.select(F.col("src").alias("a"), "term",
+                   F.col("c").alias("_ca"))
+    tb = tc.select(F.col("src").alias("b"), "term",
+                   F.col("c").alias("_cb"))
+    cross = (
+        ta.join(tb, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(
+                (F.col("_ca").cast("decimal(19,0)")
+                 * F.col("_cb").cast("decimal(18,0)")).cast("decimal(38,0)")
+            ).alias("_dot"),
+        )
+    )
+    na = norms.select(F.col("src").alias("a"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col("src").alias("b"), F.col("_n2").alias("_nb"))
+    return (
+        cross.join(na, "a").join(nb, "b")
+        .select(
+            "a", "b", "n_shared_terms",
+            F.round(
+                F.col("_dot").cast("double")
+                / (F.sqrt(F.col("_na").cast("double"))
+                   * F.sqrt(F.col("_nb").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -8016,6 +8016,259 @@ FROM agg
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 43
+# Sweep-line concurrency, source-profile cosine map, rolling windowed
+# HLL, and a referential-integrity census.
+
+
+def q_concurrency_peak(spark, sf_dir):
+    """Peak concurrent sessions (operators/sessions.py:
+    concurrency_peak): 30-min session windows per user swept as
+    +1/-1 boundary events with a running sum — end-before-start tie
+    order so touching sessions don't overlap; argmax via one
+    struct-max fold."""
+    from ..operators.sessions import concurrency_peak
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+    ).agg(F.count("*").alias("_n")).select(
+        F.lit("all").alias("scope"),
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("s_us"),
+        F.unix_micros(F.col("w.end").cast("timestamp")).alias("e_us"),
+    )
+    return concurrency_peak(sessions, "s_us", "e_us", group_col="scope")
+
+
+SQL_CONCURRENCY_PEAK = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+flagged AS (
+  SELECT user_id, tus,
+         CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                   >= 1800000000
+              OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sid AS (
+  SELECT user_id, tus,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM flagged
+),
+sess AS (
+  SELECT MIN(tus) AS s_us, MAX(tus) + 1800000000 AS e_us
+  FROM sid GROUP BY user_id, s
+),
+pts AS (
+  SELECT s_us AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_us AS t, -1 AS delta FROM sess
+),
+run AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS conc
+  FROM pts
+),
+agg AS (
+  SELECT COUNT(*) / 2 AS n_intervals,
+         MAX(struct_pack(c := conc, nt := -t)) AS m
+  FROM run
+)
+SELECT 'all' AS scope, CAST(n_intervals AS BIGINT) AS n_intervals,
+       m.c AS peak_concurrency, -m.nt AS peak_at
+FROM agg
+"""
+
+
+def q_source_cosine(spark, sf_dir):
+    """Pairwise unigram-profile cosine between sources
+    (operators/textstats.py:source_similarity_matrix) — the corpus map
+    that catches mirror/syndication source pairs before a mixing stage
+    upweights both; exact DECIMAL dot/norm sums, one terminal IEEE
+    expression per pair."""
+    from ..operators.textstats import source_similarity_matrix
+
+    return source_similarity_matrix(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_COSINE = f"""
+WITH ex AS (SELECT source AS src, unnest({_WORDS_WS_SQL}) AS term FROM documents),
+tc AS (SELECT src, term, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+norms AS (
+  SELECT src,
+         SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(18,0))) AS n2
+  FROM tc GROUP BY 1
+),
+crossed AS (
+  SELECT ta.src AS a, tb.src AS b, COUNT(*) AS n_shared_terms,
+         SUM(CAST(ta.c AS DECIMAL(19,0)) * CAST(tb.c AS DECIMAL(18,0))) AS dot
+  FROM tc ta JOIN tc tb ON ta.term = tb.term AND ta.src < tb.src
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared_terms,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             6) AS cosine
+FROM crossed JOIN norms na ON a = na.src JOIN norms nb ON b = nb.src
+"""
+
+
+def q_rolling_users_hll(spark, sf_dir):
+    """Rolling 7-day distinct-user estimate from WINDOWED HyperLogLog
+    register merges (operators/sketches.py:hll_rolling_estimate) next
+    to the exact rolling distinct it approximates — the 'weekly active
+    users' dashboard at sketch cost: one 256-row register table per
+    day, max()-merged over a trailing calendar frame."""
+    from ..operators.sketches import hll_rolling_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_rolling_estimate(ev, "user_id", "ts", window_days=7)
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").cast("long")
+    ud = ev.select(day.alias("eday"), F.col("user_id")).distinct()
+    days = est.select("day")
+    exact = (
+        days.join(
+            ud,
+            (F.col("eday") >= F.col("day") - 6) & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").select(
+        "day", "hll_estimate", "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+SQL_ROLLING_USERS_HLL = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(user_id AS VARCHAR) AS v
+  FROM events
+),
+h AS (
+  SELECT day,
+         CAST('0x' || substr(md5('hl:' || v), 1, 8) AS BIGINT) AS hl,
+         CAST('0x' || substr(md5('hh:' || v), 1, 8) AS BIGINT) AS hh
+  FROM ev
+),
+r AS (SELECT day, hl & 255 AS idx, (hl >> 8) * 4294967296 + hh AS w FROM h),
+daily AS (
+  SELECT day, idx,
+         MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS rho
+  FROM r GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+grid AS (
+  SELECT gs.day, ix.idx
+  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM span) gs
+  CROSS JOIN (SELECT DISTINCT idx FROM daily) ix
+),
+filled AS (
+  SELECT g.day, g.idx, d.rho
+  FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.idx = d.idx
+),
+rolled AS (
+  SELECT day, idx,
+         MAX(rho) OVER (PARTITION BY idx ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho
+  FROM filled
+),
+regs AS (SELECT day, idx, rho FROM rolled WHERE rho IS NOT NULL),
+s AS (
+  SELECT day, COUNT(*) AS n_present,
+         SUM(CAST((CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS DECIMAL(38,0))) AS s_present
+  FROM regs GROUP BY 1
+),
+t AS (
+  SELECT day, 256 - n_present AS nz,
+         s_present + CAST(256 - n_present AS DECIMAL(38,0))
+                     * CAST(144115188075855872 AS DECIMAL(38,0)) AS s_total
+  FROM s
+),
+est AS (
+  SELECT day, nz, {HLLNUM} / CAST(s_total AS DOUBLE) AS raw FROM t
+),
+fin AS (
+  SELECT day,
+         round(CASE WHEN raw <= 640.0 AND nz > 0
+                    THEN 256.0 * ln(256.0 / CAST(nz AS DOUBLE))
+                    ELSE raw END, 4) AS hll_estimate
+  FROM est
+),
+ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS eday, user_id FROM events),
+exact AS (
+  SELECT f.day, COUNT(DISTINCT u.user_id) AS exact_distinct
+  FROM fin f JOIN ud u ON u.eday >= f.day - 6 AND u.eday <= f.day
+  GROUP BY 1
+)
+SELECT f.day, f.hll_estimate, e.exact_distinct,
+       round((f.hll_estimate - CAST(e.exact_distinct AS DOUBLE))
+             / CAST(e.exact_distinct AS DOUBLE), 6) AS rel_error
+FROM fin f JOIN exact e ON f.day = e.day
+"""
+
+
+SQL_ROLLING_USERS_HLL = SQL_ROLLING_USERS_HLL.replace("{HLLNUM}", _HLL_RAW_NUM)
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity census over five warehouse FK edges:
+    (edge, n_child_rows, n_orphans) — the generalization of
+    j4_reconcile's single-pair audit to the whole schema; each edge is
+    one LEFT ANTI count against the parent's key projection (dims
+    broadcast; fact edges shuffle on the key)."""
+    edges = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for label, child, ck, parent, pk in edges:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("_k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("_k")).distinct()
+        orphans = c.join(p, "_k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        total = c.agg(F.count("*").alias("n_child_rows"))
+        outs.append(
+            total.crossJoin(orphans).select(
+                F.lit(label).alias("edge"), "n_child_rows", "n_orphans"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sql_fk_edge(label: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{label}' AS edge, COUNT(*) AS n_child_rows,
+       SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS n_orphans
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+ON c.{ck} = p.{pk}
+"""
+
+
+SQL_FK_INTEGRITY = "\nUNION ALL\n".join([
+    _sql_fk_edge("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    _sql_fk_edge("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    _sql_fk_edge("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    _sql_fk_edge("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    _sql_fk_edge("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -8170,6 +8423,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_fingerprint": q_dataset_fingerprint,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "props_key_drift": q_props_key_drift,
+    "concurrency_peak": q_concurrency_peak,
+    "source_cosine": q_source_cosine,
+    "rolling_users_hll": q_rolling_users_hll,
+    "fk_integrity": q_fk_integrity,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -8306,6 +8563,10 @@ def oracle_map() -> dict[str, str]:
         "dataset_fingerprint": SQL_DATASET_FINGERPRINT,
         "prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS,
         "props_key_drift": SQL_PROPS_KEY_DRIFT,
+        "concurrency_peak": SQL_CONCURRENCY_PEAK,
+        "source_cosine": SQL_SOURCE_COSINE,
+        "rolling_users_hll": SQL_ROLLING_USERS_HLL,
+        "fk_integrity": SQL_FK_INTEGRITY,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
