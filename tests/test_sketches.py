@@ -512,3 +512,76 @@ def test_rolling_hll_window1_equals_daily_and_window_covers_span(spark):
         solo = hll_estimate(day_df, "user_id").collect()[0]["hll_estimate"]
         dkey = sorted(w1)[d]
         assert w1[dkey] == solo
+
+
+# ---- batch 44: homoglyphs, DOW chi2, bloom prefilter, Neyman ----
+
+
+def test_homoglyph_census_flags_only_spoofed(spark):
+    from xdan_dqa_spark.operators.curation import (
+        homoglyph_census,
+        homoglyph_fold,
+    )
+
+    rows = [(1, "plain ascii text", "s1"),
+            (2, "pаypаl login", "s1"),     # Cyrillic а
+            (3, "οpen accοunt", "s2"),      # Greek ο
+            (4, None, "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_docs"], r["n_spoofed"])
+           for r in homoglyph_census(df).collect()}
+    assert got == {"s1": (2, 1), "s2": (2, 1)}
+    folded = df.select(homoglyph_fold(F.col("text")).alias("f")).collect()
+    assert folded[1]["f"] == "paypal login"
+
+
+def test_dow_chi2_flat_vs_weekly_rhythm(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import dow_uniformity_chi2
+
+    rows = []
+    for d in range(28):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=d)
+        rows += [("bot", f"{day} 01:00:00")] * 50                 # flat
+        n = 10 if day.weekday() >= 5 else 60                      # human dip
+        rows += [("human", f"{day} 01:00:00")] * n
+    df = spark.createDataFrame(rows, "event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_type"]: r for r in dow_uniformity_chi2(df).collect()}
+    assert got["bot"]["chi2"] == 0.0 and not got["bot"]["uniform_rejected"]
+    assert got["human"]["chi2"] > 12.592 and got["human"]["uniform_rejected"]
+
+
+def test_bloom_prefilter_report_contract_with_duplicate_fact_keys(spark):
+    from xdan_dqa_spark.operators.sketches import bloom_join_prefilter_report
+
+    # fact repeats every key 5x — the probe must count fact ROWS, and a
+    # repeated key must not fail the K-position test (regression: the
+    # per-row explode accumulated 4r hits)
+    fact = spark.createDataFrame(
+        [(i % 200,) for i in range(1000)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    r = bloom_join_prefilter_report(fact, "k", dim, "k").collect()[0]
+    assert r["n_fact_rows"] == 1000
+    assert r["n_true_match"] == 250            # keys 0..49, 5 rows each
+    assert r["n_pass_bloom"] >= r["n_true_match"]
+    assert r["n_false_pass"] == r["n_pass_bloom"] - r["n_true_match"]
+    assert 0 < r["pruned_frac"] <= 0.75
+
+
+def test_neyman_allocation_proportional_and_zero_variance(spark):
+    from xdan_dqa_spark.operators.metrics import neyman_allocation
+
+    rows = ([("a", float(v)) for v in (1, 9) * 50]      # sd 4, n 100
+            + [("b", float(v)) for v in (1, 9) * 50]    # identical
+            + [("c", 5.0)] * 100)                       # sd 0
+    df = spark.createDataFrame(rows, "g string, y double")
+    df = df.withColumn("y", F.col("y").cast("long"))
+    got = {r["stratum"]: r for r in
+           neyman_allocation(df, "g", "y", total_k=100).collect()}
+    assert got["a"]["alloc_k"] == got["b"]["alloc_k"] == 50
+    assert got["c"]["alloc_k"] == 0 and got["c"]["sd"] == 0.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        neyman_allocation(df, "g", "y", total_k=0)

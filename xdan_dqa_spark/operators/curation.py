@@ -1194,3 +1194,49 @@ def negative_samples(docs: DataFrame, n_negatives: int = 3,
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_slot", "negative_id")
     )
+
+
+# Homoglyph fold map: the common Cyrillic/Greek lookalikes that spam
+# pipelines substitute to dodge exact-match filters ("pаypal" with a
+# Cyrillic а). Spelled as \u escapes on BOTH engines (the
+# normalize_punct discipline) so invisible-character drift can't creep
+# into source files.
+_HOMOGLYPH_FROM = (
+    "аеорсхуіѕ"   # а е о р с х у і ѕ
+    "АЕОРСХ"                      # А Е О Р С Х
+    "οαΑΕΟ"                            # ο α Α Ε Ο
+)
+_HOMOGLYPH_TO = "aeopcxyisAEOPCXoaAEO"
+
+
+def homoglyph_fold(text_col) -> F.Column:
+    """Fold common Cyrillic/Greek homoglyphs onto their Latin
+    lookalikes — ONE translate() (whole-stage codegen; byte-identical
+    builtin in DuckDB). A document whose folded form differs from the
+    original contains script-spoofed characters: the cheap
+    filter-evasion detector run before exact/canonical dedup, whose
+    keys a single substituted letter would otherwise split."""
+    return F.translate(
+        F.coalesce(text_col, F.lit("")), _HOMOGLYPH_FROM, _HOMOGLYPH_TO
+    )
+
+
+def homoglyph_census(docs: DataFrame, text_col: str = "text",
+                     by: str = "source") -> DataFrame:
+    """Per-group homoglyph-spoofing census: (group, n_docs, n_spoofed,
+    spoof_rate) where a doc is spoofed iff its homoglyph fold differs
+    from the raw text. Map-only detection (translate + one equality),
+    one bounded fold; the rate is an exact integer ratio divided
+    once."""
+    spoofed = homoglyph_fold(F.col(text_col)) != F.coalesce(
+        F.col(text_col), F.lit("")
+    )
+    return docs.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(spoofed, 1).otherwise(0)).alias("n_spoofed"),
+    ).withColumn(
+        "spoof_rate",
+        F.round(
+            F.col("n_spoofed").cast("double") / F.col("n_docs").cast("double"), 9
+        ),
+    )

@@ -376,3 +376,47 @@ def commutative_fingerprint(df: DataFrame, cols: list[str],
         F.count("*").alias("n_rows"),
         F.sum(F.col("_h").cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str, y_col: str,
+                      total_k: int = 1000) -> DataFrame:
+    """Neyman-optimal sample allocation plan: per stratum (stratum,
+    n, sd, alloc_k) with alloc_k proportional to n_h * sd_h — the
+    survey-sampling allocation that minimizes estimator variance for a
+    fixed budget (high-variance strata get more of the sample than
+    proportional allocation would give). Feed alloc_k to
+    s3_fixed_n_per_group for the draw itself.
+
+    Determinism: per-stratum sd comes from EXACT DECIMAL moment sums
+    (population variance closed form) with ONE sqrt; the allocation
+    weight n_h*sd_h and its normalization are a fixed IEEE sequence on
+    those scalars, floored (floor, not round-half-even, so both
+    engines truncate identically); leftover budget from flooring is
+    reported in the fractional column rather than redistributed by a
+    tie-breaking scheme the reader would have to reverse-engineer.
+
+    Shape: one stratum-grain moment fold + a 1-row broadcast total."""
+    if total_k < 1:
+        raise ValueError(f"total_k must be >= 1 (got {total_k})")
+    y19 = F.col(y_col).cast("decimal(19,0)")
+    y18 = F.col(y_col).cast("decimal(18,0)")
+    m = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(y_col).cast("decimal(38,0)")).alias("_sy"),
+        F.sum((y19 * y18).cast("decimal(38,0)")).alias("_syy"),
+    )
+    nD = F.col("n").cast("double")
+    sy, syy = F.col("_sy").cast("double"), F.col("_syy").cast("double")
+    var = syy / nD - (sy / nD) * (sy / nD)
+    staged = m.select(
+        "stratum", "n",
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+    ).withColumn("_w", F.col("n").cast("double") * F.col("_sd"))
+    tot = staged.agg(F.sum("_w").alias("_tw"))
+    alloc = F.col("_w") * F.lit(float(total_k)) / F.col("_tw")
+    return staged.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n",
+        F.round(F.col("_sd"), 6).alias("sd"),
+        F.floor(alloc).cast("long").alias("alloc_k"),
+        F.round(alloc - F.floor(alloc), 6).alias("alloc_frac"),
+    )

@@ -372,3 +372,51 @@ def concurrency_peak(sessions: DataFrame, start_col: str, end_col: str,
         F.col("_m.c").alias("peak_concurrency"),
         (-F.col("_m.nt")).alias("peak_at"),
     )
+
+
+def dow_uniformity_chi2(events: DataFrame, ts_col: str = "ts",
+                        group_col: str = "event_type") -> DataFrame:
+    """Per-group day-of-week chi-square uniformity statistic —
+    (group, n_events, chi2, uniform_rejected): bot/synthetic feeds are
+    FLAT across weekdays (chi2 ~ 0 never rejects), human traffic has a
+    weekly rhythm (large chi2) — the seasonality fingerprint next to
+    spike z-scores and CUSUM in a feed-health report.
+
+    Exactness discipline: with e = n/7 the statistic
+    chi2 = Σ_d (o_d − e)²/e rewrites as Σ_d (7·o_d − n)² / (7·n) — the
+    numerator is an EXACT DECIMAL integer sum, so the whole statistic
+    is ONE terminal division (no per-cell float accumulation at all,
+    tighter than the rounded-term trick MI needs). Day-of-week is
+    integral epoch-day arithmetic ((day + 4) mod 7; 1970-01-01 was a
+    Thursday) — no calendar/timezone function whose locale semantics
+    could differ across engines. The rejection flag compares against
+    the 6-dof critical value 12.592 at alpha = 0.05.
+
+    Shape: one (group, dow) fold (bounded at 7 rows per group), one
+    bounded final fold."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    dow = F.pmod(day + 4, F.lit(7))
+    cells = events.groupBy(
+        F.col(group_col).alias("grp"), dow.alias("dow")
+    ).agg(F.count("*").alias("o"))
+    tot = cells.groupBy("grp").agg(F.sum("o").alias("n"))
+    j = cells.join(tot, "grp")
+    num_term = (
+        (F.lit(7).cast("decimal(19,0)") * F.col("o").cast("decimal(18,0)")
+         - F.col("n").cast("decimal(37,0)"))
+    )
+    sq = (num_term.cast("decimal(19,0)") * num_term.cast("decimal(18,0)"))
+    agg = j.groupBy("grp", "n").agg(
+        F.sum(sq.cast("decimal(38,0)")).alias("_num")
+    )
+    chi2 = F.col("_num").cast("double") / (
+        F.lit(7.0) * F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_events"),
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > 12.592).alias("uniform_rejected"),
+    )

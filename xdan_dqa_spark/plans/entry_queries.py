@@ -8269,6 +8269,174 @@ SQL_FK_INTEGRITY = "\nUNION ALL\n".join([
 ])
 
 
+
+# ------------------------------------------------------------ round-5 batch 44
+# Homoglyph spoof census, day-of-week chi-square uniformity, measured
+# Bloom join pre-filter, and Neyman-optimal sample allocation.
+
+
+def q_homoglyph_spoof(spark, sf_dir):
+    """Homoglyph spoof census (operators/curation.py:homoglyph_census):
+    every 20th doc gets a deterministic Cyrillic a/e/o substitution
+    injected (the filter-evasion trick), and the fold-based detector
+    must flag exactly those — per-source counts, map-only translate."""
+    from ..operators.curation import homoglyph_census
+
+    d = _t(spark, sf_dir, "documents")
+    spoofed_text = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.translate(F.coalesce(F.col("text"), F.lit("")), "aeo",
+                    "\u0430\u0435\u043e"),
+    ).otherwise(F.col("text"))
+    staged = d.select("doc_id", spoofed_text.alias("text"), "source")
+    return homoglyph_census(staged)
+
+
+SQL_HOMOGLYPH_SPOOF = """
+WITH staged AS (
+  SELECT source,
+         CASE WHEN doc_id % 20 = 0
+              THEN translate(coalesce(text, ''), 'aeo', 'аео')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN translate(coalesce(text, ''),
+                               'аеорсхуіѕАЕОРСХοαΑΕΟ', 'aeopcxyisAEOPCXoaAEO')
+                <> coalesce(text, '') THEN 1 ELSE 0 END) AS n_spoofed,
+       round(CAST(SUM(CASE WHEN translate(coalesce(text, ''),
+                                          'аеорсхуіѕАЕОРСХοαΑΕΟ', 'aeopcxyisAEOPCXoaAEO')
+                           <> coalesce(text, '') THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS spoof_rate
+FROM staged GROUP BY source
+"""
+
+
+def q_dow_chi2(spark, sf_dir):
+    """Per-type day-of-week chi-square uniformity
+    (operators/sessions.py:dow_uniformity_chi2) — bot feeds are flat,
+    human traffic has weekly rhythm; the statistic is exact-integer up
+    to ONE terminal division ((7o-n)^2 form), day-of-week is integral
+    epoch-day arithmetic (no calendar/tz functions)."""
+    from ..operators.sessions import dow_uniformity_chi2
+
+    return dow_uniformity_chi2(_t(spark, sf_dir, "events"))
+
+
+SQL_DOW_CHI2 = """
+WITH cells AS (
+  SELECT event_type AS grp,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT grp, SUM(o) AS n FROM cells GROUP BY 1),
+j AS (
+  SELECT c.grp, t.n,
+         CAST(7 AS DECIMAL(19,0)) * CAST(c.o AS DECIMAL(18,0))
+         - CAST(t.n AS DECIMAL(37,0)) AS term
+  FROM cells c JOIN tot t ON c.grp = t.grp
+),
+agg AS (
+  SELECT grp, n,
+         SUM(CAST(CAST(term AS DECIMAL(19,0)) * CAST(term AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS num
+  FROM j GROUP BY 1, 2
+)
+SELECT grp AS event_type, n AS n_events,
+       round(CAST(num AS DOUBLE) / (7.0 * CAST(n AS DOUBLE)), 6) AS chi2,
+       round(CAST(num AS DOUBLE) / (7.0 * CAST(n AS DOUBLE)), 6) > 12.592
+         AS uniform_rejected
+FROM agg
+"""
+
+
+def q_bloom_prefilter_join(spark, sf_dir):
+    """The Bloom join pre-filter measured end-to-end
+    (operators/sketches.py:bloom_join_prefilter_report): filter over
+    the p_size < 15 part keys, lineitem passed through it — one row
+    quantifying pruning power and false passes (no false negatives by
+    construction)."""
+    from ..operators.sketches import bloom_join_prefilter_report
+
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    return bloom_join_prefilter_report(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", dim, "p_partkey"
+    )
+
+
+SQL_BLOOM_PREFILTER_JOIN = """
+WITH dim AS (SELECT p_partkey FROM part WHERE p_size < 15),
+ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+bits AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                                 || CAST(p_partkey AS VARCHAR)), 1, 8) AS BIGINT)
+         % 65536 AS pos
+  FROM dim CROSS JOIN ks
+),
+f AS (SELECT CAST(l_partkey AS VARCHAR) AS fk FROM lineitem),
+ex AS (
+  SELECT fk,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || fk), 1, 8) AS BIGINT)
+         % 65536 AS pos
+  FROM (SELECT DISTINCT fk FROM f) CROSS JOIN ks
+),
+passed AS (
+  SELECT fk FROM ex JOIN bits USING (pos) GROUP BY fk HAVING COUNT(*) = 4
+),
+keys AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS fk FROM dim),
+m AS (
+  SELECT (SELECT COUNT(*) FROM f) AS n_fact_rows,
+         (SELECT COUNT(*) FROM f JOIN passed USING (fk)) AS n_pass_bloom,
+         (SELECT COUNT(*) FROM f JOIN keys USING (fk)) AS n_true_match
+)
+SELECT n_fact_rows, n_pass_bloom, n_true_match,
+       n_pass_bloom - n_true_match AS n_false_pass,
+       round(CAST(n_fact_rows - n_pass_bloom AS DOUBLE)
+             / CAST(n_fact_rows AS DOUBLE), 6) AS pruned_frac
+FROM m
+"""
+
+
+def q_neyman_plan(spark, sf_dir):
+    """Neyman-optimal allocation plan for a 1000-doc stratified sample
+    over languages, y = n_chars (operators/metrics.py:
+    neyman_allocation) — variance-minimizing budget split; exact
+    decimal moments, one sqrt, floored allocation with the remainder
+    reported."""
+    from ..operators.metrics import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", total_k=1000
+    )
+
+
+SQL_NEYMAN_PLAN = """
+WITH m AS (
+  SELECT lang AS stratum, COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(CAST(n_chars AS DECIMAL(19,0))
+                  * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS syy
+  FROM documents GROUP BY 1
+),
+staged AS (
+  SELECT stratum, n,
+         sqrt(greatest(
+           CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd
+  FROM m
+),
+w AS (SELECT stratum, n, sd, CAST(n AS DOUBLE) * sd AS wgt FROM staged),
+tot AS (SELECT SUM(wgt) AS tw FROM w)
+SELECT stratum, n, round(sd, 6) AS sd,
+       CAST(floor(wgt * 1000.0 / tw) AS BIGINT) AS alloc_k,
+       round(wgt * 1000.0 / tw - floor(wgt * 1000.0 / tw), 6) AS alloc_frac
+FROM w CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -8427,6 +8595,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cosine": q_source_cosine,
     "rolling_users_hll": q_rolling_users_hll,
     "fk_integrity": q_fk_integrity,
+    "homoglyph_spoof": q_homoglyph_spoof,
+    "dow_chi2": q_dow_chi2,
+    "bloom_prefilter_join": q_bloom_prefilter_join,
+    "neyman_plan": q_neyman_plan,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -8567,6 +8739,10 @@ def oracle_map() -> dict[str, str]:
         "source_cosine": SQL_SOURCE_COSINE,
         "rolling_users_hll": SQL_ROLLING_USERS_HLL,
         "fk_integrity": SQL_FK_INTEGRITY,
+        "homoglyph_spoof": SQL_HOMOGLYPH_SPOOF,
+        "dow_chi2": SQL_DOW_CHI2,
+        "bloom_prefilter_join": SQL_BLOOM_PREFILTER_JOIN,
+        "neyman_plan": SQL_NEYMAN_PLAN,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
