@@ -585,3 +585,54 @@ def test_neyman_allocation_proportional_and_zero_variance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         neyman_allocation(df, "g", "y", total_k=0)
+
+
+# ---- batch 45: contract gate, log-quantile sketch, HLL overlap ----
+
+
+def test_contract_report_counts_violations(spark):
+    from xdan_dqa_spark.operators.metrics import contract_report
+
+    rows = [(1, "x"), (2, None), (2, "y"), (None, "z")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    rules = {
+        "id_not_null": F.col("id").isNull(),
+        "v_not_null": F.col("v").isNull(),
+    }
+    got = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in contract_report(df, rules, unique_cols=["id"]).collect()}
+    assert got["id_not_null"] == (1, False)
+    assert got["v_not_null"] == (1, False)
+    # 4 rows, 3 distinct ids (2 dup + null counts once as a distinct? no:
+    # count_distinct ignores NULL -> distinct = {1, 2} = 2 -> 4-2 = 2)
+    assert got["unique:id"] == (2, False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        contract_report(df, {}, unique_cols=[])
+
+
+def test_log_quantile_sketch_respects_2x_bound(spark):
+    from xdan_dqa_spark.operators.sketches import log_histogram_quantiles
+
+    df = spark.range(1, 5001).select((F.col("id") * 3 + 7).alias("v"))
+    out = log_histogram_quantiles(df, "v", (0.5, 0.9, 0.99)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert 0.5 <= r["ratio"] <= 2.0      # the guaranteed band
+    # sketch state is bounded: <= 64 power-of-two buckets regardless of n
+
+
+def test_hll_overlap_extremes(spark):
+    from xdan_dqa_spark.operators.sketches import hll_set_overlap
+
+    a = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    same = hll_set_overlap(a, a, "k").collect()[0]
+    # identical sets: union est == each est -> overlap est == set est
+    assert same["est_union"] == same["est_a"] == same["est_b"]
+    assert same["est_overlap"] == same["est_a"]
+    assert same["exact_overlap"] == 2000
+    b = spark.range(2000, 4000).select(F.col("id").cast("string").alias("k"))
+    disj = hll_set_overlap(a, b, "k").collect()[0]
+    assert disj["exact_overlap"] == 0
+    # inclusion-exclusion noise stays small relative to the set sizes
+    assert abs(disj["est_overlap"]) < 0.3 * 2000

@@ -420,3 +420,42 @@ def neyman_allocation(df: DataFrame, stratum_col: str, y_col: str,
         F.floor(alloc).cast("long").alias("alloc_k"),
         F.round(alloc - F.floor(alloc), 6).alias("alloc_frac"),
     )
+
+
+def contract_report(df: DataFrame, row_rules: dict,
+                    unique_cols: list[str] | None = None) -> DataFrame:
+    """Declarative data-contract checker: evaluate a set of row-level
+    rules (name -> VIOLATION predicate Column) plus uniqueness rules in
+    ONE pass, returning (rule, n_violations, passed) per rule — the
+    ingest gate every feed crosses before entering the corpus, as a
+    single queryable report instead of N ad-hoc scans.
+
+    Shape: all row-rule counters ride ONE wide aggregate over one scan
+    (uniqueness rides the same aggregate as count - count_distinct,
+    planned via Expand); the per-rule rows unpivot from a bounded
+    literal stack. A rule whose predicate errors is a plan-time
+    failure, not a silent pass."""
+    unique_cols = unique_cols or []
+    if not row_rules and not unique_cols:
+        raise ValueError("at least one rule required")
+    aggs = [F.count("*").alias("_n")]
+    for name, pred in row_rules.items():
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"_v_{name}"))
+    for c in unique_cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+    wide = df.agg(*aggs)
+    entries = []
+    for name in row_rules:
+        entries.append(F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"_v_{name}").cast("long").alias("n_violations"),
+        ))
+    for c in unique_cols:
+        entries.append(F.struct(
+            F.lit(f"unique:{c}").alias("rule"),
+            (F.col("_n") - F.col(f"_d_{c}")).cast("long").alias("n_violations"),
+        ))
+    return wide.select(F.explode(F.array(*entries)).alias("_r")).select(
+        "_r.rule", "_r.n_violations",
+        (F.col("_r.n_violations") == 0).alias("passed"),
+    )

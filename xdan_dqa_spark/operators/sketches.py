@@ -575,3 +575,144 @@ def bloom_join_prefilter_report(fact: DataFrame, fact_key: str,
             ).alias("pruned_frac"),
         )
     )
+
+
+def log_histogram_quantiles(df: DataFrame, col: str,
+                            quantiles: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Mergeable QUANTILE SKETCH with a guaranteed 2x relative-error
+    bound: positive values bucket by power of two (bucket = bit length
+    — integral in both engines, no float log2), the sketch state is one
+    count per occupied bucket (<= 64 rows, mergeable by cell-wise sum
+    across shards/days), and a quantile estimate is the midpoint of the
+    bucket where the cumulative count crosses ceil(q*n). Returns
+    (quantile, est, exact, ratio) with the exact type-7 quantile
+    alongside — the bounded-state complement to the exact
+    value-compressed histogram (textstats.exact_quantiles_histogram),
+    for when even the distinct-value set is too large to shuffle.
+
+    Rank selection is EXACT integer arithmetic: target rank =
+    ceil(q*n) computed as (num*n + den - 1) DIV den from the rational
+    form of q (q is snapped to thousandths), so no float boundary can
+    move the chosen bucket. The estimate 3*2^(b-2) (bucket midpoint)
+    and the ratio are terminal float ops. Zero/negative values are
+    excluded (log buckets are undefined there) and surface via the
+    exact column diverging — callers shift such domains first."""
+    pos = df.select(F.col(col).cast("long").alias("v")).filter(F.col("v") > 0)
+    hist = pos.groupBy(F.length(F.bin(F.col("v"))).alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("b")
+    staged = (
+        hist.withColumn("cum", F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.sum("c").over(
+            Window.partitionBy(F.lit(1))))
+    )
+    outs = []
+    for q in quantiles:
+        num = int(round(q * 1000))
+        target = F.expr(f"({num} * n + 999) DIV 1000")
+        picked = (
+            staged.filter(F.col("cum") >= target)
+            .orderBy("b")
+            .limit(1)
+            .select(
+                F.lit(float(num) / 1000.0).alias("quantile"),
+                F.when(F.col("b") == 1, F.lit(1.0)).otherwise(
+                    F.lit(3.0) * F.pow(F.lit(2.0), F.col("b") - 2)
+                ).alias("est"),
+            )
+        )
+        outs.append(picked)
+    est = outs[0]
+    for o in outs[1:]:
+        est = est.unionByName(o)
+    # exact type-7 quantile per q over the same positive-value set
+    vh = pos.groupBy("v").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("v")
+    vh = (
+        vh.withColumn("cum", F.sum("c").over(
+            wv.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy(F.lit(1))))
+    )
+    exacts = []
+    for q in quantiles:
+        qq = float(int(round(q * 1000))) / 1000.0
+        h = F.lit(qq) * (F.col("n") - 1).cast("double")
+        lo_rank = F.floor(h) + 1           # 1-based rank of lower value
+        lo = vh.filter(
+            (F.col("cum_prev") < lo_rank) & (F.col("cum") >= lo_rank)
+        ).agg(F.min("v").alias("_lo"))
+        hi = vh.filter(
+            (F.col("cum_prev") < lo_rank + 1) & (F.col("cum") >= lo_rank + 1)
+        ).agg(F.min("v").alias("_hi"))
+        frac = vh.agg(
+            (F.lit(qq) * (F.max("n") - 1).cast("double")
+             - F.floor(F.lit(qq) * (F.max("n") - 1).cast("double"))).alias("_f")
+        )
+        exacts.append(
+            lo.crossJoin(hi).crossJoin(frac).select(
+                F.lit(qq).alias("quantile"),
+                (
+                    F.col("_lo").cast("double")
+                    + F.col("_f")
+                    * (F.coalesce(F.col("_hi"), F.col("_lo"))
+                       - F.col("_lo")).cast("double")
+                ).alias("exact"),
+            )
+        )
+    ex = exacts[0]
+    for o in exacts[1:]:
+        ex = ex.unionByName(o)
+    return est.join(ex, "quantile").select(
+        "quantile", F.round("est", 6).alias("est"),
+        F.round("exact", 6).alias("exact"),
+        F.round(F.col("est") / F.col("exact"), 6).alias("ratio"),
+    )
+
+
+def hll_set_overlap(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Distinct-set OVERLAP estimate by HyperLogLog inclusion-exclusion:
+    |A∩B| ~= est(A) + est(B) − est(A∪B), where est(A∪B) comes from the
+    max()-merge of the two register tables — the audience-overlap /
+    recrawl-overlap question answered from three 256-row states without
+    ever joining the raw sets. Returns one row (est_a, est_b,
+    est_union, est_overlap, exact_overlap, rel_error).
+
+    Union-merge exactness is the HLL property (registers of A∪B ==
+    cell-wise max — test-pinned for the shard case); the subtraction
+    amplifies relative error when the overlap is small compared to the
+    sets (standard caveat, visible in the rel_error column rather than
+    hidden). Exact overlap rides alongside via one semi-joined
+    distinct count."""
+    ra = hll_registers(df_a, col)
+    rb = hll_registers(df_b, col)
+    ru = ra.unionByName(rb).groupBy("idx").agg(F.max("rho").alias("rho"))
+    ea = hll_estimate_from_registers(ra).select(
+        F.col("hll_estimate").alias("est_a"))
+    eb = hll_estimate_from_registers(rb).select(
+        F.col("hll_estimate").alias("est_b"))
+    eu = hll_estimate_from_registers(ru).select(
+        F.col("hll_estimate").alias("est_union"))
+    exact = (
+        df_a.select(F.col(col).alias("_k")).distinct()
+        .join(df_b.select(F.col(col).alias("_k")).distinct(), "_k", "left_semi")
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    return (
+        ea.crossJoin(eb).crossJoin(eu).crossJoin(exact)
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+            "exact_overlap",
+            F.round(
+                (F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+                 - F.col("exact_overlap").cast("double"))
+                / F.greatest(F.col("exact_overlap").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("rel_error"),
+        )
+    )

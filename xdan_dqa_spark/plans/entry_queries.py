@@ -8437,6 +8437,320 @@ FROM w CROSS JOIN tot
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 45
+# Data-contract gate, mergeable log-bucket quantile sketch, HLL
+# set-overlap, and count-min as streaming state.
+
+
+def q_contract_checks(spark, sf_dir):
+    """Declarative data-contract gate over documents
+    (operators/metrics.py:contract_report): six rules — id/lang/source
+    non-null, n_chars in range, text non-empty, doc_id unique — ALL
+    evaluated in one wide aggregate over one scan, unpivoted to a
+    per-rule pass/fail report."""
+    from ..operators.metrics import contract_report
+
+    d = _t(spark, sf_dir, "documents")
+    rules = {
+        "doc_id_not_null": F.col("doc_id").isNull(),
+        "lang_not_null": F.col("lang").isNull(),
+        "source_not_null": F.col("source").isNull(),
+        "n_chars_in_range": F.col("n_chars").isNull()
+        | (F.col("n_chars") < 0) | (F.col("n_chars") > 1_000_000),
+        "text_not_empty": F.coalesce(F.col("text"), F.lit("")) == "",
+    }
+    return contract_report(d, rules, unique_cols=["doc_id"])
+
+
+SQL_CONTRACT_CHECKS = """
+WITH wide AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_id,
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS v_lang,
+         SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS v_source,
+         SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 1000000
+                  THEN 1 ELSE 0 END) AS v_range,
+         SUM(CASE WHEN coalesce(text, '') = '' THEN 1 ELSE 0 END) AS v_text,
+         COUNT(DISTINCT doc_id) AS d_id
+  FROM documents
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'doc_id_not_null' AS rule, v_id AS n_violations FROM wide
+  UNION ALL SELECT 'lang_not_null', v_lang FROM wide
+  UNION ALL SELECT 'source_not_null', v_source FROM wide
+  UNION ALL SELECT 'n_chars_in_range', v_range FROM wide
+  UNION ALL SELECT 'text_not_empty', v_text FROM wide
+  UNION ALL SELECT 'unique:doc_id', n - d_id FROM wide
+)
+"""
+
+
+def q_log_quantile_sketch(spark, sf_dir):
+    """Mergeable power-of-two-bucket quantile sketch over doc lengths
+    (operators/sketches.py:log_histogram_quantiles) — <=64 counters,
+    cell-wise-sum mergeable, guaranteed 2x relative error; reported
+    next to the exact type-7 quantiles with the est/exact ratio."""
+    from ..operators.sketches import log_histogram_quantiles
+
+    return log_histogram_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", (0.5, 0.9, 0.99)
+    )
+
+
+SQL_LOG_QUANTILE_SKETCH = """
+WITH pos AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars > 0),
+hist AS (SELECT length(bin(v)) AS b, COUNT(*) AS c FROM pos GROUP BY 1),
+staged AS (
+  SELECT b, c,
+         SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+qs AS (SELECT unnest([500, 900, 990]) AS num),
+est AS (
+  SELECT CAST(num AS DOUBLE) / 1000.0 AS quantile,
+         (SELECT CASE WHEN MIN(b) = 1 THEN 1.0
+                      ELSE 3.0 * power(2.0, MIN(b) - 2) END
+          FROM staged WHERE cum >= (num * n + 999) // 1000) AS est
+  FROM qs CROSS JOIN (SELECT DISTINCT n FROM staged)
+),
+vh AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c AS cum_prev,
+         SUM(c) OVER () AS n
+  FROM (SELECT v, COUNT(*) AS c FROM pos GROUP BY 1)
+),
+ex AS (
+  SELECT CAST(q.num AS DOUBLE) / 1000.0 AS quantile,
+         (SELECT MIN(v) FROM vh
+          WHERE cum_prev < floor(CAST(q.num AS DOUBLE) / 1000.0
+                                 * CAST(t.n - 1 AS DOUBLE)) + 1
+            AND cum >= floor(CAST(q.num AS DOUBLE) / 1000.0
+                             * CAST(t.n - 1 AS DOUBLE)) + 1) AS lo,
+         (SELECT MIN(v) FROM vh
+          WHERE cum_prev < floor(CAST(q.num AS DOUBLE) / 1000.0
+                                 * CAST(t.n - 1 AS DOUBLE)) + 2
+            AND cum >= floor(CAST(q.num AS DOUBLE) / 1000.0
+                             * CAST(t.n - 1 AS DOUBLE)) + 2) AS hi,
+         CAST(q.num AS DOUBLE) / 1000.0 * CAST(t.n - 1 AS DOUBLE)
+           - floor(CAST(q.num AS DOUBLE) / 1000.0 * CAST(t.n - 1 AS DOUBLE)) AS f
+  FROM (SELECT unnest([500, 900, 990]) AS num) q
+  CROSS JOIN (SELECT DISTINCT n FROM vh) t
+),
+exact AS (
+  SELECT quantile,
+         CAST(lo AS DOUBLE) + f * CAST(coalesce(hi, lo) - lo AS DOUBLE) AS exact
+  FROM ex
+)
+SELECT e.quantile, round(e.est, 6) AS est, round(x.exact, 6) AS exact,
+       round(e.est / x.exact, 6) AS ratio
+FROM est e JOIN exact x ON e.quantile = x.quantile
+"""
+
+
+def q_hll_overlap(spark, sf_dir):
+    """Distinct-user overlap between the two halves of the month by
+    HLL inclusion-exclusion (operators/sketches.py:hll_set_overlap):
+    |A∩B| from three 256-row register states, never joining the raw
+    sets; exact overlap alongside with the (error-amplifying)
+    subtraction's rel_error made visible."""
+    from ..operators.sketches import hll_set_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    first = F.unix_micros(F.col("ts").cast("timestamp")) < 1705363200000000
+    a = ev.filter(first).select("user_id")
+    b = ev.filter(~first).select("user_id")
+    return hll_set_overlap(a, b, "user_id")
+
+
+_SQL_HLL_EST_FRAGMENT = """
+  SELECT round(CASE WHEN raw <= 640.0 AND nz > 0
+               THEN 256.0 * ln(256.0 / CAST(nz AS DOUBLE))
+               ELSE raw END, 4) AS e
+  FROM (
+    SELECT nz, {num} / CAST(st AS DOUBLE) AS raw FROM (
+      SELECT 256 - COUNT(*) AS nz,
+             SUM(CAST((CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS DECIMAL(38,0)))
+             + CAST(256 - COUNT(*) AS DECIMAL(38,0))
+               * CAST(144115188075855872 AS DECIMAL(38,0)) AS st
+      FROM {regs}
+    )
+  )
+"""
+
+
+def _sql_hll_overlap() -> str:
+    regs_tpl = """
+(SELECT idx, MAX(rho) AS rho FROM (
+  SELECT hl & 255 AS idx,
+         CASE WHEN (hl >> 8) * 4294967296 + hh = 0 THEN 57
+              ELSE 57 - length(bin((hl >> 8) * 4294967296 + hh)) END AS rho
+  FROM (
+    SELECT CAST('0x' || substr(md5('hl:' || v), 1, 8) AS BIGINT) AS hl,
+           CAST('0x' || substr(md5('hh:' || v), 1, 8) AS BIGINT) AS hh
+    FROM {src}
+  )
+) GROUP BY idx)"""
+    src_a = ("(SELECT CAST(user_id AS VARCHAR) AS v FROM events "
+             "WHERE epoch_us(ts) < 1705363200000000)")
+    src_b = ("(SELECT CAST(user_id AS VARCHAR) AS v FROM events "
+             "WHERE NOT (epoch_us(ts) < 1705363200000000))")
+    ra = regs_tpl.format(src=src_a)
+    rb = regs_tpl.format(src=src_b)
+    ru = f"""
+(SELECT idx, MAX(rho) AS rho FROM (
+  SELECT idx, rho FROM {ra} UNION ALL SELECT idx, rho FROM {rb}
+) GROUP BY idx)"""
+    ea = _SQL_HLL_EST_FRAGMENT.format(num=_HLL_RAW_NUM, regs=ra)
+    eb = _SQL_HLL_EST_FRAGMENT.format(num=_HLL_RAW_NUM, regs=rb)
+    eu = _SQL_HLL_EST_FRAGMENT.format(num=_HLL_RAW_NUM, regs=ru)
+    return f"""
+WITH ea AS ({ea}), eb AS ({eb}), eu AS ({eu}),
+exact AS (
+  SELECT COUNT(*) AS exact_overlap FROM (
+    SELECT DISTINCT user_id FROM events
+    WHERE epoch_us(ts) < 1705363200000000
+  ) a
+  WHERE EXISTS (
+    SELECT 1 FROM events b
+    WHERE NOT (epoch_us(b.ts) < 1705363200000000) AND b.user_id = a.user_id
+  )
+)
+SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+       round(ea.e + eb.e - eu.e, 4) AS est_overlap,
+       exact_overlap,
+       round((round(ea.e + eb.e - eu.e, 4) - CAST(exact_overlap AS DOUBLE))
+             / greatest(CAST(exact_overlap AS DOUBLE), 1.0), 6) AS rel_error
+FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN exact
+"""
+
+
+SQL_HLL_OVERLAP = _sql_hll_overlap()
+
+
+def q_stream_cms(spark, sf_dir):
+    """Count-min as STREAMING STATE: the term stream runs through the
+    4-micro-batch file stream with the (row_id, col_id) -> sum(cnt)
+    cells as complete-mode state (<= 4 096 rows), then the collected
+    sketch is probed for the top-10 true heavy hitters computed batch-
+    side — streaming cell sums MUST equal batch cell sums (sum is
+    batch-order-insensitive), the CMS mergeability twin of
+    q_stream_hll. Staging/naming mirrors q_stream_gopher_score."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.sketches import CMS_D, CMS_WIDTH, _h32
+
+    batch = _t(spark, sf_dir, "documents")
+    stage = "/tmp/xdan_stream_docs_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4}
+    marker = os.path.join(stage, "_SPEC.json")
+    _stage_with_spec(
+        marker, spec,
+        lambda: batch.repartition(4).write.mode("overwrite")
+        .parquet(f"{stage}/documents"),
+    )
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/documents")
+    )
+    terms = src.select(
+        F.explode(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+        ).alias("v")
+    )
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("row_id"),
+            F.pmod(_h32(F.col("v"), d), F.lit(CMS_WIDTH)).alias("col_id"),
+        )
+        for d in range(CMS_D)
+    ])
+    sketch_stream = (
+        terms.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row_id").alias("row_id"),
+                 F.col("_c.col_id").alias("col_id"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"stream_cms_{key}_{next(_STREAM_QUERY_SEQ)}"
+    q = (
+        sketch_stream.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    sketch = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+
+    truth = batch.select(
+        F.explode(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+        ).alias("v")
+    ).groupBy(F.col("v").alias("value")).agg(F.count("*").alias("true_cnt"))
+    from pyspark.sql import Window as W
+
+    top = truth.withColumn(
+        "_rk",
+        F.row_number().over(W.orderBy(F.desc("true_cnt"), F.asc("value"))),
+    ).filter(F.col("_rk") <= 10).drop("_rk")
+    probes = top.select(
+        "value", "true_cnt",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("row_id"),
+                F.pmod(_h32(F.col("value"), d), F.lit(CMS_WIDTH)).alias("col_id"),
+            )
+            for d in range(CMS_D)
+        ])).alias("_c"),
+    ).select("value", "true_cnt",
+             F.col("_c.row_id").alias("row_id"),
+             F.col("_c.col_id").alias("col_id"))
+    return (
+        probes.join(sketch, ["row_id", "col_id"])
+        .groupBy("value", "true_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select("value", "true_cnt", "cms_estimate",
+                (F.col("cms_estimate") - F.col("true_cnt")).alias("overcount"))
+    )
+
+
+SQL_STREAM_CMS = f"""
+WITH terms AS (SELECT unnest({_WORDS_WS_SQL}) AS v FROM documents),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT d AS row_id,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || v), 1, 8) AS BIGINT)
+         % 1024 AS col_id
+  FROM terms CROSS JOIN ds
+),
+sketch AS (SELECT row_id, col_id, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+truth AS (SELECT v AS value, COUNT(*) AS true_cnt FROM terms GROUP BY 1),
+top AS (
+  SELECT value, true_cnt,
+         row_number() OVER (ORDER BY true_cnt DESC, value) AS rk
+  FROM truth QUALIFY rk <= 10
+),
+probes AS (
+  SELECT value, true_cnt, d AS row_id,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || value), 1, 8) AS BIGINT)
+         % 1024 AS col_id
+  FROM top CROSS JOIN ds
+),
+est AS (
+  SELECT value, true_cnt, MIN(cnt) AS cms_estimate
+  FROM probes JOIN sketch USING (row_id, col_id)
+  GROUP BY 1, 2
+)
+SELECT value, true_cnt, cms_estimate, cms_estimate - true_cnt AS overcount
+FROM est
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -8599,6 +8913,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dow_chi2": q_dow_chi2,
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "neyman_plan": q_neyman_plan,
+    "contract_checks": q_contract_checks,
+    "log_quantile_sketch": q_log_quantile_sketch,
+    "hll_overlap": q_hll_overlap,
+    "stream_cms": q_stream_cms,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -8743,6 +9061,10 @@ def oracle_map() -> dict[str, str]:
         "dow_chi2": SQL_DOW_CHI2,
         "bloom_prefilter_join": SQL_BLOOM_PREFILTER_JOIN,
         "neyman_plan": SQL_NEYMAN_PLAN,
+        "contract_checks": SQL_CONTRACT_CHECKS,
+        "log_quantile_sketch": SQL_LOG_QUANTILE_SKETCH,
+        "hll_overlap": SQL_HLL_OVERLAP,
+        "stream_cms": SQL_STREAM_CMS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
