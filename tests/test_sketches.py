@@ -636,3 +636,62 @@ def test_hll_overlap_extremes(spark):
     assert disj["exact_overlap"] == 0
     # inclusion-exclusion noise stays small relative to the set sizes
     assert abs(disj["est_overlap"]) < 0.3 * 2000
+
+
+# ---- batch 46: KM survival, RBO, coverage curve ----
+
+
+def test_km_survival_hand_computed_with_censoring(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import km_survival
+
+    t0 = dt.datetime(2024, 10, 1)
+
+    def ev(u, ty, sec):
+        return (u, ty, str(t0 + dt.timedelta(seconds=sec)))
+
+    rows = [
+        ev(1, "click", 0), ev(1, "purchase", 10),     # converts at 10
+        ev(2, "click", 0), ev(2, "purchase", 20),     # converts at 20
+        ev(3, "click", 0), ev(3, "view", 15),         # censored at 15
+        ev(4, "view", 5),                             # never enters
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = {r["t_sec"]: r for r in km_survival(df).collect()}
+    # risk sets: t=10 -> 3 at risk, 1 event -> S = 2/3
+    # t=15 censor leaves; t=20 -> 1 at risk, 1 event -> S = 0 (d == n_risk)
+    assert set(out) == {10.0, 20.0}
+    assert out[10.0]["n_risk"] == 3 and out[10.0]["n_events"] == 1
+    assert abs(out[10.0]["survival"] - 2 / 3) < 1e-6
+    assert out[20.0]["n_risk"] == 1 and out[20.0]["survival"] == 0.0
+
+
+def test_rbo_extremes(spark):
+    from xdan_dqa_spark.operators.metrics import rank_biased_overlap
+
+    ra = spark.createDataFrame(
+        [(f"i{r}", r) for r in range(1, 21)], "item string, rank long")
+    same = rank_biased_overlap(ra, ra, "item", p=0.9, depth=20).collect()[0]
+    # identical rankings: truncated RBO = 1 - p^depth
+    assert abs(same["rbo"] - (1 - 0.9 ** 20)) < 1e-6
+    rb = spark.createDataFrame(
+        [(f"j{r}", r) for r in range(1, 21)], "item string, rank long")
+    disj = rank_biased_overlap(ra, rb, "item", p=0.9, depth=20).collect()[0]
+    assert disj["rbo"] == 0.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rank_biased_overlap(ra, rb, "item", p=1.5)
+
+
+def test_vocab_coverage_monotone_and_saturates(spark):
+    from xdan_dqa_spark.operators.textstats import vocab_coverage_curve
+
+    rows = [(i, "the " * 50 + f"rare{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["k"]: r for r in
+           vocab_coverage_curve(df, ks=(1, 10, 1000)).collect()}
+    assert out[1]["coverage"] < out[10]["coverage"] <= out[1000]["coverage"]
+    assert out[1000]["coverage"] == 1.0          # budget >= vocab
+    assert out[1]["covered_tokens"] == 5000      # 'the' dominates

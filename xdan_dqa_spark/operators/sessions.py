@@ -420,3 +420,104 @@ def dow_uniformity_chi2(events: DataFrame, ts_col: str = "ts",
         F.round(chi2, 6).alias("chi2"),
         (F.round(chi2, 6) > 12.592).alias("uniform_rejected"),
     )
+
+
+def km_survival(events: DataFrame, entry_type: str = "click",
+                event_type_val: str = "purchase",
+                user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type") -> DataFrame:
+    """Kaplan–Meier survival curve for time-from-entry-to-event with
+    right censoring: each user enters at their FIRST ``entry_type``
+    event; the terminal event is the first ``event_type_val`` at or
+    after it; users who never convert are CENSORED at their last
+    observed event (the whole point of KM — dropping them would bias
+    conversion time low). Returns one row per distinct event time:
+    (t_sec, n_risk, n_events, survival) — S(t) = Π_{t_i<=t}
+    (1 − d_i/n_i), the time-to-conversion curve product analytics
+    reads off (and, on crawl data, time-to-recrawl survival).
+
+    Determinism discipline: a cumulative PRODUCT of float factors is
+    order-dependent across engines only in its reduction ORDER — here
+    the order is the total order of distinct event times, so a
+    log-space cumulative sum over that window is a FIXED sequence;
+    still, each ln(1 − d/n) term is rounded to 9 dp and DECIMAL-summed
+    (the MI/token-entropy pattern) so partial sums are exact, and the
+    single exp runs per output row. Durations are integral µs; risk
+    counts are exact integer window sums over the bounded
+    distinct-duration table.
+
+    Shape: per-user fold to (duration, converted) — one user-key
+    shuffle via the funnel's running-min carry — then all curve math
+    runs on the distinct-duration grain (bounded by observed times,
+    never users)."""
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.select(F.col(user_col).alias("u"), F.col(type_col).alias("ty"),
+                      tus.alias("tus"))
+    w = (
+        Window.partitionBy("u").orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    entry_so_far = F.min(
+        F.when(F.col("ty") == entry_type, F.col("tus"))
+    ).over(w)
+    carried = e.withColumn("_entry", entry_so_far)
+    per_user = carried.groupBy("u").agg(
+        F.min(F.when(F.col("ty") == entry_type, F.col("tus"))).alias("_e0"),
+        F.min(
+            F.when(
+                (F.col("ty") == event_type_val)
+                & F.col("_entry").isNotNull()
+                & (F.col("tus") >= F.col("_entry")),
+                F.col("tus"),
+            )
+        ).alias("_ev"),
+        F.max("tus").alias("_last"),
+    ).filter(F.col("_e0").isNotNull())
+    durations = per_user.select(
+        F.when(F.col("_ev").isNotNull(),
+               (F.col("_ev") - F.col("_e0"))).otherwise(
+            F.col("_last") - F.col("_e0")
+        ).alias("dur_us"),
+        F.col("_ev").isNotNull().alias("converted"),
+    )
+    total = durations.agg(F.count("*").alias("_n0"))
+    grid = durations.groupBy("dur_us").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("_leave"),
+    )
+    wt = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn("_gone", F.coalesce(F.sum("_leave").over(wt), F.lit(0)))
+        .withColumn("n_risk", F.col("_n0") - F.col("_gone"))
+        .filter(F.col("d") > 0)
+    )
+    # d == n_risk zeroes the survival exactly; ln(0) is null in Spark
+    # but an ERROR in DuckDB, so the zero factor is carried as a flag
+    # (max over the prefix window) instead of a log term.
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(20,9)")
+    wc = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        staged.withColumn("_ls", F.sum(term).over(wc))
+        .withColumn(
+            "_dead",
+            F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)).over(wc),
+        )
+    )
+    return curve.select(
+        (F.col("dur_us").cast("double") / F.lit(1e6)).alias("t_sec"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.col("_ls").cast("double")), 6)
+        ).alias("survival"),
+    )

@@ -725,3 +725,57 @@ def source_similarity_matrix(docs: DataFrame, text_col: str = "text",
             ).alias("cosine"),
         )
     )
+
+
+def vocab_coverage_curve(docs: DataFrame, text_col: str = "text",
+                        ks: tuple = (100, 1000, 10000)) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary: for each budget k,
+    what share of all token OCCURRENCES the k most frequent terms
+    cover — (k, vocab_size, covered_tokens, total_tokens, coverage).
+    The tokenizer-budget curve (Zipf's law makes it concave: the first
+    100 types often cover half the corpus) read before fixing a vocab
+    size or a stoplist cutoff.
+
+    Shape: one term-count fold (map-side combinable), ONE frequency-
+    rank window over the VOCAB table (bounded by distinct terms —
+    the zipf_slope/oov_rate precedent), then per-k conditional sums in
+    one bounded aggregate. Rank ties break (count DESC, term ASC) so
+    every budget's term set is total-order deterministic. Counts are
+    exact integers; coverage is one terminal division per k."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    tc = (
+        docs.select(F.explode(words).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tc.withColumn("rk", F.row_number().over(wv))
+    aggs = [
+        F.count("*").alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(0)).alias(f"_cov_{k}")
+        )
+    wide = ranked.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(k).alias("k"),
+            F.col("vocab_size"),
+            F.col(f"_cov_{k}").cast("long").alias("covered_tokens"),
+            F.col("total_tokens"),
+        )
+        for k in ks
+    ])
+    return wide.select(F.explode(rows).alias("_r")).select(
+        "_r.k", "_r.vocab_size", "_r.covered_tokens", "_r.total_tokens",
+        F.round(
+            F.col("_r.covered_tokens").cast("double")
+            / F.col("_r.total_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

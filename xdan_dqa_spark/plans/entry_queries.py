@@ -8751,6 +8751,282 @@ FROM est
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 46
+# Kaplan-Meier conversion survival, rank-biased overlap, keep-rate
+# two-proportion A/B test, and the vocabulary coverage curve.
+
+
+def q_km_conversion(spark, sf_dir):
+    """Kaplan-Meier click->purchase survival curve with right
+    censoring (operators/sessions.py:km_survival) — never-converting
+    users are censored at their last event, not dropped; log-space
+    cumulative product with rounded DECIMAL-summed terms."""
+    from ..operators.sessions import km_survival
+
+    return km_survival(_t(spark, sf_dir, "events"))
+
+
+SQL_KM_CONVERSION = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS tus FROM events
+),
+carried AS (
+  SELECT u, ty, tus,
+         MIN(CASE WHEN ty = 'click' THEN tus END)
+           OVER (PARTITION BY u ORDER BY tus
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entry
+  FROM e
+),
+per_user AS (
+  SELECT u,
+         MIN(CASE WHEN ty = 'click' THEN tus END) AS e0,
+         MIN(CASE WHEN ty = 'purchase' AND entry IS NOT NULL
+                   AND tus >= entry THEN tus END) AS ev,
+         MAX(tus) AS last
+  FROM carried GROUP BY u
+),
+durations AS (
+  SELECT CASE WHEN ev IS NOT NULL THEN ev - e0 ELSE last - e0 END AS dur_us,
+         ev IS NOT NULL AS converted
+  FROM per_user WHERE e0 IS NOT NULL
+),
+total AS (SELECT COUNT(*) AS n0 FROM durations),
+grid AS (
+  SELECT dur_us,
+         SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+         COUNT(*) AS leave_n
+  FROM durations GROUP BY 1
+),
+staged AS (
+  SELECT dur_us, d,
+         n0 - coalesce(SUM(leave_n) OVER (ORDER BY dur_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grid CROSS JOIN total
+),
+ev_only AS (SELECT * FROM staged WHERE d > 0),
+curve AS (
+  SELECT dur_us, d, n_risk,
+         SUM(CAST(CASE WHEN d < n_risk
+                  THEN round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+                  ELSE 0.0 END AS DECIMAL(20,9)))
+           OVER (ORDER BY dur_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM ev_only
+)
+SELECT CAST(dur_us AS DOUBLE) / 1e6 AS t_sec, n_risk, d AS n_events,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+FROM curve
+"""
+
+
+def q_rbo_source_rankings(spark, sf_dir):
+    """Rank-biased overlap between two source rankings — by document
+    count vs by token count (operators/metrics.py:rank_biased_overlap,
+    p=0.9, depth=20): the top-weighted ranking-drift score; if the two
+    orderings of the mixing table diverge, doc-count-based budgets and
+    token-count-based budgets disagree exactly where it matters."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.metrics import rank_biased_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+    per = d.groupBy("source").agg(
+        F.count("*").alias("nd"),
+        F.sum(F.size(words).cast("long")).alias("nt"),
+    )
+    wa = Window.orderBy(F.desc("nd"), F.asc("source"))
+    wb = Window.orderBy(F.desc("nt"), F.asc("source"))
+    ra = per.select("source", F.row_number().over(wa).alias("rank"))
+    rb = per.select("source", F.row_number().over(wb).alias("rank"))
+    return rank_biased_overlap(ra, rb, "source", p=0.9, depth=20)
+
+
+SQL_RBO_SOURCE_RANKINGS = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS nd,
+         SUM(CAST(len({_WORDS_WS_SQL}) AS BIGINT)) AS nt
+  FROM documents GROUP BY 1
+),
+ra AS (SELECT source, row_number() OVER (ORDER BY nd DESC, source) AS r FROM per),
+rb AS (SELECT source, row_number() OVER (ORDER BY nt DESC, source) AS r FROM per),
+shared AS (
+  SELECT greatest(ra.r, rb.r) AS m
+  FROM ra JOIN rb ON ra.source = rb.source
+  WHERE greatest(ra.r, rb.r) <= 20
+),
+grid AS (SELECT m, COUNT(*) AS c FROM shared GROUP BY 1),
+full_g AS (
+  SELECT d, coalesce(c, 0) AS c
+  FROM (SELECT unnest(generate_series(1, 20)) AS d)
+  LEFT JOIN grid ON d = m
+),
+overl AS (
+  SELECT d,
+         SUM(c) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ov
+  FROM full_g
+)
+SELECT 20 AS depth, 0.9 AS p,
+       round(0.09999999999999998 *
+             CAST(SUM(CAST(round(power(0.9, d - 1) * CAST(ov AS DOUBLE)
+                                 / CAST(d AS DOUBLE), 12)
+                      AS DECIMAL(24,12))) AS DOUBLE), 6) AS rbo
+FROM overl
+"""
+
+
+def q_keep_ab_test(spark, sf_dir):
+    """Pairwise two-proportion z-test of the Gopher keep rate between
+    sources: (a, b, keep_a, keep_b, z, significant) — the statistical
+    form of the fairness question keep_rate_by_lang eyeballs (is
+    source A's keep rate REALLY lower, or binomial noise?); pooled-SE
+    z from exact integer counts, one fixed IEEE sequence per pair,
+    |z| > 1.96 at alpha = 0.05."""
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    keep = (
+        (F.round(h["symbol_ratio"], 9) <= 0.1)
+        & (h["n_words"].cast("long") >= 5)
+        & (F.round(h["dup_line_frac"], 9) <= 0.3)
+    )
+    per = d.select("source", keep.alias("_k")).groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_k"), 1).otherwise(0)).alias("k"),
+    )
+    a = per.select(F.col("source").alias("a"), F.col("n").alias("na"),
+                   F.col("k").alias("ka"))
+    b = per.select(F.col("source").alias("b"), F.col("n").alias("nb"),
+                   F.col("k").alias("kb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    p1 = F.col("ka").cast("double") / F.col("na").cast("double")
+    p2 = F.col("kb").cast("double") / F.col("nb").cast("double")
+    pp = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("na").cast("double")
+           + F.lit(1.0) / F.col("nb").cast("double"))
+    )
+    z = F.when(se > 0, (p1 - p2) / se).otherwise(F.lit(0.0))
+    return pairs.select(
+        "a", "b",
+        F.round(p1, 6).alias("keep_a"),
+        F.round(p2, 6).alias("keep_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant"),
+    )
+
+
+SQL_KEEP_AB_TEST = f"""
+WITH base AS (
+  SELECT source, coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws FROM documents
+),
+ln AS (
+  SELECT source, t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+),
+g AS (
+  SELECT source,
+         len(ws) AS n_words,
+         round(CASE WHEN len(ws) = 0 THEN 0.0
+                    ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                              AS DOUBLE) / len(ws) END, 9) AS symbol_ratio,
+         round(CASE WHEN len(lines) <= 1 THEN 0.0
+                    ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines) END, 9) AS dup_line_frac
+  FROM ln
+),
+per AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN symbol_ratio <= 0.1 AND n_words >= 5
+                   AND dup_line_frac <= 0.3 THEN 1 ELSE 0 END) AS k
+  FROM g GROUP BY 1
+),
+pairs AS (
+  SELECT pa.source AS a, pb.source AS b,
+         pa.n AS na, pa.k AS ka, pb.n AS nb, pb.k AS kb
+  FROM per pa JOIN per pb ON pa.source < pb.source
+),
+zc AS (
+  SELECT a, b, na, ka, nb, kb,
+         CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS p1,
+         CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS p2,
+         CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+  FROM pairs
+)
+SELECT a, b, round(p1, 6) AS keep_a, round(p2, 6) AS keep_b,
+       round(CASE WHEN sqrt(pp * (1.0 - pp)
+                            * (1.0 / CAST(na AS DOUBLE)
+                               + 1.0 / CAST(nb AS DOUBLE))) > 0
+                  THEN (p1 - p2)
+                       / sqrt(pp * (1.0 - pp)
+                              * (1.0 / CAST(na AS DOUBLE)
+                                 + 1.0 / CAST(nb AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS z,
+       abs(round(CASE WHEN sqrt(pp * (1.0 - pp)
+                            * (1.0 / CAST(na AS DOUBLE)
+                               + 1.0 / CAST(nb AS DOUBLE))) > 0
+                  THEN (p1 - p2)
+                       / sqrt(pp * (1.0 - pp)
+                              * (1.0 / CAST(na AS DOUBLE)
+                                 + 1.0 / CAST(nb AS DOUBLE)))
+                  ELSE 0.0 END, 6)) > 1.96 AS significant
+FROM zc
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Token-mass coverage of the top-k vocabulary for k in
+    {100, 1000, 10000} (operators/textstats.py:vocab_coverage_curve) —
+    the tokenizer-budget curve (Zipf concavity) read before fixing a
+    vocab size or stoplist cutoff."""
+    from ..operators.textstats import vocab_coverage_curve
+
+    return vocab_coverage_curve(_t(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tc AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest({_WORDS_WS_SQL}) AS term FROM documents
+  ) GROUP BY 1
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tc
+),
+wide AS (
+  SELECT COUNT(*) AS vocab_size, SUM(c) AS total_tokens,
+         SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS cov100,
+         SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS cov1000,
+         SUM(CASE WHEN rk <= 10000 THEN c ELSE 0 END) AS cov10000
+  FROM ranked
+)
+SELECT k, vocab_size, covered_tokens, total_tokens,
+       round(CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS coverage
+FROM (
+  SELECT 100 AS k, vocab_size, cov100 AS covered_tokens, total_tokens FROM wide
+  UNION ALL
+  SELECT 1000, vocab_size, cov1000, total_tokens FROM wide
+  UNION ALL
+  SELECT 10000, vocab_size, cov10000, total_tokens FROM wide
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -8917,6 +9193,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_quantile_sketch": q_log_quantile_sketch,
     "hll_overlap": q_hll_overlap,
     "stream_cms": q_stream_cms,
+    "km_conversion": q_km_conversion,
+    "rbo_source_rankings": q_rbo_source_rankings,
+    "keep_ab_test": q_keep_ab_test,
+    "vocab_coverage": q_vocab_coverage,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -9065,6 +9345,10 @@ def oracle_map() -> dict[str, str]:
         "log_quantile_sketch": SQL_LOG_QUANTILE_SKETCH,
         "hll_overlap": SQL_HLL_OVERLAP,
         "stream_cms": SQL_STREAM_CMS,
+        "km_conversion": SQL_KM_CONVERSION,
+        "rbo_source_rankings": SQL_RBO_SOURCE_RANKINGS,
+        "keep_ab_test": SQL_KEEP_AB_TEST,
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
