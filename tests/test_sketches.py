@@ -695,3 +695,75 @@ def test_vocab_coverage_monotone_and_saturates(spark):
     assert out[1]["coverage"] < out[10]["coverage"] <= out[1000]["coverage"]
     assert out[1000]["coverage"] == 1.0          # budget >= vocab
     assert out[1]["covered_tokens"] == 5000      # 'the' dominates
+
+
+# ---- batch 47: CDC apply, lateness census, strict 3-step funnel ----
+
+
+def test_cdc_apply_merge_semantics(spark):
+    from xdan_dqa_spark.operators.resume import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, 1, "U", "a1"), (1, 3, "U", "a3"), (1, 2, "U", "a2"),  # last-wins
+         (2, 1, "D", ""),                                          # delete
+         (9, 1, "I", "new")],                                      # insert
+        "k long, seq long, op string, v string")
+    got = {r["k"]: r["v"]
+           for r in cdc_apply(base, chg, "k", "seq").collect()}
+    assert got == {1: "a3", 3: "c", 9: "new"}
+    # partitioning must not change the winner
+    again = {r["k"]: r["v"]
+             for r in cdc_apply(base.repartition(5), chg.repartition(7),
+                                "k", "seq").collect()}
+    assert again == got
+
+
+def test_lateness_census_buckets(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import lateness_census
+
+    t0 = dt.datetime(2024, 11, 1)
+
+    def ev(i, sec):
+        return ("t", i, str(t0 + dt.timedelta(seconds=sec)))
+
+    # arrival order i: event times go 0, 100, then a straggler from t=40
+    # (60s late), then 200, then a very-late one from t=-700 (900s late)
+    rows = [ev(1, 0), ev(2, 100), ev(3, 40), ev(4, 200), ev(5, -700)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    r = lateness_census(df, watermark_sec=600).collect()[0]
+    assert r["n_events"] == 5 and r["n_on_time"] == 3
+    assert r["n_late_1m"] == 1          # the 60s straggler
+    assert r["n_very_late"] == 1 and r["n_dropped_at_watermark"] == 1
+
+
+def test_funnel3_strict_order_required(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import funnel3_strict
+
+    t0 = dt.datetime(2024, 12, 1)
+
+    def ev(u, i, ty, sec):
+        return (u, i, ty, str(t0 + dt.timedelta(seconds=sec)))
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, "view", 0), ev(1, 2, "click", 10), ev(1, 3, "purchase", 20),
+        # user 2: purchase BEFORE the chained click -> reached 2
+        ev(2, 4, "view", 0), ev(2, 5, "purchase", 5), ev(2, 6, "click", 10),
+        # user 3: click before any view -> that click can't chain; a later
+        # view alone -> reached 1
+        ev(3, 7, "click", 0), ev(3, 8, "view", 10),
+        # user 4: never views -> absent
+        ev(4, 9, "click", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r["reached"] for r in funnel3_strict(df).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}

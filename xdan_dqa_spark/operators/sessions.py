@@ -521,3 +521,118 @@ def km_survival(events: DataFrame, entry_type: str = "click",
             F.round(F.exp(F.col("_ls").cast("double")), 6)
         ).alias("survival"),
     )
+
+
+def lateness_census(events: DataFrame, ts_col: str = "ts",
+                    arrival_col: str = "event_id",
+                    group_col: str = "event_type",
+                    watermark_sec: int = 600) -> DataFrame:
+    """Watermark-tuning census: replay events in ARRIVAL order (the
+    ingest sequence), track the running max event time (exactly the
+    quantity a streaming watermark trails), and bucket each event's
+    LATENESS = running_max − event_time. Returns per group:
+    (group, n_events, n_on_time, n_late_1m, n_late_10m, n_very_late,
+    n_dropped_at_watermark) with the last column counting events a
+    ``watermark_sec`` watermark would DROP — the number you read
+    before choosing withWatermark's horizon, from batch data instead
+    of production incidents.
+
+    Determinism: arrival order is the stable ingest id (ties
+    impossible on a unique id); lateness is integral µs; buckets are
+    integral comparisons. ONE group-key shuffle; the running max is an
+    O(1)-state frame."""
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.select(
+        F.col(group_col).alias("grp"), F.col(arrival_col).alias("aid"),
+        tus.alias("tus"),
+    )
+    w = (
+        Window.partitionBy("grp").orderBy("aid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = (F.max("tus").over(w) - F.col("tus"))
+    staged = e.withColumn("late_us", late)
+    m = F.lit(60_000_000)
+    return staged.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late_us") == 0, 1).otherwise(0)).alias("n_on_time"),
+        F.sum(F.when((F.col("late_us") > 0) & (F.col("late_us") <= m), 1)
+              .otherwise(0)).alias("n_late_1m"),
+        F.sum(F.when((F.col("late_us") > m) & (F.col("late_us") <= 10 * m), 1)
+              .otherwise(0)).alias("n_late_10m"),
+        F.sum(F.when(F.col("late_us") > 10 * m, 1).otherwise(0)).alias("n_very_late"),
+        F.sum(
+            F.when(F.col("late_us") > F.lit(watermark_sec) * 1_000_000, 1)
+            .otherwise(0)
+        ).alias("n_dropped_at_watermark"),
+    )
+
+
+def funnel3_strict(events: DataFrame, steps: tuple = ("view", "click", "purchase"),
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   type_col: str = "event_type") -> DataFrame:
+    """Strict three-step funnel: per user, the earliest completion of
+    step1 -> step2 -> step3 IN ORDER (each step at or after the
+    previous step's chosen instant) — one row per user who entered:
+    (user, t1_us, t2_us, t3_us, reached) with reached in {1,2,3} and
+    -1 sentinels for unreached steps (the as-of join's portable null
+    convention).
+
+    The earliest-completion semantics chain greedily: t1 = first
+    step1; t2 = first step2 >= t1; t3 = first step3 >= t2 — greedy is
+    OPTIMAL for existence (any valid chain's step2 is >= the greedy
+    t2, so greedy t3 exists whenever any chain completes).
+
+    Shape (funnel_conversion's carry, one more level): ONE user-key
+    shuffle; running-min windows carry "first step1 so far" and "first
+    chained step2 so far" past every event, then a single fold takes
+    the chained minima — never a 3-way self-join (two extra shuffles
+    and an |A||B||C| blow-up on busy users)."""
+    s1, s2, s3 = steps
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.select(F.col(user_col).alias("u"), F.col(id_col).alias("i"),
+                      F.col(type_col).alias("ty"), tus.alias("tus"))
+    w = (
+        Window.partitionBy("u").orderBy("tus", "i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t1_so_far = F.min(F.when(F.col("ty") == s1, F.col("tus"))).over(w)
+    e1 = e.withColumn("_t1s", t1_so_far)
+    t2_so_far = F.min(
+        F.when(
+            (F.col("ty") == s2) & F.col("_t1s").isNotNull()
+            & (F.col("tus") >= F.col("_t1s")),
+            F.col("tus"),
+        )
+    ).over(w)
+    e2 = e1.withColumn("_t2s", t2_so_far)
+    agg = e2.groupBy("u").agg(
+        F.min(F.when(F.col("ty") == s1, F.col("tus"))).alias("_t1"),
+        F.min(
+            F.when(
+                (F.col("ty") == s2) & F.col("_t1s").isNotNull()
+                & (F.col("tus") >= F.col("_t1s")),
+                F.col("tus"),
+            )
+        ).alias("_t2"),
+        F.min(
+            F.when(
+                (F.col("ty") == s3) & F.col("_t2s").isNotNull()
+                & (F.col("tus") >= F.col("_t2s")),
+                F.col("tus"),
+            )
+        ).alias("_t3"),
+    ).filter(F.col("_t1").isNotNull())
+    reached = (
+        F.lit(1)
+        + F.when(F.col("_t2").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("_t3").isNotNull(), 1).otherwise(0)
+    )
+    return agg.select(
+        F.col("u").alias(user_col),
+        F.col("_t1").alias("t1_us"),
+        F.coalesce(F.col("_t2"), F.lit(-1)).alias("t2_us"),
+        F.coalesce(F.col("_t3"), F.lit(-1)).alias("t3_us"),
+        reached.alias("reached"),
+    )

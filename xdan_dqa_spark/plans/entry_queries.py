@@ -9027,6 +9027,172 @@ FROM (
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 47
+# CDC changelog apply (MERGE semantics), watermark-lateness census,
+# and a strict three-step funnel.
+
+
+def q_cdc_docs(spark, sf_dir):
+    """CDC changelog applied to the documents snapshot
+    (operators/resume.py:cdc_apply — MERGE INTO semantics): every 10th
+    doc carries TWO updates with conflicting sequence numbers (the
+    higher must win), every 10th+1 doc is deleted, every 100th spawns
+    an insert under a fresh key; the full merged table is emitted and
+    hash-checked. Winner-per-key is ONE struct-max fold (a hot key's
+    churn folds map-side), never a window."""
+    from ..operators.resume import cdc_apply
+
+    base = _t(spark, sf_dir, "documents")
+    pay = ["text", "lang", "source", "n_chars"]
+
+    def chg(filt, op, seq, text_expr, key_expr=None, n_chars_expr=None):
+        d = base.filter(filt)
+        return d.select(
+            (key_expr if key_expr is not None else F.col("doc_id")).alias("doc_id"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            text_expr.alias("text"),
+            F.col("lang"),
+            F.col("source"),
+            (n_chars_expr if n_chars_expr is not None
+             else F.col("n_chars")).alias("n_chars"),
+        )
+
+    u_old = chg(F.col("doc_id") % 10 == 0, "U", 1,
+                F.concat(F.lit("stale "), F.col("doc_id").cast("string")))
+    u_new = chg(F.col("doc_id") % 10 == 0, "U", 2,
+                F.concat(F.lit("updated "), F.col("doc_id").cast("string")))
+    dels = chg(F.col("doc_id") % 10 == 1, "D", 1, F.lit(""),
+               n_chars_expr=F.lit(0).cast("long"))
+    ins = chg(F.col("doc_id") % 100 == 0, "I", 1,
+              F.concat(F.lit("new "), F.col("doc_id").cast("string")),
+              key_expr=F.col("doc_id") + 1000000,
+              n_chars_expr=F.lit(4).cast("long"))
+    changelog = u_old.unionByName(u_new).unionByName(dels).unionByName(ins)
+    merged = cdc_apply(base.select("doc_id", *pay), changelog, "doc_id", "seq")
+    return merged.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+SQL_CDC_DOCS = """
+WITH changelog AS (
+  SELECT doc_id, 'U' AS op, 1 AS seq,
+         'stale ' || CAST(doc_id AS VARCHAR) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 'U', 2, 'updated ' || CAST(doc_id AS VARCHAR),
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 'D', 1, '', lang, source, CAST(0 AS BIGINT)
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, 'I', 1, 'new ' || CAST(doc_id AS VARCHAR),
+         lang, source, CAST(4 AS BIGINT)
+  FROM documents WHERE doc_id % 100 = 0
+),
+win AS (
+  SELECT doc_id,
+         MAX(struct_pack(s := seq, o := op, p_text := text, p_lang := lang,
+                         p_source := source, p_n := n_chars)) AS w
+  FROM changelog GROUP BY doc_id
+),
+joined AS (
+  SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+         b.text AS b_text, b.lang AS b_lang, b.source AS b_source,
+         b.n_chars AS b_n, w.w AS w
+  FROM documents b FULL OUTER JOIN win w ON b.doc_id = w.doc_id
+)
+SELECT doc_id,
+       CASE WHEN w IS NOT NULL THEN w.p_text ELSE b_text END AS text,
+       CASE WHEN w IS NOT NULL THEN w.p_lang ELSE b_lang END AS lang,
+       CASE WHEN w IS NOT NULL THEN w.p_source ELSE b_source END AS source,
+       CASE WHEN w IS NOT NULL THEN w.p_n ELSE b_n END AS n_chars
+FROM joined
+WHERE w IS NULL OR w.o <> 'D'
+"""
+
+
+def q_late_census(spark, sf_dir):
+    """Watermark-tuning lateness census
+    (operators/sessions.py:lateness_census): events replayed in ingest
+    (event_id) order, lateness = running-max event time minus event
+    time, bucketed — including how many a 10-minute watermark would
+    DROP, read from batch data instead of production incidents."""
+    from ..operators.sessions import lateness_census
+
+    return lateness_census(_t(spark, sf_dir, "events"))
+
+
+SQL_LATE_CENSUS = """
+WITH e AS (
+  SELECT event_type AS grp, event_id AS aid, epoch_us(ts) AS tus FROM events
+),
+staged AS (
+  SELECT grp,
+         MAX(tus) OVER (PARTITION BY grp ORDER BY aid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tus AS late_us
+  FROM e
+)
+SELECT grp AS event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS n_on_time,
+       SUM(CASE WHEN late_us > 0 AND late_us <= 60000000 THEN 1 ELSE 0 END)
+         AS n_late_1m,
+       SUM(CASE WHEN late_us > 60000000 AND late_us <= 600000000
+                THEN 1 ELSE 0 END) AS n_late_10m,
+       SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS n_very_late,
+       SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+         AS n_dropped_at_watermark
+FROM staged GROUP BY grp
+"""
+
+
+def q_funnel3(spark, sf_dir):
+    """Strict view->click->purchase three-step funnel
+    (operators/sessions.py:funnel3_strict): greedy chained carries
+    (optimal for existence) over ONE user-key shuffle — never a 3-way
+    self-join; -1 sentinels, reached in {1,2,3}."""
+    from ..operators.sessions import funnel3_strict
+
+    return funnel3_strict(_t(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL3 = """
+WITH e AS (
+  SELECT user_id AS u, event_id AS i, event_type AS ty, epoch_us(ts) AS tus
+  FROM events
+),
+e1 AS (
+  SELECT *, MIN(CASE WHEN ty = 'view' THEN tus END)
+              OVER (PARTITION BY u ORDER BY tus, i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1s
+  FROM e
+),
+e2 AS (
+  SELECT *, MIN(CASE WHEN ty = 'click' AND t1s IS NOT NULL AND tus >= t1s
+                     THEN tus END)
+              OVER (PARTITION BY u ORDER BY tus, i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2s
+  FROM e1
+),
+agg AS (
+  SELECT u,
+         MIN(CASE WHEN ty = 'view' THEN tus END) AS t1,
+         MIN(CASE WHEN ty = 'click' AND t1s IS NOT NULL AND tus >= t1s
+                  THEN tus END) AS t2,
+         MIN(CASE WHEN ty = 'purchase' AND t2s IS NOT NULL AND tus >= t2s
+                  THEN tus END) AS t3
+  FROM e2 GROUP BY u
+)
+SELECT u AS user_id, t1 AS t1_us,
+       coalesce(t2, -1) AS t2_us,
+       coalesce(t3, -1) AS t3_us,
+       1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS reached
+FROM agg WHERE t1 IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -9197,6 +9363,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rbo_source_rankings": q_rbo_source_rankings,
     "keep_ab_test": q_keep_ab_test,
     "vocab_coverage": q_vocab_coverage,
+    "cdc_docs": q_cdc_docs,
+    "late_census": q_late_census,
+    "funnel3": q_funnel3,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -9349,6 +9518,9 @@ def oracle_map() -> dict[str, str]:
         "rbo_source_rankings": SQL_RBO_SOURCE_RANKINGS,
         "keep_ab_test": SQL_KEEP_AB_TEST,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "cdc_docs": SQL_CDC_DOCS,
+        "late_census": SQL_LATE_CENSUS,
+        "funnel3": SQL_FUNNEL3,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
