@@ -767,3 +767,57 @@ def test_funnel3_strict_order_required(spark):
     df = df.withColumn("ts", F.to_timestamp("ts"))
     got = {r["user_id"]: r["reached"] for r in funnel3_strict(df).collect()}
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+# ---- batch 48: EMD drift, doc novelty, daily xcorr ----
+
+
+def test_emd_shift_equals_offset(spark):
+    """Two distributions differing by a constant +300 shift must show
+    emd == 300 (the value-units property KS/KL don't have)."""
+    from xdan_dqa_spark.operators.curation import emd_length_drift
+
+    rows = ([("a", v) for v in (100, 200, 300, 400) * 25]
+            + [("b", v + 300) for v in (100, 200, 300, 400) * 25])
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    r = emd_length_drift(df, bucket_width=100).collect()[0]
+    assert (r["a"], r["b"]) == ("a", "b")
+    assert r["emd"] == 300.0
+    same = spark.createDataFrame(
+        [("x", v) for v in range(100)] + [("y", v) for v in range(100)],
+        "source string, n_chars long")
+    r2 = emd_length_drift(same, bucket_width=10).collect()[0]
+    assert r2["emd"] == 0.0
+
+
+def test_doc_novelty_templates_score_low(spark):
+    from xdan_dqa_spark.operators.curation import doc_novelty
+
+    common = "the quick brown fox " * 10
+    rows = ([(i, common) for i in range(20)]
+            + [(100, "zyzzyva qoph xylyl crwth")])       # rare vocab
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = doc_novelty(df, top_k=1).collect()
+    ends = {r["which_end"]: r["doc_id"] for r in out}
+    assert ends["most_novel"] == 100
+    assert ends["least_novel"] != 100
+
+
+def test_daily_xcorr_detects_injected_lag(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import daily_xcorr
+
+    rows = []
+    base = [10, 50, 20, 80, 30, 90, 40, 70, 15, 60, 25, 85, 35, 95]
+    for d, n in enumerate(base):
+        day = dt.date(2025, 1, 1) + dt.timedelta(days=d)
+        rows += [("click", f"{day} 01:00:00")] * n
+        # purchases echo clicks exactly two days later
+        day2 = dt.date(2025, 1, 3) + dt.timedelta(days=d)
+        rows += [("purchase", f"{day2} 01:00:00")] * n
+    df = spark.createDataFrame(rows, "event_type string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {r["lag"]: r["r"] for r in daily_xcorr(df).collect()}
+    assert got[2] == 1.0                       # perfect echo at +2
+    assert all(got[lag] < 1.0 for lag in got if lag != 2)

@@ -1240,3 +1240,117 @@ def homoglyph_census(docs: DataFrame, text_col: str = "text",
             F.col("n_spoofed").cast("double") / F.col("n_docs").cast("double"), 9
         ),
     )
+
+
+def emd_length_drift(docs: DataFrame, value_col: str = "n_chars",
+                     by: str = "source", bucket_width: int = 100) -> DataFrame:
+    """Pairwise 1-D Wasserstein (earth-mover) distance between groups'
+    value distributions — (a, b, emd): the drift metric that, unlike
+    KS (max deviation) or KL (support-sensitive), measures HOW FAR
+    mass must move, in value units — two sources whose length profiles
+    differ by a constant 500-char boilerplate header show emd ~ 500.
+
+    In 1-D the EMD has a closed form: W1 = Σ_buckets |CDF_a − CDF_b| ×
+    bucket_width. Exactness discipline: with counts c and totals n,
+    |cum_a/n_a − cum_b/n_b| = |cum_a·n_b − cum_b·n_a| / (n_a·n_b) — the
+    numerator is EXACT integer arithmetic summed as DECIMAL(38,0)
+    (widths (19,0)×(18,0)), and ONE terminal division+scale per pair
+    makes the value. Buckets are integral (value DIV width).
+
+    Shape: one (group, bucket) fold; the bucket grid gap-fills from
+    the observed span so every group's CDF is defined on the same
+    axis; cumulative sums ride per-group windows over the bounded
+    grid; the pairwise stage self-joins the grid on bucket (output
+    ≤ groups² × buckets — the mixing-table scale, tiny)."""
+    b = F.expr(f"cast({value_col} as bigint) div {bucket_width}")
+    cells = docs.groupBy(
+        F.col(by).alias("g"), b.alias("bkt")
+    ).agg(F.count("*").alias("c"))
+    span = cells.agg(F.min("bkt").alias("_b0"), F.max("bkt").alias("_b1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("bkt")
+    ).crossJoin(cells.select("g").distinct())
+    filled = grid.join(cells, ["g", "bkt"], "left").select(
+        "g", "bkt", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = filled.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    a = cum.select(F.col("g").alias("a"), "bkt",
+                   F.col("cum").alias("ca"), F.col("n").alias("na"))
+    bb = cum.select(F.col("g").alias("b"), "bkt",
+                    F.col("cum").alias("cb"), F.col("n").alias("nb"))
+    pairs = a.join(bb, "bkt").filter(F.col("a") < F.col("b"))
+    term = F.abs(
+        F.col("ca").cast("decimal(19,0)") * F.col("nb").cast("decimal(18,0)")
+        - F.col("cb").cast("decimal(19,0)") * F.col("na").cast("decimal(18,0)")
+    )
+    agg = pairs.groupBy("a", "b", "na", "nb").agg(
+        F.sum(term.cast("decimal(38,0)")).alias("_s")
+    )
+    emd = (
+        F.col("_s").cast("double") * F.lit(float(bucket_width))
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return agg.select("a", "b", F.round(emd, 6).alias("emd"))
+
+
+def doc_novelty(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", top_k: int = 10) -> DataFrame:
+    """Per-document NOVELTY by cross-entropy against the corpus unigram
+    model: H(doc) = −(1/|d|)·Σ_t ln p_corpus(t) over the doc's tokens —
+    high = surprising vocabulary (genuinely novel content, or
+    gibberish), low = the corpus' most formulaic documents (templates).
+    Returns the top_k most AND least novel docs:
+    (doc_id, n_tokens, cross_entropy, which_end).
+
+    Determinism discipline: p_corpus comes from exact integer counts;
+    each token's −ln p term is rounded to 9 dp and DECIMAL-summed per
+    doc (order-free — the MI pattern); the per-doc mean is one
+    terminal division; selection orders by the ROUNDED value with an
+    id tie-break, so the k-boundary is engine-portable.
+
+    Shape: one vocab fold, token-keyed join of the corpus probability
+    back to the exploded tokens (vocab-keyed shuffle — never a blind
+    broadcast at web scale), one doc fold, two TakeOrdered selections."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    tok = docs.select(F.col(id_col), F.explode(words).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("tc"))
+    total = vocab.agg(F.sum("tc").alias("_tt"))
+    p = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            -F.log(F.col("tc").cast("double") / F.col("_tt").cast("double")), 9
+        ).cast("decimal(20,9)").alias("_nl"),
+    )
+    per_doc = (
+        tok.join(p, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_nl").alias("_s"),
+        )
+        .withColumn(
+            "cross_entropy",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
+            ),
+        )
+    )
+    hi = (
+        per_doc.orderBy(F.desc("cross_entropy"), F.asc(id_col)).limit(top_k)
+        .withColumn("which_end", F.lit("most_novel"))
+    )
+    lo = (
+        per_doc.orderBy(F.asc("cross_entropy"), F.asc(id_col)).limit(top_k)
+        .withColumn("which_end", F.lit("least_novel"))
+    )
+    return hi.unionByName(lo).select(
+        id_col, "n_tokens", "cross_entropy", "which_end"
+    )

@@ -636,3 +636,58 @@ def funnel3_strict(events: DataFrame, steps: tuple = ("view", "click", "purchase
         F.coalesce(F.col("_t3"), F.lit(-1)).alias("t3_us"),
         reached.alias("reached"),
     )
+
+
+def daily_xcorr(events: DataFrame, type_x: str = "click",
+                type_y: str = "purchase", max_lag: int = 3,
+                ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Lagged cross-correlation of two event types' DAILY volumes:
+    (lag, n_days, r) for lag in [−max_lag, max_lag], r = Pearson
+    correlation of x_t with y_{t+lag} — the lead/lag discovery tool
+    (does click volume PREDICT purchase volume two days later, or
+    trail it?) behind campaign attribution and capacity planning.
+
+    Determinism: the feature_correlation discipline per lag — exact
+    DECIMAL moment sums over the matched-day pairs, one fixed IEEE
+    closed form; day alignment is integral epoch-day arithmetic; the
+    per-lag matched-day table is the bounded calendar grain."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    ).cast("long")
+    daily = events.groupBy(
+        day.alias("day"), F.col(type_col).alias("ty")
+    ).agg(F.count("*").alias("c"))
+    x = daily.filter(F.col("ty") == type_x).select("day", F.col("c").alias("x"))
+    y = daily.filter(F.col("ty") == type_y).select("day", F.col("c").alias("y"))
+    outs = []
+    for lag in range(-max_lag, max_lag + 1):
+        j = x.join(
+            y.select((F.col("day") - lag).alias("day"), "y"), "day"
+        )
+        x19, y19 = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
+        x18, y18 = F.col("x").cast("decimal(18,0)"), F.col("y").cast("decimal(18,0)")
+        m = j.agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("_sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("_sy"),
+            F.sum((x19 * y18).cast("decimal(38,0)")).alias("_sxy"),
+            F.sum((x19 * x18).cast("decimal(38,0)")).alias("_sxx"),
+            F.sum((y19 * y18).cast("decimal(38,0)")).alias("_syy"),
+        )
+        n = F.col("n_days").cast("double")
+        sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+        sxy = F.col("_sxy").cast("double")
+        sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+        ok = ((n * sxx - sx * sx) > 0) & ((n * syy - sy * sy) > 0)
+        r = (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+        outs.append(m.select(
+            F.lit(lag).alias("lag"),
+            "n_days",
+            F.round(F.when(ok, r).otherwise(F.lit(0.0)), 6).alias("r"),
+        ))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

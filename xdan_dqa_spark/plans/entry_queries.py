@@ -9193,6 +9193,155 @@ FROM agg WHERE t1 IS NOT NULL
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 48
+# 1-D Wasserstein drift, per-doc novelty scoring, and lagged daily
+# cross-correlation.
+
+
+def q_emd_length_drift(spark, sf_dir):
+    """Pairwise 1-D Wasserstein distance between sources' doc-length
+    distributions (operators/curation.py:emd_length_drift) — drift in
+    VALUE UNITS (how far mass must move), the complement to KS's max
+    deviation and KL's support sensitivity; exact integer CDF
+    cross-multiplication, one terminal division per pair."""
+    from ..operators.curation import emd_length_drift
+
+    return emd_length_drift(_t(spark, sf_dir, "documents"))
+
+
+SQL_EMD_LENGTH_DRIFT = """
+WITH cells AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) // 100 AS bkt, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+span AS (SELECT MIN(bkt) AS b0, MAX(bkt) AS b1 FROM cells),
+grid AS (
+  SELECT gs.bkt, s.g
+  FROM (SELECT unnest(generate_series(b0, b1)) AS bkt FROM span) gs
+  CROSS JOIN (SELECT DISTINCT g FROM cells) s
+),
+filled AS (
+  SELECT gr.g, gr.bkt, coalesce(c.c, 0) AS c
+  FROM grid gr LEFT JOIN cells c ON gr.g = c.g AND gr.bkt = c.bkt
+),
+cum AS (
+  SELECT g, bkt,
+         SUM(c) OVER (PARTITION BY g ORDER BY bkt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM filled
+),
+pairs AS (
+  SELECT pa.g AS a, pb.g AS b, pa.na, pb.nb,
+         abs(CAST(pa.cum AS DECIMAL(19,0)) * CAST(pb.nb AS DECIMAL(18,0))
+             - CAST(pb.cum AS DECIMAL(19,0)) * CAST(pa.na AS DECIMAL(18,0)))
+           AS term
+  FROM (SELECT g, bkt, cum, n AS na FROM cum) pa
+  JOIN (SELECT g, bkt, cum, n AS nb FROM cum) pb
+  ON pa.bkt = pb.bkt AND pa.g < pb.g
+),
+agg AS (
+  SELECT a, b, na, nb, SUM(CAST(term AS DECIMAL(38,0))) AS s
+  FROM pairs GROUP BY 1, 2, 3, 4
+)
+SELECT a, b,
+       round(CAST(s AS DOUBLE) * 100.0
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS emd
+FROM agg
+"""
+
+
+def q_doc_novelty(spark, sf_dir):
+    """Top-10 most and least novel documents by unigram cross-entropy
+    against the corpus model (operators/curation.py:doc_novelty) —
+    high = surprising vocabulary, low = the corpus' most formulaic
+    templates; rounded-term DECIMAL sums, rounded-value selection."""
+    from ..operators.curation import doc_novelty
+
+    return doc_novelty(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_NOVELTY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS_WS_SQL}) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS tc FROM tok GROUP BY 1),
+total AS (SELECT SUM(tc) AS tt FROM vocab),
+p AS (
+  SELECT term,
+         CAST(round(-ln(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS nl
+  FROM vocab CROSS JOIN total
+),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         round(CAST(SUM(p.nl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS cross_entropy
+  FROM tok t JOIN p ON t.term = p.term
+  GROUP BY 1
+),
+hi AS (
+  SELECT doc_id, n_tokens, cross_entropy, 'most_novel' AS which_end
+  FROM per_doc ORDER BY cross_entropy DESC, doc_id LIMIT 10
+),
+lo AS (
+  SELECT doc_id, n_tokens, cross_entropy, 'least_novel' AS which_end
+  FROM per_doc ORDER BY cross_entropy ASC, doc_id LIMIT 10
+)
+SELECT * FROM hi UNION ALL SELECT * FROM lo
+"""
+
+
+def q_daily_xcorr(spark, sf_dir):
+    """Lagged cross-correlation of click vs purchase daily volumes,
+    lags -3..+3 (operators/sessions.py:daily_xcorr) — the lead/lag
+    discovery behind attribution; exact moment sums per lag over the
+    bounded matched-day table."""
+    from ..operators.sessions import daily_xcorr
+
+    return daily_xcorr(_t(spark, sf_dir, "events"))
+
+
+def _sql_daily_xcorr(max_lag: int = 3) -> str:
+    parts = []
+    for lag in range(-max_lag, max_lag + 1):
+        parts.append(f"""
+SELECT {lag} AS lag, nn AS n_days,
+       round(CASE WHEN CAST(nn AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(nn AS DOUBLE) * syy - sy * sy > 0
+                  THEN (CAST(nn AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(CAST(nn AS DOUBLE) * sxx - sx * sx)
+                          * sqrt(CAST(nn AS DOUBLE) * syy - sy * sy))
+                  ELSE 0.0 END, 6) AS r
+FROM (
+  SELECT CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         COUNT(*) AS nn
+  FROM (
+    SELECT xx.x, yy.y FROM
+    (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+     FROM events WHERE event_type = 'click' GROUP BY 1) xx
+    JOIN
+    (SELECT epoch_us(ts) // 86400000000 - ({lag}) AS day, COUNT(*) AS y
+     FROM events WHERE event_type = 'purchase'
+     GROUP BY epoch_us(ts) // 86400000000) yy
+    ON xx.day = yy.day
+  )
+)
+""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_DAILY_XCORR = _sql_daily_xcorr(3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -9366,6 +9515,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_docs": q_cdc_docs,
     "late_census": q_late_census,
     "funnel3": q_funnel3,
+    "emd_length_drift": q_emd_length_drift,
+    "doc_novelty": q_doc_novelty,
+    "daily_xcorr": q_daily_xcorr,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -9521,6 +9673,9 @@ def oracle_map() -> dict[str, str]:
         "cdc_docs": SQL_CDC_DOCS,
         "late_census": SQL_LATE_CENSUS,
         "funnel3": SQL_FUNNEL3,
+        "emd_length_drift": SQL_EMD_LENGTH_DRIFT,
+        "doc_novelty": SQL_DOC_NOVELTY,
+        "daily_xcorr": SQL_DAILY_XCORR,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
