@@ -821,3 +821,53 @@ def test_daily_xcorr_detects_injected_lag(spark):
     got = {r["lag"]: r["r"] for r in daily_xcorr(df).collect()}
     assert got[2] == 1.0                       # perfect echo at +2
     assert all(got[lag] < 1.0 for lag in got if lag != 2)
+
+
+# ---- batch 49: adaptation, bigram conditional entropy, RFM ----
+
+
+def test_term_adaptation_content_vs_glue(spark):
+    from xdan_dqa_spark.operators.textstats import term_adaptation
+
+    # 'spark' repeats within its docs (adapts); 'the' appears once per doc
+    rows = [(i, "the spark engine spark runs spark") for i in range(10)] + [
+        (100 + i, "the other engine") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in term_adaptation(df, top_k=5).collect()}
+    assert got["spark"]["adaptation"] == 1.0      # always repeats
+    assert got["the"]["adaptation"] == 0.0        # never repeats
+    assert got["spark"]["df1"] == 10 and got["spark"]["df2"] == 10
+
+
+def test_bigram_cond_entropy_extremes(spark):
+    from xdan_dqa_spark.operators.textstats import bigram_conditional_entropy
+
+    det = spark.createDataFrame(
+        [(i, "a b a b a b a b", "det") for i in range(5)],
+        "doc_id long, text string, lang string")
+    r = bigram_conditional_entropy(det).collect()[0]
+    # a->b and b->a deterministically: H(Y|X) == 0
+    assert r["cond_entropy_nats"] == 0.0
+    mixed = spark.createDataFrame(
+        [(1, "a b a c a b a c a d a e", "mx")],
+        "doc_id long, text string, lang string")
+    r2 = bigram_conditional_entropy(mixed).collect()[0]
+    assert r2["cond_entropy_nats"] > 0.0
+
+
+def test_rfm_segments_census_is_bounded_and_complete(spark):
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.sessions import rfm_segments
+
+    rows = []
+    t0 = dt.datetime(2025, 2, 1)
+    for u in range(50):
+        for k in range(1 + u % 7):
+            rows.append((u, str(t0 + dt.timedelta(hours=u + k)), float(u)))
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = rfm_segments(df).collect()
+    assert sum(r["n_users"] for r in out) == 50
+    for r in out:
+        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5

@@ -691,3 +691,45 @@ def daily_xcorr(events: DataFrame, type_x: str = "click",
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def rfm_segments(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 n_tiles: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation census: each
+    user scores an n_tiles-quantile rank on recency of last activity,
+    event count, and summed value; the output is the bounded
+    (r, f, m) -> user-count census (plus per-cell mean monetary) that
+    engagement triage reads ("5-5-5 whales", "1-x-x churned").
+
+    Determinism: the three ntile ranks run over the USER-grain table
+    (bounded: one row per user, not per event) with explicit
+    (metric, user_id) tie-breaks — ntile over ties is otherwise
+    order-dependent; monetary sums ride DECIMAL(20,6). The census fold
+    is bounded by n_tiles³ cells.
+
+    Scale note: ntile is an unpartitioned window over the user table —
+    fine to ~10⁸ users in one sorted task; beyond that derive tile
+    boundaries from the bounded a17-style count histogram and bucket
+    map-side (documented swap, value-identical up to tie placement)."""
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(tus).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(F.col(value_col).cast("decimal(20,6)")).alias("money"),
+    )
+    wr = Window.orderBy(F.asc("last_us"), F.asc("u"))
+    wf = Window.orderBy(F.asc("freq"), F.asc("u"))
+    wm = Window.orderBy(F.asc("money"), F.asc("u"))
+    scored = per_user.select(
+        "u", "money",
+        F.ntile(n_tiles).over(wr).alias("r"),
+        F.ntile(n_tiles).over(wf).alias("f"),
+        F.ntile(n_tiles).over(wm).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            F.sum("money").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_monetary"),
+    )

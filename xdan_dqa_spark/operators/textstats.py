@@ -779,3 +779,103 @@ def vocab_coverage_curve(docs: DataFrame, text_col: str = "text",
             6,
         ).alias("coverage"),
     )
+
+
+def term_adaptation(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 20) -> DataFrame:
+    """Church-Gale term ADAPTATION for the corpus' top terms: the
+    probability a term occurs AGAIN in a document given it occurred
+    once — adaptation = df2/df1 with df1 = docs containing the term,
+    df2 = docs containing it at least twice. Content words adapt
+    strongly (a doc about 'spark' says it many times); function words
+    don't — so (count, adaptation) separates topical vocabulary from
+    glue, a cleaner stoplist signal than raw frequency. Returns
+    (term, total_cnt, df1, df2, adaptation) for the top_k terms by
+    total count (ties term ASC).
+
+    All integer until one division per term: the per-(doc, term) fold
+    is map-side combinable (doc id in the key), df1/df2 are conditional
+    counts over that bounded table, selection is TakeOrdered."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    dt = (
+        docs.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("k"))
+    )
+    per_term = dt.groupBy("term").agg(
+        F.sum("k").alias("total_cnt"),
+        F.count("*").alias("df1"),
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).alias("df2"),
+    )
+    w = Window.orderBy(F.desc("total_cnt"), F.asc("term"))
+    return (
+        per_term.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select(
+            "term", "total_cnt", "df1", "df2",
+            F.round(
+                F.col("df2").cast("double") / F.col("df1").cast("double"), 6
+            ).alias("adaptation"),
+        )
+    )
+
+
+def bigram_conditional_entropy(docs: DataFrame, text_col: str = "text",
+                               by: str = "lang") -> DataFrame:
+    """Per-group conditional entropy of the next token given the
+    current one, H(Y|X) = H(bigrams) − H(unigram prefixes) — the
+    language-model-flavored predictability signal: prose sits high
+    (many plausible continuations), template spam collapses toward 0
+    (every token determines the next). Complements unigram
+    token_entropy, which repetitive BIGRAM structure can fool.
+
+    Determinism (token_entropy's discipline, applied twice): both
+    entropies are Σ (c/N)·ln(N/c) with exact integer counts, each
+    term rounded to 9 dp and DECIMAL-summed; the final subtraction is
+    one float op on two aggregated scalars. Bigrams come from
+    arrays_zip of two shifted slices (O(1) per element — the shingles
+    construction at n=2); prefix counts REUSE the bigram table (one
+    more fold), so the corpus is tokenized once."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    cnt = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(words, 1, cnt), F.slice(words, 2, cnt)
+    )
+    bg = docs.select(
+        F.col(by).alias("g"),
+        F.explode(zipped).alias("_b"),
+    ).select(
+        "g", F.col("_b")["0"].alias("x"), F.col("_b")["1"].alias("y")
+    )
+    bc = bg.groupBy("g", "x", "y").agg(F.count("*").alias("c"))
+    tot = bc.groupBy("g").agg(F.sum("c").alias("n"))
+
+    def entropy(cells, keys):
+        j = cells.join(tot, "g")
+        term = F.round(
+            (F.col("c").cast("double") / F.col("n").cast("double"))
+            * F.log(F.col("n").cast("double") / F.col("c").cast("double")),
+            9,
+        ).cast("decimal(20,9)")
+        return j.select("g", term.alias("_t")).groupBy("g").agg(
+            F.sum("_t").alias(keys)
+        )
+    h_xy = entropy(bc, "_hxy")
+    xc = bc.groupBy("g", "x").agg(F.sum("c").alias("c"))
+    h_x = entropy(xc, "_hx")
+    return (
+        h_xy.join(h_x, "g").join(tot, "g")
+        .select(
+            F.col("g").alias(by),
+            F.col("n").alias("n_bigrams"),
+            F.round(
+                F.col("_hxy").cast("double") - F.col("_hx").cast("double"), 6
+            ).alias("cond_entropy_nats"),
+        )
+    )

@@ -9342,6 +9342,114 @@ FROM (
 SQL_DAILY_XCORR = _sql_daily_xcorr(3)
 
 
+
+# ------------------------------------------------------------ round-5 batch 49
+# Church-Gale term adaptation, bigram conditional entropy, and RFM
+# segmentation.
+
+
+def q_term_adaptation(spark, sf_dir):
+    """Church-Gale adaptation (P(again | once) = df2/df1) for the
+    top-20 corpus terms (operators/textstats.py:term_adaptation) —
+    content words adapt, glue words don't; all-integer counts, one
+    division per term."""
+    from ..operators.textstats import term_adaptation
+
+    return term_adaptation(_t(spark, sf_dir, "documents"))
+
+
+SQL_TERM_ADAPTATION = f"""
+WITH dt AS (
+  SELECT doc_id, term, COUNT(*) AS k FROM (
+    SELECT doc_id, unnest({_WORDS_WS_SQL}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+per_term AS (
+  SELECT term, SUM(k) AS total_cnt, COUNT(*) AS df1,
+         SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS df2
+  FROM dt GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY total_cnt DESC, term) AS rk
+  FROM per_term
+)
+SELECT term, total_cnt, df1, df2,
+       round(CAST(df2 AS DOUBLE) / CAST(df1 AS DOUBLE), 6) AS adaptation
+FROM ranked WHERE rk <= 20
+"""
+
+
+def q_bigram_cond_entropy(spark, sf_dir):
+    """Per-language conditional next-token entropy H(Y|X) =
+    H(bigrams) − H(prefixes) (operators/textstats.py:
+    bigram_conditional_entropy) — predictability: prose high, template
+    spam toward 0; rounded-term DECIMAL sums on both entropies."""
+    from ..operators.textstats import bigram_conditional_entropy
+
+    return bigram_conditional_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_COND_ENTROPY = f"""
+WITH ws AS (SELECT lang AS g, {_WORDS_WS_SQL} AS w FROM documents),
+bg AS (
+  SELECT g, w[i] AS x, w[i + 1] AS y
+  FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+bc AS (SELECT g, x, y, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+tot AS (SELECT g, SUM(c) AS n FROM bc GROUP BY 1),
+hxy AS (
+  SELECT bc.g,
+         SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+             AS DECIMAL(20,9))) AS hxy
+  FROM bc JOIN tot ON bc.g = tot.g GROUP BY 1
+),
+xc AS (SELECT g, x, SUM(c) AS c FROM bc GROUP BY 1, 2),
+hx AS (
+  SELECT xc.g,
+         SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+             AS DECIMAL(20,9))) AS hx
+  FROM xc JOIN tot ON xc.g = tot.g GROUP BY 1
+)
+SELECT hxy.g AS lang, tot.n AS n_bigrams,
+       round(CAST(hxy.hxy AS DOUBLE) - CAST(hx.hx AS DOUBLE), 6)
+         AS cond_entropy_nats
+FROM hxy JOIN hx ON hxy.g = hx.g JOIN tot ON hxy.g = tot.g
+"""
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM quintile segmentation census over users
+    (operators/sessions.py:rfm_segments) — the engagement-triage cube;
+    ntile ranks over the bounded user-grain table with explicit
+    tie-breaks, census bounded at 125 cells."""
+    from ..operators.sessions import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"))
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_user AS (
+  SELECT user_id AS u, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq,
+         SUM(CAST(value AS DECIMAL(20,6))) AS money
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT u, money,
+         ntile(5) OVER (ORDER BY last_us, u) AS r,
+         ntile(5) OVER (ORDER BY freq, u) AS f,
+         ntile(5) OVER (ORDER BY money, u) AS m
+  FROM per_user
+)
+SELECT r, f, m, COUNT(*) AS n_users,
+       round(CAST(SUM(money) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -9518,6 +9626,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emd_length_drift": q_emd_length_drift,
     "doc_novelty": q_doc_novelty,
     "daily_xcorr": q_daily_xcorr,
+    "term_adaptation": q_term_adaptation,
+    "bigram_cond_entropy": q_bigram_cond_entropy,
+    "rfm_segments": q_rfm_segments,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -9676,6 +9787,9 @@ def oracle_map() -> dict[str, str]:
         "emd_length_drift": SQL_EMD_LENGTH_DRIFT,
         "doc_novelty": SQL_DOC_NOVELTY,
         "daily_xcorr": SQL_DAILY_XCORR,
+        "term_adaptation": SQL_TERM_ADAPTATION,
+        "bigram_cond_entropy": SQL_BIGRAM_COND_ENTROPY,
+        "rfm_segments": SQL_RFM_SEGMENTS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
