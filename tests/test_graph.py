@@ -259,3 +259,36 @@ def test_link_structure_assortativity_sign(spark):
          + [(0, 10)])
     r = link_structure_stats(_edges(spark, e)).collect()[0]
     assert r["assortativity"] < 0
+
+
+def test_local_clustering_clique_vs_star(spark):
+    from xdan_dqa_spark.operators.graph import local_clustering
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(10, i) for i in range(11, 16)]
+    got = {r["node"]: r for r in
+           local_clustering(_edges(spark, k4 + star), top_k=20).collect()}
+    for n in range(4):
+        assert got[n]["clustering"] == 1.0 and got[n]["n_triangles"] == 3
+    assert got[10]["clustering"] == 0.0          # star center: no triangles
+    assert 11 not in got                          # degree-1 leaves filtered
+
+
+def test_markov_stationary_known_chain(spark):
+    from xdan_dqa_spark.operators.graph import markov_stationary
+
+    # deterministic 2-cycle: stationary is exactly (0.5, 0.5)
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "a")] * 50, "prev string, cur string")
+    got = {r["state"]: r["stationary_share"]
+           for r in markov_stationary(pairs, n_iter=4).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+    # absorbing-ish chain: b self-loops 9/10, a leaks to b -> mass piles on b
+    rows = [("a", "b")] * 10 + [("b", "b")] * 90 + [("b", "a")] * 10 + [("a", "a")] * 10
+    p2 = spark.createDataFrame(rows, "prev string, cur string")
+    got2 = {r["state"]: r["stationary_share"]
+            for r in markov_stationary(p2, n_iter=8).collect()}
+    assert got2["b"] > 0.6 > got2["a"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        markov_stationary(pairs, n_iter=0)

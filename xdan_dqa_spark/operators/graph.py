@@ -22,7 +22,7 @@ per round — noise against PageRank's own iteration error."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10 ** 12
@@ -452,4 +452,138 @@ def link_structure_stats(links: DataFrame, src_col: str = "src",
             F.col("_nr").cast("double") / F.col("n_edges").cast("double"), 9
         ).alias("reciprocity"),
         F.round(F.when(var_ok, r).otherwise(F.lit(0.0)), 9).alias("assortativity"),
+    )
+
+
+def local_clustering(links: DataFrame, top_k: int = 20, min_degree: int = 2,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient — triangles_at(v) /
+    C(deg(v), 2) — for the ``top_k`` most clustered nodes (ties node
+    ASC, degree >= ``min_degree``): the NODE-LEVEL link-farm
+    fingerprint behind triangle_census' global count (a paid-link ring
+    member's neighborhood is near-complete — coefficient -> 1 — while
+    organic hubs sit near 0). Returns (node, degree, n_triangles,
+    clustering).
+
+    Scale shape: the same degree-ordered orientation as
+    triangle_census (each node's out-neighborhood is O(sqrt m), wedge
+    output bounded at O(m^1.5)), but the closing join KEEPS all three
+    corners and explodes them into one combinable per-node count —
+    each triangle credits its three nodes exactly once. The
+    coefficient is one division of exact integers; selection orders by
+    the ROUNDED value with a node tie-break."""
+    e = (
+        links.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    u_first = F.struct(F.col("_du"), F.col("u")) < F.struct(F.col("_dv"), F.col("v"))
+    o = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    wedges = o.alias("o1").join(
+        o.alias("o2"), F.col("o1.b") == F.col("o2.a")
+    ).select(
+        F.col("o1.a").alias("wa"), F.col("o1.b").alias("wm"),
+        F.col("o2.b").alias("wc"),
+    )
+    closing = o.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+    tris = wedges.join(closing, ["wa", "wc"])
+    per_node = (
+        tris.select(
+            F.explode(F.array("wa", "wm", "wc")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    joined = deg.join(per_node, "node", "left").select(
+        "node", "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    ).filter(F.col("deg") >= min_degree)
+    coef = F.round(
+        F.lit(2.0) * F.col("n_triangles").cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double")),
+        9,
+    )
+    w = Window.orderBy(F.desc("clustering"), F.asc("node"))
+    return (
+        joined.withColumn("clustering", coef)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select("node", F.col("deg").alias("degree"), "n_triangles",
+                "clustering")
+    )
+
+
+def markov_stationary(events_pairs: DataFrame, n_iter: int = 4,
+                      prev_col: str = "prev", cur_col: str = "cur") -> DataFrame:
+    """Stationary distribution of a first-order Markov chain given its
+    observed transition PAIRS — (state, stationary_share): the
+    long-run state mix the transition structure implies, to hold
+    against the EMPIRICAL mix (divergence means the chain is
+    non-stationary over the window — a regime change the transition
+    matrix alone can't show). Power iteration from uniform, ``n_iter``
+    fixed rounds.
+
+    Determinism (pagerank's discipline at 1e6 scale): pi is BIGINT
+    fixed-point; each flow pi_i·c_ij/c_i is round-half-up integral
+    ((2·pi·c_ij + c_i) DIV (2·c_i)) — with pi <= ~1e6 and counts <=
+    ~1e9 the product stays ~1e15 << 2^63; states with no outgoing
+    edges self-loop (keep their mass). One join + one combinable fold
+    per round over the BOUNDED (states²) matrix; the loop builds the
+    plan only."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    scale = 10 ** 6
+    c = events_pairs.groupBy(
+        F.col(prev_col).alias("i"), F.col(cur_col).alias("j")
+    ).agg(F.count("*").alias("cij"))
+    rowsum = c.groupBy("i").agg(F.sum("cij").alias("ci"))
+    trans = c.join(rowsum, "i")
+    states = (
+        events_pairs.select(F.col(prev_col).alias("s"))
+        .unionByName(events_pairs.select(F.col(cur_col).alias("s")))
+        .distinct()
+    )
+    n_states = states.agg(F.count("*").alias("_ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "s", F.expr(f"({scale} * 2 + _ns) DIV (_ns * 2)").alias("p")
+    )
+    has_out = rowsum.select(F.col("i").alias("s")).withColumn("_o", F.lit(1))
+    for _ in range(n_iter):
+        flows = (
+            trans.join(pi.withColumnRenamed("s", "i"), "i")
+            .select(
+                F.col("j").alias("s"),
+                F.expr("(2 * p * cij + ci) DIV (2 * ci)").alias("fl"),
+            )
+            .groupBy("s")
+            .agg(F.sum("fl").alias("inflow"))
+        )
+        dangling = (
+            pi.join(has_out, "s", "left")
+            .filter(F.col("_o").isNull())
+            .select("s", F.col("p").alias("inflow"))
+        )
+        pi = (
+            flows.unionByName(dangling)
+            .groupBy("s")
+            .agg(F.sum("inflow").alias("p"))
+        )
+    return pi.select(
+        F.col("s").alias("state"),
+        F.round(F.col("p").cast("double") / F.lit(float(scale)), 6).alias(
+            "stationary_share"
+        ),
     )

@@ -9450,6 +9450,164 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 50
+# Per-node local clustering and the Markov stationary distribution of
+# the event chain.
+
+
+def q_local_clustering(spark, sf_dir):
+    """Top-20 most-clustered link-graph nodes
+    (operators/graph.py:local_clustering) — the NODE-level link-farm
+    fingerprint behind triangle_census' global count; degree-ordered
+    orientation with three-corner attribution."""
+    from ..operators.graph import local_clustering
+
+    return local_clustering(_link_edges(spark, sf_dir))
+
+
+SQL_LOCAL_CLUSTERING = f"""
+WITH e0 AS ({_SQL_LINK_EDGES}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+tris AS (
+  SELECT o1.a AS wa, o1.b AS wm, o2.b AS wc
+  FROM o o1 JOIN o o2 ON o1.b = o2.a
+  JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b
+),
+per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT wa AS node FROM tris
+    UNION ALL SELECT wm FROM tris
+    UNION ALL SELECT wc FROM tris
+  ) GROUP BY 1
+),
+joined AS (
+  SELECT d.node, d.deg, coalesce(p.n_triangles, 0) AS n_triangles
+  FROM deg d LEFT JOIN per_node p ON d.node = p.node
+  WHERE d.deg >= 2
+),
+scored AS (
+  SELECT node, deg AS degree, n_triangles,
+         round(2.0 * CAST(n_triangles AS DOUBLE)
+               / (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)), 9)
+           AS clustering
+  FROM joined
+)
+SELECT node, degree, n_triangles, clustering FROM (
+  SELECT *, row_number() OVER (ORDER BY clustering DESC, node) AS rk
+  FROM scored
+) WHERE rk <= 20
+"""
+
+
+def q_event_stationary(spark, sf_dir):
+    """Stationary distribution of the first-order event-type chain
+    (operators/graph.py:markov_stationary, 4 power-iteration rounds at
+    1e6 integer fixed point) next to the EMPIRICAL event mix —
+    divergence flags a non-stationary window the transition matrix
+    alone can't show. Transitions come from per-user lag pairs (the
+    a25 construction)."""
+    from ..operators.graph import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    stat = markov_stationary(pairs)
+    emp = ev.groupBy(F.col("event_type").alias("state")).agg(
+        F.count("*").alias("_c")
+    )
+    tot = emp.agg(F.sum("_c").alias("_t"))
+    emp_share = emp.crossJoin(F.broadcast(tot)).select(
+        "state",
+        F.round(
+            F.col("_c").cast("double") / F.col("_t").cast("double"), 6
+        ).alias("empirical_share"),
+    )
+    return stat.join(emp_share, "state").select(
+        "state", "stationary_share", "empirical_share",
+        F.round(
+            F.col("stationary_share") - F.col("empirical_share"), 6
+        ).alias("delta"),
+    )
+
+
+def _sql_event_stationary(n_iter: int = 4) -> str:
+    scale = 10 ** 6
+    parts = [f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+),
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+           AS prev,
+         event_type AS cur
+  FROM ev
+),
+c AS (
+  SELECT prev AS i, cur AS j, COUNT(*) AS cij
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+rowsum AS (SELECT i, SUM(cij) AS ci FROM c GROUP BY 1),
+trans AS (SELECT c.i, c.j, c.cij, r.ci FROM c JOIN rowsum r ON c.i = r.i),
+states AS (
+  SELECT DISTINCT s FROM (
+    SELECT prev AS s FROM pairs WHERE prev IS NOT NULL
+    UNION SELECT cur FROM pairs WHERE prev IS NOT NULL
+  )
+),
+ns AS (SELECT COUNT(*) AS n FROM states),
+p0 AS (
+  SELECT s, ({scale} * 2 + n) // (n * 2) AS p FROM states CROSS JOIN ns
+)"""]
+    prev = "p0"
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT s, SUM(fl) AS p FROM (
+    SELECT t.j AS s, (2 * r.p * t.cij + t.ci) // (2 * t.ci) AS fl
+    FROM trans t JOIN {prev} r ON t.i = r.s
+    UNION ALL
+    SELECT r.s, r.p FROM {prev} r
+    WHERE NOT EXISTS (SELECT 1 FROM rowsum w WHERE w.i = r.s)
+  ) GROUP BY s
+)""")
+        prev = f"p{k}"
+    parts.append(f""",
+emp AS (
+  SELECT event_type AS state, COUNT(*) AS cc FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(cc) AS t FROM emp)
+SELECT st.s AS state,
+       round(CAST(st.p AS DOUBLE) / {float(scale)}, 6) AS stationary_share,
+       round(CAST(e.cc AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS empirical_share,
+       round(round(CAST(st.p AS DOUBLE) / {float(scale)}, 6)
+             - round(CAST(e.cc AS DOUBLE) / CAST(t.t AS DOUBLE), 6), 6) AS delta
+FROM {prev} st JOIN emp e ON st.s = e.state CROSS JOIN tot t
+""")
+    return "".join(parts)
+
+
+SQL_EVENT_STATIONARY = _sql_event_stationary(4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -9629,6 +9787,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_adaptation": q_term_adaptation,
     "bigram_cond_entropy": q_bigram_cond_entropy,
     "rfm_segments": q_rfm_segments,
+    "local_clustering": q_local_clustering,
+    "event_stationary": q_event_stationary,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -9790,6 +9950,8 @@ def oracle_map() -> dict[str, str]:
         "term_adaptation": SQL_TERM_ADAPTATION,
         "bigram_cond_entropy": SQL_BIGRAM_COND_ENTROPY,
         "rfm_segments": SQL_RFM_SEGMENTS,
+        "local_clustering": SQL_LOCAL_CLUSTERING,
+        "event_stationary": SQL_EVENT_STATIONARY,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
