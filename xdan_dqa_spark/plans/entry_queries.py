@@ -9608,6 +9608,173 @@ FROM {prev} st JOIN emp e ON st.s = e.state CROSS JOIN tot t
 SQL_EVENT_STATIONARY = _sql_event_stationary(4)
 
 
+
+# ------------------------------------------------------------ round-5 batch 51
+# Session entry/exit flow, inter-arrival quantiles, and an order-status
+# consistency audit.
+
+
+def q_session_entry_exit(spark, sf_dir):
+    """Session ENTRY -> EXIT type flow census: per 30-min user session,
+    the first and last event types, folded to the bounded (entry, exit)
+    matrix — the landing/abandonment flow report behind a25's
+    step-to-step transitions. One user-key shuffle; per-session
+    endpoints via min/max over the zero-padded (tus|event_id) key (the
+    a24 argmin/argmax discipline — no window beyond the session id)."""
+    ev = _t(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    e = ev.select("user_id", "event_id", "event_type", tus.alias("tus"))
+    prev = F.lag("tus").over(w)
+    flagged = e.withColumn(
+        "_new",
+        F.when(prev.isNull() | ((F.col("tus") - prev) > 1800 * 1_000_000), 1)
+        .otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    key = F.concat(
+        F.lpad(F.col("tus").cast("string"), 20, "0"), F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    per_sess = sid.groupBy("user_id", "_sid").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+    )
+    return per_sess.groupBy("entry_type", "exit_type").agg(
+        F.count("*").alias("n_sessions")
+    )
+
+
+SQL_SESSION_ENTRY_EXIT = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sid AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS s
+  FROM flagged
+),
+keyed AS (
+  SELECT user_id, s, event_type,
+         lpad(CAST(tus AS VARCHAR), 20, '0') || '|'
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+  FROM sid
+),
+per_sess AS (
+  SELECT arg_min(event_type, k) AS entry_type,
+         arg_max(event_type, k) AS exit_type
+  FROM keyed GROUP BY user_id, s
+)
+SELECT entry_type, exit_type, COUNT(*) AS n_sessions
+FROM per_sess GROUP BY 1, 2
+"""
+
+
+def q_interarrival_quantiles(spark, sf_dir):
+    """Per-type inter-event arrival-gap quantiles (p50/p90/p99 seconds)
+    over the exact value-compressed histogram (the a6 machinery —
+    bounded aggregation state where built-in percentile buffers every
+    value) — the feed-cadence profile next to spike/CUSUM health
+    signals. Gaps are integral-second lags within each type's time
+    order."""
+    from ..operators.textstats import exact_quantiles_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    gaps = (
+        ev.select("event_type", "event_id", tus.alias("tus"))
+        .withColumn("_gap", F.col("tus") - F.lag("tus").over(w))
+        .filter(F.col("_gap").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr("_gap DIV 1000000").alias("v"),
+        )
+    )
+    out = exact_quantiles_histogram(gaps, (0.5, 0.9, 0.99))
+    return out.select(
+        F.col("g").alias("event_type"),
+        F.col("p50").alias("p50_sec"),
+        F.col("p90").alias("p90_sec"),
+        F.col("p99").alias("p99_sec"),
+    )
+
+
+SQL_INTERARRIVAL_QUANTILES = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS tus FROM events
+),
+gaps AS (
+  SELECT event_type AS g,
+         (tus - lag(tus) OVER (PARTITION BY event_type
+                               ORDER BY tus, event_id)) // 1000000 AS v
+  FROM e
+)
+SELECT g AS event_type,
+       round(quantile_cont(v, 0.5), 6) AS p50_sec,
+       round(quantile_cont(v, 0.9), 6) AS p90_sec,
+       round(quantile_cont(v, 0.99), 6) AS p99_sec
+FROM gaps WHERE v IS NOT NULL GROUP BY 1
+"""
+
+
+def q_order_status_audit(spark, sf_dir):
+    """Order-status consistency audit: per o_orderstatus, orders whose
+    lineitem statuses CONTRADICT it ('F' with any open item, 'O' with
+    every item finished) — the cross-table business-rule census
+    (fd_violations checks within one table; this checks the
+    TPC-H-semantic invariant across the join). One order-grain fold of
+    lineitem (map-side combinable), broadcast-free key join, bounded
+    final census."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count("*").alias("_n_items"),
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("_n_open"),
+    )
+    j = o.join(per_order, "o_orderkey", "left")
+    bad = (
+        ((F.col("o_orderstatus") == "F") & (F.coalesce(F.col("_n_open"), F.lit(0)) > 0))
+        | ((F.col("o_orderstatus") == "O")
+           & F.col("_n_items").isNotNull()
+           & (F.col("_n_open") == 0))
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("_n_items").isNull(), 1).otherwise(0)).alias("n_no_items"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_inconsistent"),
+    )
+
+
+SQL_ORDER_STATUS_AUDIT = """
+WITH per_order AS (
+  SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items,
+         SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus, p.n_items, p.n_open
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.o_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       SUM(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END) AS n_no_items,
+       SUM(CASE WHEN (o_orderstatus = 'F' AND coalesce(n_open, 0) > 0)
+                  OR (o_orderstatus = 'O' AND n_items IS NOT NULL
+                      AND n_open = 0)
+                THEN 1 ELSE 0 END) AS n_inconsistent
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -9789,6 +9956,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "local_clustering": q_local_clustering,
     "event_stationary": q_event_stationary,
+    "session_entry_exit": q_session_entry_exit,
+    "interarrival_quantiles": q_interarrival_quantiles,
+    "order_status_audit": q_order_status_audit,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -9952,6 +10122,9 @@ def oracle_map() -> dict[str, str]:
         "rfm_segments": SQL_RFM_SEGMENTS,
         "local_clustering": SQL_LOCAL_CLUSTERING,
         "event_stationary": SQL_EVENT_STATIONARY,
+        "session_entry_exit": SQL_SESSION_ENTRY_EXIT,
+        "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
+        "order_status_audit": SQL_ORDER_STATUS_AUDIT,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
