@@ -305,3 +305,20 @@ def test_embedding_dim_stats_exact_and_invariant(spark):
     a = sorted(map(tuple, embedding_dim_stats(emb).collect()))
     b = sorted(map(tuple, embedding_dim_stats(emb.repartition(5)).collect()))
     assert a == b
+
+
+def test_nearest_centroid_confusion_separable_clusters(spark):
+    """Two well-separated clusters classify perfectly; ties break to
+    the lower label."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from xdan_dqa_spark.operators.similarity import nearest_centroid_confusion
+
+    rows = ([(i, [10.0, 0.0, 0.0], 0) for i in range(20)]
+            + [(100 + i, [0.0, 10.0, 0.0], 1) for i in range(20)]
+            + [(200, [10.0, 0.5, 0.0], 0)])       # near cluster 0
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["true_label"], r["pred_label"]): r["n"]
+           for r in nearest_centroid_confusion(df).collect()}
+    assert got == {(0, 0): 21, (1, 1): 20}

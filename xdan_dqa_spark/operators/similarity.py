@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -447,3 +447,53 @@ def embedding_dim_stats(emb: DataFrame, by: str = "label",
         F.round(mean, 6).alias("mean_val"),
         F.round(var, 6).alias("var_val"),
     )
+
+
+def nearest_centroid_confusion(emb: DataFrame, vec_col: str = "embedding",
+                               label_col: str = "label",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid classifier confusion census: per-label centroids
+    (the embedding_dim_stats mean discipline), every vector assigned to
+    its max-dot-product centroid, folded to the (true_label,
+    pred_label, n) matrix — the cheapest possible read on whether the
+    embedding space SEPARATES the labels (a collapsed encoder shows a
+    near-uniform confusion matrix long before a trained probe could
+    tell you).
+
+    Determinism discipline: centroid components are rounded exact-
+    decimal means (bit-identical cross-engine); each (vector, centroid)
+    dot is a sum of ROUNDED per-dim terms accumulated as DECIMAL
+    (order-free — a float dot over parallel partitions is not);
+    argmax ties break label ASC via a bounded per-vector window
+    (n_labels rows). Shape: one posexplode, one bounded (label × dim)
+    centroid fold, a dim-keyed join (the vector side never
+    broadcasts), one per-(vector, label) fold, one census fold."""
+    ex = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("_true"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .alias("dim", "x"),
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(30,9)")  # noqa: E731
+    cent = ex.groupBy(F.col("_true").alias("_cl"), F.col("dim")).agg(
+        F.count("*").alias("_n"), F.sum(dec(F.col("x"))).alias("_sx")
+    ).select(
+        "_cl", "dim",
+        F.round(
+            F.col("_sx").cast("double") / F.col("_n").cast("double"), 6
+        ).alias("c"),
+    )
+    scored = (
+        ex.join(cent, "dim")
+        .groupBy(id_col, "_true", "_cl")
+        .agg(F.sum(dec(F.col("x") * F.col("c"))).alias("_dot"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.col("_dot")), F.asc("_cl")
+    )
+    best = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    return best.groupBy(
+        F.col("_true").alias("true_label"), F.col("_cl").alias("pred_label")
+    ).agg(F.count("*").alias("n"))

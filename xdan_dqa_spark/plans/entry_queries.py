@@ -9775,6 +9775,84 @@ FROM j GROUP BY 1
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 52
+# Per-source exact-dup rate and the nearest-centroid confusion matrix.
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Within-source exact-duplicate rate: per source (n_docs,
+    n_unique_texts, dup_rate) — the corpus-health headline a dedup
+    rollout leads with (which feeds are re-crawling themselves); one
+    two-level fold (md5 inside source), exact integer ratio."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h")).agg(
+        F.count("*").alias("_c")
+    )
+    return per.groupBy("source").agg(
+        F.sum("_c").alias("n_docs"),
+        F.count("*").alias("n_unique_texts"),
+    ).withColumn(
+        "dup_rate",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ),
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH per AS (
+  SELECT source, md5(coalesce(text, '')) AS h, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, SUM(c) AS n_docs, COUNT(*) AS n_unique_texts,
+       round(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS dup_rate
+FROM per GROUP BY 1
+"""
+
+
+def q_centroid_confusion(spark, sf_dir):
+    """Nearest-centroid label confusion matrix over the embeddings
+    table (operators/similarity.py:nearest_centroid_confusion) — the
+    cheapest separability read on the embedding space; rounded-decimal
+    centroid means and dot products, label-ASC argmax ties."""
+    from ..operators.similarity import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_CENTROID_CONFUSION = """
+WITH ex AS (
+  SELECT vec_id, label AS t,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT t AS cl, dim,
+         round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS c
+  FROM ex GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.vec_id, e.t, ct.cl,
+         SUM(CAST(round(e.x * ct.c, 9) AS DECIMAL(30,9))) AS dot
+  FROM ex e JOIN cent ct ON e.dim = ct.dim
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, t, cl,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cl) AS rk
+  FROM scored
+)
+SELECT t AS true_label, cl AS pred_label, COUNT(*) AS n
+FROM best WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -9959,6 +10037,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_entry_exit": q_session_entry_exit,
     "interarrival_quantiles": q_interarrival_quantiles,
     "order_status_audit": q_order_status_audit,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "centroid_confusion": q_centroid_confusion,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -10125,6 +10205,8 @@ def oracle_map() -> dict[str, str]:
         "session_entry_exit": SQL_SESSION_ENTRY_EXIT,
         "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
         "order_status_audit": SQL_ORDER_STATUS_AUDIT,
+        "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+        "centroid_confusion": SQL_CENTROID_CONFUSION,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
