@@ -479,3 +479,23 @@ def test_script_profile_fuzz_totals_bounded(spark):
             )
 
     check()
+
+
+def test_hill_tail_index_recovers_pareto_alpha(spark):
+    """A Pareto(alpha=2) sample via inverse-CDF on a deterministic grid:
+    the Hill estimate must land near 2 (the estimator is asymptotically
+    unbiased; the grid removes sampling noise)."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.textstats import hill_tail_index
+
+    # x = xmin * u^(-1/alpha) with u on a uniform grid (0,1)
+    alpha = 2.0
+    rows = [(i, int(100 * ((i + 0.5) / 5000) ** (-1.0 / alpha)))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = hill_tail_index(df, k=200).collect()[0]
+    assert 1.6 < out["alpha"] < 2.4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hill_tail_index(df, k=5)

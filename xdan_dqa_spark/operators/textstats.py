@@ -879,3 +879,48 @@ def bigram_conditional_entropy(docs: DataFrame, text_col: str = "text",
             ).alias("cond_entropy_nats"),
         )
     )
+
+
+def hill_tail_index(docs: DataFrame, value_col: str = "n_chars",
+                    k: int = 200) -> DataFrame:
+    """Hill estimator of the power-law tail index over a value column —
+    one row (k, x_ref, alpha): alpha ~ 1 means an extremely heavy tail
+    (Zipf-like doc lengths: truncation budgets bite hard), alpha > 2 a
+    tame tail — the number that decides whether max-length caps are a
+    rounding concern or a corpus-shaping decision.
+
+    alpha = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest
+    values, with x_(k+1) the reference order statistic. Determinism:
+    the top-(k+1) selection is a TakeOrdered with (value DESC, id ASC)
+    ties; the reference is the min of that bounded set (one more fold);
+    each ln term is rounded 9 dp + DECIMAL-summed; one terminal
+    division. Zero/negative values excluded (log-undefined)."""
+    if k < 10:
+        raise ValueError(f"k must be >= 10 for a stable estimate (got {k})")
+    pos = docs.select(
+        F.col("doc_id"), F.col(value_col).cast("long").alias("v")
+    ).filter(F.col("v") > 0)
+    top = pos.orderBy(F.desc("v"), F.asc("doc_id")).limit(k + 1)
+    ref = top.agg(F.min("v").alias("_xr"))
+    # exactly k terms: the k largest of the k+1 by (v desc, doc_id) —
+    # the row ranked k+1 IS the reference order statistic
+    w = Window.orderBy(F.desc("v"), F.asc("doc_id"))
+    kept = (
+        top.crossJoin(F.broadcast(ref))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    term = F.round(
+        F.log(F.col("v").cast("double") / F.col("_xr").cast("double")), 9
+    ).cast("decimal(20,9)")
+    agg = kept.agg(
+        F.max("_xr").alias("x_ref"),
+        F.sum(term).alias("_s"),
+    )
+    return agg.select(
+        F.lit(k).alias("k"),
+        "x_ref",
+        F.round(
+            F.lit(float(k)) / F.col("_s").cast("double"), 6
+        ).alias("alpha"),
+    )

@@ -9853,6 +9853,158 @@ FROM best WHERE rk = 1 GROUP BY 1, 2
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 53
+# Power-law tail index and a Simpson's-paradox reversal probe.
+
+
+def q_hill_tail(spark, sf_dir):
+    """Hill power-law tail index over doc lengths (operators/
+    textstats.py:hill_tail_index, k=200) — alpha decides whether
+    max-length truncation is a rounding concern or a corpus-shaping
+    decision; bounded top-(k+1) selection, rounded-decimal ln sums."""
+    from ..operators.textstats import hill_tail_index
+
+    return hill_tail_index(_t(spark, sf_dir, "documents"), k=200)
+
+
+SQL_HILL_TAIL = """
+WITH pos AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars > 0
+),
+top AS (SELECT doc_id, v FROM pos ORDER BY v DESC, doc_id LIMIT 201),
+ref AS (SELECT MIN(v) AS xr FROM top),
+kept AS (
+  SELECT v, xr FROM (
+    SELECT t.v, r.xr,
+           row_number() OVER (ORDER BY t.v DESC, t.doc_id) AS rk
+    FROM top t CROSS JOIN ref r
+  ) WHERE rk <= 200
+)
+SELECT 200 AS k, MAX(xr) AS x_ref,
+       round(200.0 / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE)
+                                             / CAST(xr AS DOUBLE)), 9)
+                            AS DECIMAL(20,9))) AS DOUBLE), 6) AS alpha
+FROM kept
+"""
+
+
+def q_simpson_probe(spark, sf_dir):
+    """Simpson's-paradox probe on the Gopher keep rate: source pairs
+    whose OVERALL keep-rate ordering reverses inside language strata —
+    the aggregation-reversal audit (an overall "A is cleaner than B"
+    that flips within every language is a mix artifact, not a quality
+    difference). ALL sign logic is exact integer cross-multiplication
+    (k_a·n_b vs k_b·n_a) — no float anywhere; returns (a, b,
+    overall_sign, n_langs_compared, n_reversed, full_reversal)."""
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    keep = (
+        (F.round(h["symbol_ratio"], 9) <= 0.1)
+        & (h["n_words"].cast("long") >= 5)
+        & (F.round(h["dup_line_frac"], 9) <= 0.3)
+    )
+    base = d.select("source", "lang", keep.alias("_k"))
+    per_sl = base.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_k"), 1).otherwise(0)).alias("k"),
+    )
+    per_s = base.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_k"), 1).otherwise(0)).alias("k"),
+    )
+    oa = per_s.select(F.col("source").alias("a"), F.col("n").alias("na"),
+                      F.col("k").alias("ka"))
+    ob = per_s.select(F.col("source").alias("b"), F.col("n").alias("nb"),
+                      F.col("k").alias("kb"))
+    cross = (
+        F.col("ka").cast("decimal(19,0)") * F.col("nb").cast("decimal(18,0)")
+        - F.col("kb").cast("decimal(19,0)") * F.col("na").cast("decimal(18,0)")
+    )
+    overall = oa.join(ob, F.col("a") < F.col("b")).select(
+        "a", "b", F.signum(cross.cast("double")).cast("int").alias("o_sign")
+    )
+    la = per_sl.select(F.col("source").alias("a"), "lang",
+                       F.col("n").alias("lna"), F.col("k").alias("lka"))
+    lb = per_sl.select(F.col("source").alias("b"), "lang",
+                       F.col("n").alias("lnb"), F.col("k").alias("lkb"))
+    lcross = (
+        F.col("lka").cast("decimal(19,0)") * F.col("lnb").cast("decimal(18,0)")
+        - F.col("lkb").cast("decimal(19,0)") * F.col("lna").cast("decimal(18,0)")
+    )
+    per_lang = la.join(lb, ["lang"]).filter(F.col("a") < F.col("b")).select(
+        "a", "b", "lang",
+        F.signum(lcross.cast("double")).cast("int").alias("l_sign"),
+    )
+    j = overall.join(per_lang, ["a", "b"])
+    return j.groupBy("a", "b", "o_sign").agg(
+        F.count("*").alias("n_langs_compared"),
+        F.sum(
+            F.when(F.col("l_sign") * F.col("o_sign") < 0, 1).otherwise(0)
+        ).alias("n_reversed"),
+    ).withColumn(
+        "full_reversal",
+        (F.col("n_reversed") == F.col("n_langs_compared"))
+        & (F.col("o_sign") != 0),
+    ).select("a", "b", F.col("o_sign").alias("overall_sign"),
+             "n_langs_compared", "n_reversed", "full_reversal")
+
+
+SQL_SIMPSON_PROBE = f"""
+WITH base AS (
+  SELECT source, lang, coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws
+  FROM documents
+),
+ln_t AS (
+  SELECT source, lang, t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+),
+g AS (
+  SELECT source, lang,
+         CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+                    ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                              AS DOUBLE) / len(ws) END) <= 0.1
+               AND len(ws) >= 5
+               AND (CASE WHEN len(lines) <= 1 THEN 0.0
+                    ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines) END) <= 0.3
+              THEN 1 ELSE 0 END AS kp
+  FROM ln_t
+),
+per_sl AS (
+  SELECT source, lang, COUNT(*) AS n, SUM(kp) AS k FROM g GROUP BY 1, 2
+),
+per_s AS (SELECT source, COUNT(*) AS n, SUM(kp) AS k FROM g GROUP BY 1),
+overall AS (
+  SELECT pa.source AS a, pb.source AS b,
+         CAST(sign(CAST(CAST(pa.k AS DECIMAL(19,0)) * CAST(pb.n AS DECIMAL(18,0))
+                   - CAST(pb.k AS DECIMAL(19,0)) * CAST(pa.n AS DECIMAL(18,0))
+                   AS DOUBLE)) AS INT) AS o_sign
+  FROM per_s pa JOIN per_s pb ON pa.source < pb.source
+),
+per_lang AS (
+  SELECT la.source AS a, lb.source AS b, la.lang,
+         CAST(sign(CAST(CAST(la.k AS DECIMAL(19,0)) * CAST(lb.n AS DECIMAL(18,0))
+                   - CAST(lb.k AS DECIMAL(19,0)) * CAST(la.n AS DECIMAL(18,0))
+                   AS DOUBLE)) AS INT) AS l_sign
+  FROM per_sl la JOIN per_sl lb
+  ON la.lang = lb.lang AND la.source < lb.source
+)
+SELECT o.a, o.b, o.o_sign AS overall_sign,
+       COUNT(*) AS n_langs_compared,
+       SUM(CASE WHEN p.l_sign * o.o_sign < 0 THEN 1 ELSE 0 END) AS n_reversed,
+       SUM(CASE WHEN p.l_sign * o.o_sign < 0 THEN 1 ELSE 0 END) = COUNT(*)
+         AND o.o_sign <> 0 AS full_reversal
+FROM overall o JOIN per_lang p ON o.a = p.a AND o.b = p.b
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -10039,6 +10191,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_status_audit": q_order_status_audit,
     "dup_rate_by_source": q_dup_rate_by_source,
     "centroid_confusion": q_centroid_confusion,
+    "hill_tail": q_hill_tail,
+    "simpson_probe": q_simpson_probe,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -10207,6 +10361,8 @@ def oracle_map() -> dict[str, str]:
         "order_status_audit": SQL_ORDER_STATUS_AUDIT,
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "centroid_confusion": SQL_CENTROID_CONFUSION,
+        "hill_tail": SQL_HILL_TAIL,
+        "simpson_probe": SQL_SIMPSON_PROBE,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
