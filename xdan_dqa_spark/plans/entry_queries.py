@@ -10005,6 +10005,186 @@ GROUP BY 1, 2, 3
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 54
+# Recency-decayed trending terms, naive-seasonal forecast error (MASE),
+# and the vocabulary growth curve.
+
+
+def q_trending_terms(spark, sf_dir):
+    """Top-10 TRENDING terms by exponentially decayed daily counts
+    (lambda = 0.8 per day of age) next to the raw count rank — the
+    recency-weighted heavy-hitter ranking ("what is rising NOW") that
+    a plain frequency table hides. Documents get deterministic
+    synthetic days (doc_id mod 28 — the same fixture discipline as
+    scd2/url queries) since the table has no timestamp column; on real
+    crawl data the crawl day replaces it.
+
+    Determinism: decayed weight per (term, age) is count x lambda^age
+    with an INTEGER exponent (pow on integer exponents is correctly
+    rounded and engine-identical), rounded 9 dp and DECIMAL-summed;
+    selection orders by the rounded score with a term tie-break."""
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    day = (F.col("doc_id") % 28).alias("day")          # 0 = oldest
+    age = (F.lit(27) - (F.col("doc_id") % 28)).alias("age")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+    ex = d.select(age, F.explode(words).alias("term"))
+    per = ex.groupBy("term", "age").agg(F.count("*").alias("c"))
+    wgt = F.round(
+        F.col("c").cast("double") * F.pow(F.lit(0.8), F.col("age")), 9
+    ).cast("decimal(24,9)")
+    scored = per.groupBy("term").agg(
+        F.sum("c").alias("raw_cnt"),
+        F.sum(wgt).alias("_dec"),
+    ).select(
+        "term", "raw_cnt",
+        F.round(F.col("_dec").cast("double"), 6).alias("decayed_score"),
+    )
+    w = Window.orderBy(F.desc("decayed_score"), F.asc("term"))
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= 10
+    ).select("term", "raw_cnt", "decayed_score")
+
+
+SQL_TRENDING_TERMS = f"""
+WITH ex AS (
+  SELECT 27 - (doc_id % 28) AS age, unnest({_WORDS_WS_SQL}) AS term
+  FROM documents
+),
+per AS (SELECT term, age, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+scored AS (
+  SELECT term, SUM(c) AS raw_cnt,
+         round(CAST(SUM(CAST(round(CAST(c AS DOUBLE) * power(0.8, age), 9)
+                        AS DECIMAL(24,9))) AS DOUBLE), 6) AS decayed_score
+  FROM per GROUP BY 1
+)
+SELECT term, raw_cnt, decayed_score FROM (
+  SELECT *, row_number() OVER (ORDER BY decayed_score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+def q_mase_forecast(spark, sf_dir):
+    """Per-type MASE of the seasonal-naive lag-7 forecast on daily
+    volumes: MAE(lag-7 forecast) / MAE(lag-1 naive) — the standard
+    scale-free forecastability score (MASE < 1: weekly seasonality
+    beats the random walk — the series is schedulable). Absolute
+    errors are exact integers summed as DECIMAL; one terminal
+    division; both MAEs share the day table."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").cast("long")
+    daily = ev.groupBy(F.col("event_type").alias("grp"), day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("grp").orderBy("day")
+    staged = daily.select(
+        "grp", "day", "c",
+        F.lag("c", 7).over(w).alias("_l7"),
+        F.lag("c", 1).over(w).alias("_l1"),
+    )
+    agg = staged.groupBy("grp").agg(
+        F.sum(
+            F.when(F.col("_l7").isNotNull(),
+                   F.abs(F.col("c") - F.col("_l7")).cast("decimal(38,0)"))
+        ).alias("_e7"),
+        F.sum(F.when(F.col("_l7").isNotNull(), 1).otherwise(0)).alias("_n7"),
+        F.sum(
+            F.when(F.col("_l1").isNotNull(),
+                   F.abs(F.col("c") - F.col("_l1")).cast("decimal(38,0)"))
+        ).alias("_e1"),
+        F.sum(F.when(F.col("_l1").isNotNull(), 1).otherwise(0)).alias("_n1"),
+    )
+    mase = (
+        (F.col("_e7").cast("double") / F.col("_n7").cast("double"))
+        / (F.col("_e1").cast("double") / F.col("_n1").cast("double"))
+    )
+    return agg.filter((F.col("_n7") > 0) & (F.col("_e1") > 0)).select(
+        F.col("grp").alias("event_type"),
+        F.col("_n7").alias("n_forecast_days"),
+        F.round(mase, 6).alias("mase"),
+    )
+
+
+SQL_MASE_FORECAST = """
+WITH daily AS (
+  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT grp, day, c,
+         lag(c, 7) OVER (PARTITION BY grp ORDER BY day) AS l7,
+         lag(c, 1) OVER (PARTITION BY grp ORDER BY day) AS l1
+  FROM daily
+),
+agg AS (
+  SELECT grp,
+         SUM(CASE WHEN l7 IS NOT NULL
+                  THEN CAST(abs(c - l7) AS DECIMAL(38,0)) END) AS e7,
+         SUM(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) AS n7,
+         SUM(CASE WHEN l1 IS NOT NULL
+                  THEN CAST(abs(c - l1) AS DECIMAL(38,0)) END) AS e1,
+         SUM(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS n1
+  FROM staged GROUP BY 1
+)
+SELECT grp AS event_type, n7 AS n_forecast_days,
+       round((CAST(e7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+             / (CAST(e1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS mase
+FROM agg WHERE n7 > 0 AND e1 > 0
+"""
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary GROWTH curve over synthetic crawl days (doc_id mod
+    28, the trending_terms fixture): per day, terms whose FIRST corpus
+    occurrence falls on that day plus the cumulative vocabulary — the
+    Heaps-law-over-time read ("is this feed still teaching the
+    tokenizer new words, or saturated?"). First occurrence is a min()
+    fold (map-side combinable), the cumulative ride is a window over
+    the bounded day axis.
+
+    On THIS synthetic corpus the curve collapses to ~2 rows: the
+    template vocabulary is fully shared, so day 0 captures nearly all
+    first occurrences — which is precisely the "saturated feed"
+    verdict the query exists to deliver (a healthy crawl shows a long
+    Heaps tail instead)."""
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    day = (F.col("doc_id") % 28).alias("day")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda w: F.length(w) > 0)
+    ex = d.select(day, F.explode(words).alias("term"))
+    firsts = ex.groupBy("term").agg(F.min("day").alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new_terms")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "n_new_terms",
+        F.sum("n_new_terms").over(w).alias("cum_vocab"),
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH ex AS (
+  SELECT doc_id % 28 AS day, unnest({_WORDS_WS_SQL}) AS term FROM documents
+),
+firsts AS (SELECT term, MIN(day) AS first_day FROM ex GROUP BY 1),
+per_day AS (
+  SELECT first_day AS day, COUNT(*) AS n_new_terms FROM firsts GROUP BY 1
+)
+SELECT day, n_new_terms,
+       SUM(n_new_terms) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_vocab
+FROM per_day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -10193,6 +10373,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centroid_confusion": q_centroid_confusion,
     "hill_tail": q_hill_tail,
     "simpson_probe": q_simpson_probe,
+    "trending_terms": q_trending_terms,
+    "mase_forecast": q_mase_forecast,
+    "vocab_growth": q_vocab_growth,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -10363,6 +10546,9 @@ def oracle_map() -> dict[str, str]:
         "centroid_confusion": SQL_CENTROID_CONFUSION,
         "hill_tail": SQL_HILL_TAIL,
         "simpson_probe": SQL_SIMPSON_PROBE,
+        "trending_terms": SQL_TRENDING_TERMS,
+        "mase_forecast": SQL_MASE_FORECAST,
+        "vocab_growth": SQL_VOCAB_GROWTH,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
