@@ -10185,6 +10185,176 @@ FROM per_day
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 55
+# Mix-vs-rate decomposition and SCD2 page-churn census.
+
+
+def q_mix_rate_decomposition(spark, sf_dir):
+    """Mix-vs-rate decomposition of the Gopher keep-rate gap between
+    even and odd doc-id halves, decomposed over language strata
+    (the Oaxaca/Kitagawa decomposition analytics teams reach for when
+    "the metric moved" — did per-stratum RATES change, or did the MIX
+    shift toward worse strata?):
+    overall_gap = Σ_l share_A(l)·(rate_A(l) − rate_B(l))   [rate effect]
+               + Σ_l (share_A(l) − share_B(l))·rate_B(l)   [mix effect]
+    — an exact identity, so the emitted residual MUST be 0 up to the
+    terminal rounding (self-checking output). Every share/rate is an
+    exact-integer ratio; each stratum term is ONE fixed IEEE sequence
+    rounded 9 dp and DECIMAL-summed."""
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    keep = (
+        (F.round(h["symbol_ratio"], 9) <= 0.1)
+        & (h["n_words"].cast("long") >= 5)
+        & (F.round(h["dup_line_frac"], 9) <= 0.3)
+    )
+    base = d.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("_A"),
+        keep.alias("_k"),
+    )
+    cell = base.groupBy("lang").agg(
+        F.sum(F.when(F.col("_A"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("_A") & F.col("_k"), 1).otherwise(0)).alias("ka"),
+        F.sum(F.when(~F.col("_A"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(~F.col("_A") & F.col("_k"), 1).otherwise(0)).alias("kb"),
+    )
+    tot = cell.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"),
+        F.sum("ka").alias("kta"), F.sum("kb").alias("ktb"),
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    sha = F.col("na").cast("double") / F.col("ta").cast("double")
+    shb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    ra = F.col("ka").cast("double") / F.col("na").cast("double")
+    rb = F.col("kb").cast("double") / F.col("nb").cast("double")
+    rate_term = F.round(sha * (ra - rb), 9).cast("decimal(20,9)")
+    mix_term = F.round((sha - shb) * rb, 9).cast("decimal(20,9)")
+    agg = j.agg(
+        F.sum(rate_term).alias("_re"),
+        F.sum(mix_term).alias("_me"),
+        F.max(
+            F.col("kta").cast("double") / F.col("ta").cast("double")
+            - F.col("ktb").cast("double") / F.col("tb").cast("double")
+        ).alias("_gap"),
+    )
+    return agg.select(
+        F.round(F.col("_gap"), 6).alias("overall_gap"),
+        F.round(F.col("_re").cast("double"), 6).alias("rate_effect"),
+        F.round(F.col("_me").cast("double"), 6).alias("mix_effect"),
+        F.round(
+            F.col("_gap")
+            - (F.col("_re").cast("double") + F.col("_me").cast("double")),
+            6,
+        ).alias("residual"),
+    )
+
+
+SQL_MIX_RATE_DECOMPOSITION = f"""
+WITH base AS (
+  SELECT lang, doc_id % 2 = 0 AS a_side, coalesce(text, '') AS t,
+         {_WORDS_WS_SQL} AS ws
+  FROM documents
+),
+ln_t AS (
+  SELECT lang, a_side, t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+),
+g AS (
+  SELECT lang, a_side,
+         CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+                    ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                              AS DOUBLE) / len(ws) END) <= 0.1
+               AND len(ws) >= 5
+               AND (CASE WHEN len(lines) <= 1 THEN 0.0
+                    ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines) END) <= 0.3
+              THEN 1 ELSE 0 END AS kp
+  FROM ln_t
+),
+cell AS (
+  SELECT lang,
+         SUM(CASE WHEN a_side THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN a_side THEN kp ELSE 0 END) AS ka,
+         SUM(CASE WHEN a_side THEN 0 ELSE 1 END) AS nb,
+         SUM(CASE WHEN a_side THEN 0 ELSE kp END) AS kb
+  FROM g GROUP BY 1
+),
+tot AS (
+  SELECT SUM(na) AS ta, SUM(nb) AS tb, SUM(ka) AS kta, SUM(kb) AS ktb
+  FROM cell
+),
+terms AS (
+  SELECT
+    CAST(round((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+               * (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)
+         AS DECIMAL(20,9)) AS rt,
+    CAST(round((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+                - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+               * (CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)
+         AS DECIMAL(20,9)) AS mt,
+    CAST(kta AS DOUBLE) / CAST(ta AS DOUBLE)
+      - CAST(ktb AS DOUBLE) / CAST(tb AS DOUBLE) AS gap
+  FROM cell CROSS JOIN tot
+)
+SELECT round(MAX(gap), 6) AS overall_gap,
+       round(CAST(SUM(rt) AS DOUBLE), 6) AS rate_effect,
+       round(CAST(SUM(mt) AS DOUBLE), 6) AS mix_effect,
+       round(MAX(gap) - (CAST(SUM(rt) AS DOUBLE) + CAST(SUM(mt) AS DOUBLE)), 6)
+         AS residual
+FROM terms
+"""
+
+
+def q_page_churn_census(spark, sf_dir):
+    """SCD2 page-churn census: how many pages carry 1, 2, 3, ... content
+    versions over their crawl history (the scd2_pages interval table
+    folded to the version-count histogram) — the recrawl-budget signal:
+    a feed where most pages hold one version forever is over-crawled."""
+    from ..operators.curation import scd2_intervals
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(F.lit("p"), (F.col("doc_id") % 50).cast("string"))
+    ts = F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 37)
+    ver = F.expr("(doc_id DIV 150) % 3").cast("string")
+    crawls = docs.select(
+        page.alias("page"), ts.alias("crawl_ts"),
+        F.md5(F.concat(page, F.lit(":"), ver)).alias("content_hash"),
+    )
+    iv = scd2_intervals(crawls, "page", "crawl_ts", "content_hash")
+    per_page = iv.groupBy("page").agg(F.count("*").alias("n_versions"))
+    return per_page.groupBy("n_versions").agg(F.count("*").alias("n_pages"))
+
+
+SQL_PAGE_CHURN_CENSUS = """
+WITH crawls AS (
+  SELECT 'p' || CAST(doc_id % 50 AS VARCHAR) AS page,
+         to_timestamp(1700000000 + doc_id * 37) AS crawl_ts,
+         md5('p' || CAST(doc_id % 50 AS VARCHAR) || ':'
+             || CAST((doc_id // 150) % 3 AS VARCHAR)) AS content_hash
+  FROM documents
+),
+flagged AS (
+  SELECT page, content_hash,
+         lag(content_hash) OVER (PARTITION BY page
+                                 ORDER BY crawl_ts, content_hash) AS prev
+  FROM crawls
+),
+chg AS (
+  SELECT page FROM flagged WHERE prev IS NULL OR prev <> content_hash
+),
+per_page AS (SELECT page, COUNT(*) AS n_versions FROM chg GROUP BY 1)
+SELECT n_versions, COUNT(*) AS n_pages FROM per_page GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -10376,6 +10546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trending_terms": q_trending_terms,
     "mase_forecast": q_mase_forecast,
     "vocab_growth": q_vocab_growth,
+    "mix_rate_decomposition": q_mix_rate_decomposition,
+    "page_churn_census": q_page_churn_census,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -10549,6 +10721,8 @@ def oracle_map() -> dict[str, str]:
         "trending_terms": SQL_TRENDING_TERMS,
         "mase_forecast": SQL_MASE_FORECAST,
         "vocab_growth": SQL_VOCAB_GROWTH,
+        "mix_rate_decomposition": SQL_MIX_RATE_DECOMPOSITION,
+        "page_churn_census": SQL_PAGE_CHURN_CENSUS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
