@@ -10355,6 +10355,142 @@ SELECT n_versions, COUNT(*) AS n_pages FROM per_page GROUP BY 1
 """
 
 
+
+# ------------------------------------------------------------ round-5 batch 56
+# Shuffle-skew audit and per-quantile drift table.
+
+
+def q_skew_audit(spark, sf_dir):
+    """Pre-shuffle SKEW AUDIT for a join key: simulate the P=32
+    partition assignment with an md5-derived bucket (Spark's internal
+    hash is not engine-portable; md5 is) over lineitem.l_orderkey and
+    report the partition-occupancy distribution — (n_partitions,
+    max_rows, min_rows, median_rows, skew_ratio) — the number a plan
+    review reads BEFORE a 100 TB shuffle ships: a skew_ratio near 1
+    means AQE has nothing to fix; >>1 names the hot key problem.
+    All-integer occupancy; the median comes from the bounded 32-row
+    occupancy table."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(32),
+    )
+    occ = li.groupBy(bucket.alias("p")).agg(F.count("*").alias("rows"))
+    w = Window.orderBy("rows", "p")
+    ranked = occ.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(F.lit(1)))
+    )
+    med = ranked.filter(
+        (F.col("_rk") == F.expr("(_n + 1) DIV 2"))
+    ).select(F.col("rows").alias("median_rows"))
+    agg = occ.agg(
+        F.count("*").alias("n_partitions"),
+        F.max("rows").alias("max_rows"),
+        F.min("rows").alias("min_rows"),
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        "n_partitions", "max_rows", "min_rows", "median_rows",
+        F.round(
+            F.col("max_rows").cast("double") / F.col("median_rows").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+SQL_SKEW_AUDIT = """
+WITH occ AS (
+  SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+         % 32 AS p,
+         COUNT(*) AS rows_n
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT rows_n, row_number() OVER (ORDER BY rows_n, p) AS rk,
+         COUNT(*) OVER () AS n
+  FROM occ
+),
+med AS (SELECT rows_n AS median_rows FROM ranked WHERE rk = (n + 1) // 2)
+SELECT (SELECT COUNT(*) FROM occ) AS n_partitions,
+       (SELECT MAX(rows_n) FROM occ) AS max_rows,
+       (SELECT MIN(rows_n) FROM occ) AS min_rows,
+       median_rows,
+       round(CAST((SELECT MAX(rows_n) FROM occ) AS DOUBLE)
+             / CAST(median_rows AS DOUBLE), 6) AS skew_ratio
+FROM med
+"""
+
+
+def q_qq_shift(spark, sf_dir):
+    """Per-quantile drift table: p10..p90 of events.value in the first
+    vs second half of the month, with deltas — the readable
+    complement to KS (max deviation) and EMD (mass distance): WHICH
+    quantiles moved, and by how much. Exact type-7 quantiles over the
+    value-compressed histogram on both sides (values pre-rounded to
+    2 dp so the histogram key set stays bounded)."""
+    from ..operators.textstats import exact_quantiles_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    first = F.unix_micros(F.col("ts").cast("timestamp")) < 1705363200000000
+    # centi-units via an explicit round BEFORE the integer cast: a bare
+    # double->long cast TRUNCATES in Spark but ROUNDS in DuckDB
+    gv = ev.select(
+        F.when(first, F.lit("h1")).otherwise(F.lit("h2")).alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    out = exact_quantiles_histogram(gv, qs)
+    h1 = out.filter(F.col("g") == "h1").drop("g")
+    h2 = out.filter(F.col("g") == "h2").drop("g")
+    cols = [f"p{int(p * 100)}" for p in qs]
+    rows = []
+    for c in cols:
+        rows.append(
+            h1.select(
+                F.lit(c).alias("quantile"),
+                (F.col(c) / 100.0).alias("h1_value"),
+            ).crossJoin(
+                h2.select((F.col(c) / 100.0).alias("h2_value"))
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res.select(
+        "quantile",
+        F.round("h1_value", 6).alias("h1_value"),
+        F.round("h2_value", 6).alias("h2_value"),
+        F.round(F.col("h2_value") - F.col("h1_value"), 6).alias("delta"),
+    )
+
+
+def _sql_qq_shift() -> str:
+    qs = [(10, 0.1), (25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9)]
+    parts = []
+    for tag, p in qs:
+        parts.append(f"""
+SELECT 'p{tag}' AS quantile,
+       round(h1 / 100.0, 6) AS h1_value,
+       round(h2 / 100.0, 6) AS h2_value,
+       round(h2 / 100.0 - h1 / 100.0, 6) AS delta
+FROM (
+  SELECT (SELECT quantile_cont(v, {p}) FROM vals WHERE g = 'h1') AS h1,
+         (SELECT quantile_cont(v, {p}) FROM vals WHERE g = 'h2') AS h2
+)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH vals AS (
+  SELECT CASE WHEN epoch_us(ts) < 1705363200000000 THEN 'h1' ELSE 'h2' END AS g,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+)
+{body}
+"""
+
+
+SQL_QQ_SHIFT = _sql_qq_shift()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -10548,6 +10684,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_growth": q_vocab_growth,
     "mix_rate_decomposition": q_mix_rate_decomposition,
     "page_churn_census": q_page_churn_census,
+    "skew_audit": q_skew_audit,
+    "qq_shift": q_qq_shift,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -10723,6 +10861,8 @@ def oracle_map() -> dict[str, str]:
         "vocab_growth": SQL_VOCAB_GROWTH,
         "mix_rate_decomposition": SQL_MIX_RATE_DECOMPOSITION,
         "page_churn_census": SQL_PAGE_CHURN_CENSUS,
+        "skew_audit": SQL_SKEW_AUDIT,
+        "qq_shift": SQL_QQ_SHIFT,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
