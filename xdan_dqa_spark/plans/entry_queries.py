@@ -10491,6 +10491,225 @@ WITH vals AS (
 SQL_QQ_SHIFT = _sql_qq_shift()
 
 
+
+# ------------------------------------------------------------ round-5 batch 57
+# Consistent-hash ring assignment and discriminative keep/drop
+# vocabulary.
+
+
+def q_consistent_hash(spark, sf_dir):
+    """Consistent-hashing ring vs naive mod-N, measured: assign every
+    customer key to 8 shards both ways, then grow to 9 shards and
+    count how many keys MOVE — the ring's whole point (≈1/(N+1) of
+    keys move vs ≈N/(N+1) under mod). Returns one row per scheme:
+    (scheme, n_keys, n_moved, moved_frac).
+
+    Ring construction, fully relational: each shard owns 16 md5-derived
+    virtual points; a key maps to the nearest point CLOCKWISE (the
+    smallest vnode position >= key position, wrapping to the global
+    minimum) — the wrap and the argmin are min() folds over the
+    BROADCAST vnode table (shards x 16 rows), never a sort of the key
+    space. Everything is exact 60-bit integer arithmetic."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    keys = cust.select("k", h(F.concat(F.lit("key:"), F.col("k"))).alias("kp"))
+
+    def ring_assign(n_shards):
+        spark_ = cust.sparkSession
+        vn = spark_.range(n_shards).select(F.col("id").alias("shard")).crossJoin(
+            spark_.range(16).select(F.col("id").alias("v"))
+        ).select(
+            "shard",
+            h(F.concat(F.lit("vn:"), F.col("shard").cast("string"),
+                       F.lit(":"), F.col("v").cast("string"))).alias("vp"),
+        )
+        # nearest clockwise vnode: min vp >= kp, else global min (wrap)
+        j = keys.crossJoin(F.broadcast(vn))
+        cand = j.groupBy("k", "kp").agg(
+            F.min(F.when(F.col("vp") >= F.col("kp"),
+                         F.struct("vp", "shard"))).alias("_ge"),
+            F.min(F.struct("vp", "shard")).alias("_wrap"),
+        )
+        return cand.select(
+            "k",
+            F.coalesce(F.col("_ge.shard"), F.col("_wrap.shard")).alias("shard"),
+        )
+
+    r8 = ring_assign(8).withColumnRenamed("shard", "s8")
+    r9 = ring_assign(9).withColumnRenamed("shard", "s9")
+    ring_moved = r8.join(r9, "k").agg(
+        F.lit("ring").alias("scheme"),
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0)).alias("n_moved"),
+    )
+    mod_moved = keys.agg(
+        F.lit("mod").alias("scheme"),
+        F.count("*").alias("n_keys"),
+        F.sum(
+            F.when(F.pmod(F.col("kp"), F.lit(8)) != F.pmod(F.col("kp"), F.lit(9)),
+                   1).otherwise(0)
+        ).alias("n_moved"),
+    )
+    return ring_moved.unionByName(mod_moved).select(
+        "scheme", "n_keys", "n_moved",
+        F.round(
+            F.col("n_moved").cast("double") / F.col("n_keys").cast("double"), 6
+        ).alias("moved_frac"),
+    )
+
+
+def _sql_ring(n_shards: int) -> str:
+    return f"""
+  SELECT k.k, coalesce(
+           (SELECT min(struct_pack(vp := v.vp, shard := v.shard))
+            FROM vn{n_shards} v WHERE v.vp >= k.kp).shard,
+           (SELECT min(struct_pack(vp := v.vp, shard := v.shard))
+            FROM vn{n_shards} v).shard) AS shard
+  FROM keys k"""
+
+
+SQL_CONSISTENT_HASH = f"""
+WITH keys AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k,
+         CAST('0x' || substr(md5('key:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS kp
+  FROM customer
+),
+vn8 AS (
+  SELECT s.shard, v.v,
+         CAST('0x' || substr(md5('vn:' || CAST(s.shard AS VARCHAR) || ':'
+                                 || CAST(v.v AS VARCHAR)), 1, 15) AS BIGINT) AS vp
+  FROM (SELECT unnest(generate_series(0, 7)) AS shard) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS v) v
+),
+vn9 AS (
+  SELECT s.shard, v.v,
+         CAST('0x' || substr(md5('vn:' || CAST(s.shard AS VARCHAR) || ':'
+                                 || CAST(v.v AS VARCHAR)), 1, 15) AS BIGINT) AS vp
+  FROM (SELECT unnest(generate_series(0, 8)) AS shard) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS v) v
+),
+r8 AS ({_sql_ring(8)}),
+r9 AS ({_sql_ring(9)}),
+ring AS (
+  SELECT 'ring' AS scheme, COUNT(*) AS n_keys,
+         SUM(CASE WHEN r8.shard <> r9.shard THEN 1 ELSE 0 END) AS n_moved
+  FROM r8 JOIN r9 ON r8.k = r9.k
+),
+modm AS (
+  SELECT 'mod' AS scheme, COUNT(*) AS n_keys,
+         SUM(CASE WHEN kp % 8 <> kp % 9 THEN 1 ELSE 0 END) AS n_moved
+  FROM keys
+)
+SELECT scheme, n_keys, n_moved,
+       round(CAST(n_moved AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS moved_frac
+FROM (SELECT * FROM ring UNION ALL SELECT * FROM modm)
+"""
+
+
+def q_keep_discriminative_terms(spark, sf_dir):
+    """Discriminative keep/drop vocabulary: the 10 terms most
+    associated with KEPT docs and the 10 most associated with DROPPED
+    docs under the Gopher rule, by smoothed log-odds ratio
+    ln((k_t+1)/(K+V) ÷ (d_t+1)/(D+V)) — "what vocabulary predicts the
+    filter's decision", the feature-importance readout a filter
+    rollout publishes next to its keep rate. Counts exact integers;
+    one fixed IEEE sequence per term rounded 6 dp; selection by the
+    rounded score with term tie-break."""
+    from ..functions.heuristics import heuristic_columns, words_col
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    keep = (
+        (F.round(h["symbol_ratio"], 9) <= 0.1)
+        & (h["n_words"].cast("long") >= 5)
+        & (F.round(h["dup_line_frac"], 9) <= 0.3)
+    )
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda x: F.length(x) > 0)
+    ex = d.select(keep.alias("_k"), F.explode(words).alias("term"))
+    per = ex.groupBy("term").agg(
+        F.sum(F.when(F.col("_k"), 1).otherwise(0)).alias("kt"),
+        F.sum(F.when(~F.col("_k"), 1).otherwise(0)).alias("dt"),
+    )
+    tot = per.agg(
+        F.sum("kt").alias("K"), F.sum("dt").alias("D"),
+        F.count("*").alias("V"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    score = F.round(
+        F.log(
+            ((F.col("kt") + 1).cast("double")
+             / (F.col("K") + F.col("V")).cast("double"))
+            / ((F.col("dt") + 1).cast("double")
+               / (F.col("D") + F.col("V")).cast("double"))
+        ),
+        6,
+    )
+    scored = j.select("term", "kt", "dt", score.alias("log_odds"))
+    wk = Window.orderBy(F.desc("log_odds"), F.asc("term"))
+    wd = Window.orderBy(F.asc("log_odds"), F.asc("term"))
+    top_k = scored.withColumn("_rk", F.row_number().over(wk)).filter(
+        F.col("_rk") <= 10
+    ).withColumn("which_end", F.lit("keep_associated")).drop("_rk")
+    top_d = scored.withColumn("_rk", F.row_number().over(wd)).filter(
+        F.col("_rk") <= 10
+    ).withColumn("which_end", F.lit("drop_associated")).drop("_rk")
+    return top_k.unionByName(top_d)
+
+
+SQL_KEEP_DISCRIMINATIVE_TERMS = f"""
+WITH base AS (
+  SELECT coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws FROM documents
+),
+ln_t AS (
+  SELECT t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+),
+g AS (
+  SELECT ws,
+         (CASE WHEN len(ws) = 0 THEN 0.0
+               ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                         AS DOUBLE) / len(ws) END) <= 0.1
+         AND len(ws) >= 5
+         AND (CASE WHEN len(lines) <= 1 THEN 0.0
+              ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / len(lines) END) <= 0.3 AS kp
+  FROM ln_t
+),
+ex AS (SELECT kp, unnest(ws) AS term FROM g),
+per AS (
+  SELECT term,
+         SUM(CASE WHEN kp THEN 1 ELSE 0 END) AS kt,
+         SUM(CASE WHEN kp THEN 0 ELSE 1 END) AS dt
+  FROM ex GROUP BY 1
+),
+tot AS (SELECT SUM(kt) AS kk, SUM(dt) AS dd, COUNT(*) AS vv FROM per),
+scored AS (
+  SELECT term, kt, dt,
+         round(ln((CAST(kt + 1 AS DOUBLE) / CAST(kk + vv AS DOUBLE))
+                  / (CAST(dt + 1 AS DOUBLE) / CAST(dd + vv AS DOUBLE))), 6)
+           AS log_odds
+  FROM per CROSS JOIN tot
+),
+top_k AS (
+  SELECT term, kt, dt, log_odds, 'keep_associated' AS which_end
+  FROM scored ORDER BY log_odds DESC, term LIMIT 10
+),
+top_d AS (
+  SELECT term, kt, dt, log_odds, 'drop_associated' AS which_end
+  FROM scored ORDER BY log_odds ASC, term LIMIT 10
+)
+SELECT * FROM top_k UNION ALL SELECT * FROM top_d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -10686,6 +10905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_churn_census": q_page_churn_census,
     "skew_audit": q_skew_audit,
     "qq_shift": q_qq_shift,
+    "consistent_hash": q_consistent_hash,
+    "keep_discriminative_terms": q_keep_discriminative_terms,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -10863,6 +11084,8 @@ def oracle_map() -> dict[str, str]:
         "page_churn_census": SQL_PAGE_CHURN_CENSUS,
         "skew_audit": SQL_SKEW_AUDIT,
         "qq_shift": SQL_QQ_SHIFT,
+        "consistent_hash": SQL_CONSISTENT_HASH,
+        "keep_discriminative_terms": SQL_KEEP_DISCRIMINATIVE_TERMS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
