@@ -871,3 +871,53 @@ def test_rfm_segments_census_is_bounded_and_complete(spark):
     assert sum(r["n_users"] for r in out) == 50
     for r in out:
         assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+
+
+# ---- cross-cutting: repartition invariance of round-5 operators ----
+
+
+def test_round5_operators_repartition_invariant(spark):
+    """The determinism contract behind every oracle pairing: rounded-
+    decimal sums, integer fixed-point, and struct-max argmins must give
+    BIT-IDENTICAL results at any parallelism. One fixture, several
+    operators, 1 vs 13 partitions."""
+    import datetime as dt
+
+    from xdan_dqa_spark.operators.curation import (
+        emd_length_drift,
+        gini_concentration,
+        psi_drift,
+    )
+    from xdan_dqa_spark.operators.metrics import mutual_information
+    from xdan_dqa_spark.operators.sketches import (
+        cms_heavy_hitters,
+        hll_estimate,
+        log_histogram_quantiles,
+    )
+
+    rows = []
+    for i in range(2000):
+        rows.append((i, f"s{i % 7}", "en" if i % 3 else "fr",
+                     100 + (i * 37) % 900, float(i % 250), i % 2 == 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, "
+              "value double, ref boolean")
+    variants = [df.coalesce(1), df.repartition(13)]
+
+    def run(d):
+        return (
+            tuple(map(tuple, gini_concentration(d, "source").collect())),
+            tuple(sorted(map(tuple, emd_length_drift(d, "n_chars", "source",
+                                                     100).collect()))),
+            tuple(map(tuple, psi_drift(d, "value", F.col("ref")).collect())),
+            tuple(map(tuple, mutual_information(d, "lang", "source").collect())),
+            tuple(map(tuple, hll_estimate(d.select(
+                F.col("doc_id").cast("string").alias("v")), "v").collect())),
+            tuple(sorted(map(tuple, cms_heavy_hitters(d.select(
+                F.col("source").alias("v")), "v", top_k=5).collect()))),
+            tuple(sorted(map(tuple, log_histogram_quantiles(
+                d, "n_chars").collect()))),
+        )
+
+    a, b = run(variants[0]), run(variants[1])
+    assert a == b
