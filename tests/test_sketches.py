@@ -921,3 +921,49 @@ def test_round5_operators_repartition_invariant(spark):
 
     a, b = run(variants[0]), run(variants[1])
     assert a == b
+
+
+# ---------------------------------------------------------------- theta
+
+def test_theta_intersection_is_sample_of_intersection(spark, keys10k):
+    """The theta sketch's defining set identity: because both sides keep
+    exactly the values hashing below the SAME fixed threshold,
+    sample(A) ∩ sample(B) == sample(A ∩ B) — verified as literal set
+    equality, not an estimate tolerance."""
+    from xdan_dqa_spark.operators.sketches import theta_sample
+
+    a = keys10k.filter(F.col("v") < "key-7")          # lexicographic slice
+    b = keys10k.filter(F.col("v") >= "key-3")
+    inter = a.join(b.select("v"), "v", "left_semi")
+    lhs = sorted(
+        r["h"]
+        for r in theta_sample(a, "v").join(
+            theta_sample(b, "v").select("h"), "h", "left_semi"
+        ).collect()
+    )
+    rhs = sorted(r["h"] for r in theta_sample(inter, "v").collect())
+    assert lhs == rhs and len(rhs) > 0
+
+
+def test_theta_estimate_within_error_band(spark, keys10k):
+    """n=10 000 distinct keys at 1/64 sampling: relative std error is
+    ~sqrt(63/n) ≈ 8%; assert the estimate lands within 4 sigma."""
+    from xdan_dqa_spark.operators.sketches import theta_distinct_by
+
+    df = keys10k.withColumn("g", F.lit("all"))
+    row = theta_distinct_by(df, "v", "g").collect()[0]
+    assert row["exact_distinct"] == 10_000
+    assert abs(row["theta_estimate"] - 10_000) < 4 * 0.08 * 10_000
+
+
+def test_theta_repartition_invariance(spark, keys10k):
+    """Map-side filter + hash-grain distinct: the estimate is a pure
+    function of the value SET, so any repartitioning gives bit-identical
+    output."""
+    from xdan_dqa_spark.operators.sketches import theta_set_overlap
+
+    a = keys10k.filter(F.col("v") < "key-5")
+    b = keys10k.filter(F.col("v") >= "key-2")
+    r1 = theta_set_overlap(a, b, "v").collect()[0]
+    r2 = theta_set_overlap(a.repartition(13), b.repartition(7), "v").collect()[0]
+    assert r1 == r2

@@ -716,3 +716,129 @@ def hll_set_overlap(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# --------------------------------------------------------------- theta
+
+# Theta-sketch sampling rate: keep hashes below 2^32 / 2^THETA_LG — a
+# fixed 1/64 uniform sample of the DISTINCT-value space (not the row
+# space: sampling is on the value hash, so every occurrence of a kept
+# value is kept, and the sample is closed under union/intersection
+# across shards — the property HLL registers lack).
+THETA_LG = 6
+
+
+def theta_sample(df: DataFrame, col: str, lg_theta: int = THETA_LG,
+                 salt: str = "th") -> DataFrame:
+    """(v, h) fixed-threshold theta sample of DISTINCT values: rows
+    whose 32-bit md5 hash falls below 2^32/2^lg_theta, one row per
+    distinct kept value.
+
+    This is the Theta/KMV sketch family with a FIXED theta (Dasgupta et
+    al., DataSketches): a deterministic 1/2^lg_theta coordinated sample
+    of the value space. Unlike a bottom-k KMV, the threshold does not
+    depend on the data, so the sample is a pure map-side filter — no
+    global k-smallest state — and two shards' samples merge by UNION,
+    two corpora INTERSECT directly (the same value hashes identically
+    everywhere). Estimate for any derived set S: |S_sample| * 2^lg_theta.
+
+    Scale shape: filter (drops 1-1/2^lg_theta of value mass before any
+    shuffle) then one distinct at hash grain. The distinct's shuffle
+    carries only the sampled values — at 100 TB with lg_theta=10 the
+    exchange is ~0.1% of the vocabulary."""
+    h = _h32(F.col(col), salt)
+    thresh = (1 << 32) >> lg_theta
+    return (
+        df.select(F.col(col).alias("v"), h.alias("h"))
+        .filter(F.col("h") < F.lit(thresh))
+        .distinct()
+    )
+
+
+def theta_distinct_by(df: DataFrame, col: str, by: str,
+                      lg_theta: int = THETA_LG) -> DataFrame:
+    """Per-group distinct-count estimates from one coordinated theta
+    sample: (by, n_sampled, theta_estimate, exact_distinct, rel_error).
+
+    One sample pass serves EVERY group (coordinated sampling — the
+    group column rides along), so a 20-source census costs one filtered
+    distinct, not 20 sketches. ``exact_distinct`` is the audit column:
+    cheap at test scale, omitted at 100 TB where the estimate is the
+    point. Estimator: n_sampled * 2^lg_theta; relative std error is
+    ~sqrt((2^lg_theta - 1)/n_distinct), surfaced by rel_error rather
+    than asserted."""
+    h = _h32(F.col(col), "th")
+    thresh = (1 << 32) >> lg_theta
+    sampled = (
+        df.select(F.col(by).alias("g"), F.col(col).alias("v"), h.alias("h"))
+        .filter(F.col("h") < F.lit(thresh))
+        .select("g", "h")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    exact = (
+        df.select(F.col(by).alias("g"), F.col(col).alias("v"))
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    est = F.col("n_sampled") * F.lit(1 << lg_theta)
+    return (
+        exact.join(sampled, "g", "left")
+        .select(
+            F.col("g").alias(by),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.coalesce(est, F.lit(0)).cast("long").alias("theta_estimate"),
+            "exact_distinct",
+            F.round(
+                (F.coalesce(est, F.lit(0)).cast("double")
+                 - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def theta_set_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
+                      lg_theta: int = THETA_LG) -> DataFrame:
+    """Distinct-set union/intersection/difference estimates from two
+    coordinated theta samples — the set-algebra query HLL cannot answer
+    directly (hll_set_overlap must inclusion-exclude, amplifying error;
+    theta INTERSECTS the samples, so A∩B error scales with the overlap
+    itself). One row: (est_a, est_b, est_union, est_intersect,
+    est_a_only, exact_intersect, rel_error_intersect).
+
+    Because both samples keep exactly the values hashing below the SAME
+    threshold, sample(A) ∩ sample(B) IS sample(A∩B) — set identity, not
+    approximation; the only estimation error is the sampling itself.
+    Scale: two map-side filters + hash-grain distincts, then set ops on
+    ~1/2^lg_theta of the vocabulary."""
+    sa = theta_sample(df_a, col, lg_theta).select("h")
+    sb = theta_sample(df_b, col, lg_theta).select("h")
+    m = F.lit(1 << lg_theta).cast("long")
+    na = sa.agg(F.count("*").alias("na"))
+    nb = sb.agg(F.count("*").alias("nb"))
+    ni = sa.join(sb, "h", "left_semi").agg(F.count("*").alias("ni"))
+    exact = (
+        df_a.select(F.col(col).alias("_k")).distinct()
+        .join(df_b.select(F.col(col).alias("_k")).distinct(), "_k", "left_semi")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    return (
+        na.crossJoin(nb).crossJoin(ni).crossJoin(exact)
+        .select(
+            (F.col("na") * m).alias("est_a"),
+            (F.col("nb") * m).alias("est_b"),
+            ((F.col("na") + F.col("nb") - F.col("ni")) * m).alias("est_union"),
+            (F.col("ni") * m).alias("est_intersect"),
+            ((F.col("na") - F.col("ni")) * m).alias("est_a_only"),
+            "exact_intersect",
+            F.round(
+                (F.col("ni") * m - F.col("exact_intersect")).cast("double")
+                / F.greatest(F.col("exact_intersect"), F.lit(1)).cast("double"),
+                6,
+            ).alias("rel_error_intersect"),
+        )
+    )

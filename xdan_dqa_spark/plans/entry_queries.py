@@ -10710,6 +10710,111 @@ SELECT * FROM top_k UNION ALL SELECT * FROM top_d
 """
 
 
+def q_theta_vocab_by_source(spark, sf_dir):
+    """Per-source vocabulary size by fixed-threshold THETA sampling
+    (operators/sketches.py:theta_distinct_by) — the coordinated-sample
+    distinct sketch: one map-side filter keeps the terms hashing below
+    2^32/64, every source's estimate reads off the same sample, and the
+    exchange carries ~1/64 of the vocabulary. The exact count rides
+    alongside as the audit column with the signed relative error
+    surfaced, not asserted."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.sketches import theta_distinct_by
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda x: F.length(x) > 0)
+    ex = d.select("source", F.explode(words).alias("term"))
+    return theta_distinct_by(ex, "term", "source")
+
+
+SQL_THETA_VOCAB_BY_SOURCE = f"""
+WITH ex AS (
+  SELECT source, unnest({_WORDS_WS_SQL}) AS v FROM documents
+),
+h AS (
+  SELECT source AS g,
+         CAST('0x' || substr(md5('th:' || v), 1, 8) AS BIGINT) AS h, v
+  FROM ex
+),
+samp AS (
+  SELECT g, COUNT(*) AS n_sampled
+  FROM (SELECT DISTINCT g, h FROM h WHERE h < 67108864)
+  GROUP BY g
+),
+exact AS (
+  SELECT g, COUNT(DISTINCT v) AS exact_distinct FROM h GROUP BY g
+)
+SELECT exact.g AS source,
+       coalesce(n_sampled, 0) AS n_sampled,
+       CAST(coalesce(n_sampled, 0) * 64 AS BIGINT) AS theta_estimate,
+       exact_distinct,
+       round((CAST(coalesce(n_sampled, 0) * 64 AS DOUBLE)
+              - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+FROM exact LEFT JOIN samp ON exact.g = samp.g
+"""
+
+
+def q_theta_vocab_overlap(spark, sf_dir):
+    """Vocabulary overlap between the even- and odd-doc_id halves of the
+    corpus by intersecting two coordinated theta samples
+    (operators/sketches.py:theta_set_overlap) — the set-algebra query
+    HLL answers only by inclusion-exclusion (hll_overlap): because both
+    halves keep exactly the terms hashing below the SAME threshold,
+    sample(A) ∩ sample(B) IS sample(A∩B) — a set identity — so the
+    intersection error scales with the overlap itself, not with the
+    union. Two map-side filters + hash-grain distincts; the semi-join
+    touches ~1/64 of the vocabulary."""
+    from ..functions.tokenize import WS_PLUS
+    from ..operators.sketches import theta_set_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda x: F.length(x) > 0)
+    ex = d.select("doc_id", F.explode(words).alias("term"))
+    a = ex.filter(F.col("doc_id") % 2 == 0)
+    b = ex.filter(F.col("doc_id") % 2 == 1)
+    return theta_set_overlap(a, b, "term")
+
+
+SQL_THETA_VOCAB_OVERLAP = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_WORDS_WS_SQL}) AS v FROM documents
+),
+sa AS (
+  SELECT DISTINCT CAST('0x' || substr(md5('th:' || v), 1, 8) AS BIGINT) AS h
+  FROM ex WHERE doc_id % 2 = 0
+    AND CAST('0x' || substr(md5('th:' || v), 1, 8) AS BIGINT) < 67108864
+),
+sb AS (
+  SELECT DISTINCT CAST('0x' || substr(md5('th:' || v), 1, 8) AS BIGINT) AS h
+  FROM ex WHERE doc_id % 2 = 1
+    AND CAST('0x' || substr(md5('th:' || v), 1, 8) AS BIGINT) < 67108864
+),
+na AS (SELECT COUNT(*) AS na FROM sa),
+nb AS (SELECT COUNT(*) AS nb FROM sb),
+ni AS (SELECT COUNT(*) AS ni FROM sa WHERE h IN (SELECT h FROM sb)),
+exact AS (
+  SELECT COUNT(*) AS exact_intersect FROM (
+    SELECT DISTINCT v FROM ex WHERE doc_id % 2 = 0
+    INTERSECT
+    SELECT DISTINCT v FROM ex WHERE doc_id % 2 = 1
+  )
+)
+SELECT CAST(na * 64 AS BIGINT) AS est_a,
+       CAST(nb * 64 AS BIGINT) AS est_b,
+       CAST((na + nb - ni) * 64 AS BIGINT) AS est_union,
+       CAST(ni * 64 AS BIGINT) AS est_intersect,
+       CAST((na - ni) * 64 AS BIGINT) AS est_a_only,
+       exact_intersect,
+       round(CAST(ni * 64 - exact_intersect AS DOUBLE)
+             / CAST(greatest(exact_intersect, 1) AS DOUBLE), 6)
+         AS rel_error_intersect
+FROM na, nb, ni, exact
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -10907,6 +11012,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qq_shift": q_qq_shift,
     "consistent_hash": q_consistent_hash,
     "keep_discriminative_terms": q_keep_discriminative_terms,
+    "theta_vocab_by_source": q_theta_vocab_by_source,
+    "theta_vocab_overlap": q_theta_vocab_overlap,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11086,6 +11193,8 @@ def oracle_map() -> dict[str, str]:
         "qq_shift": SQL_QQ_SHIFT,
         "consistent_hash": SQL_CONSISTENT_HASH,
         "keep_discriminative_terms": SQL_KEEP_DISCRIMINATIVE_TERMS,
+        "theta_vocab_by_source": SQL_THETA_VOCAB_BY_SOURCE,
+        "theta_vocab_overlap": SQL_THETA_VOCAB_OVERLAP,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
