@@ -292,3 +292,58 @@ def test_markov_stationary_known_chain(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         markov_stationary(pairs, n_iter=0)
+
+
+# --------------------------------------------------- label propagation
+
+def test_lpa_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    rounds each clique converges to its own dominant label — the bridge
+    is a single vote, outvoted by the three in-clique neighbors — so
+    LPA separates what connected components would merge. (Round 1 is
+    all ties — every neighbor label distinct — so each node takes its
+    MIN neighbor label; the bridge node 10 briefly adopts 4, then the
+    in-clique majority pulls it back: exactly the deterministic
+    tie-break semantics the docstring pins.)"""
+    from xdan_dqa_spark.operators.graph import label_propagation
+
+    clique_a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    clique_b = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    e = _edges(spark, clique_a + clique_b + [(4, 10)])
+    got = {r["node"]: r["label"] for r in label_propagation(e, 3).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == got[12] == got[13] == 10
+
+
+def test_lpa_deterministic_under_repartition(spark):
+    from xdan_dqa_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [(i, (i * 7 + 3) % 23) for i in range(60)])
+    a = sorted(map(tuple, label_propagation(e, 3).collect()))
+    b = sorted(map(tuple, label_propagation(e.repartition(11), 3).collect()))
+    assert a == b
+
+
+def test_cocitation_counts_and_jaccard(spark):
+    """srcs 1,2 both cite {100, 200}; src 3 cites {100, 300}: only the
+    (100, 200) pair reaches min_shared=2, with citer-Jaccard
+    2 / (3 + 2 - 2)."""
+    from xdan_dqa_spark.operators.graph import cocitation_pairs
+
+    e = _edges(spark, [(1, 100), (1, 200), (2, 100), (2, 200),
+                       (3, 100), (3, 300)])
+    rows = cocitation_pairs(e, min_shared=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["n_shared_citers"]) == (100, 200, 2)
+    assert abs(r["cocite_jaccard"] - 2 / 3) < 1e-6   # rounded to 6 dp
+
+
+def test_cocitation_dedups_multi_edges(spark):
+    """Duplicate (src, dst) rows must not inflate citer counts: the
+    edge list is distinct-ed first."""
+    from xdan_dqa_spark.operators.graph import cocitation_pairs
+
+    e = _edges(spark, [(1, 100), (1, 100), (1, 200), (2, 100), (2, 200)])
+    r = cocitation_pairs(e, min_shared=2).collect()[0]
+    assert r["n_shared_citers"] == 2 and abs(r["cocite_jaccard"] - 1.0) < 1e-9

@@ -594,3 +594,102 @@ def markov_stationary(events_pairs: DataFrame, n_iter: int = 4,
             "stationary_share"
         ),
     )
+
+
+def label_propagation(links: DataFrame, n_rounds: int = 3,
+                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, label) community labels after ``n_rounds`` of SYNCHRONOUS
+    label propagation (Raghavan et al. 2007) over the undirected
+    simplification of the edge list — the linear-time community
+    detector web pipelines run to group mirror rings and template
+    families when connected components is too coarse (CC merges
+    anything touching; LPA needs a DENSE neighborhood to pull a node
+    over).
+
+    Determinism discipline: LPA is normally run asynchronously with
+    random tie-breaks; here every round is synchronous, every node
+    adopts the label with the highest neighbor VOTE COUNT with ties to
+    the SMALLEST label, and rounds are a fixed constant — so the result
+    is a pure function of the edge set (bounded rounds also sidestep
+    the classic bipartite oscillation, the reason async variants
+    exist). Votes are neighbor-only (no self-vote); initial label =
+    node id.
+
+    Scale shape per round: one join (edges × labels, dst-keyed) and TWO
+    map-side-combinable aggregates — count votes per (node, label),
+    then max-count / min-label per node via a count-then-join (NOT a
+    per-node window: a 10⁹-degree hub's votes would sort in one window
+    task, while the aggregate folds them map-side). Lineage is cut per
+    round with localCheckpoint like connected_components."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = links.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(n_rounds):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        best_c = votes.groupBy("node").agg(F.max("c").alias("mc"))
+        labels = (
+            votes.join(best_c, "node")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def cocitation_pairs(links: DataFrame, min_shared: int = 2,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Co-citation similarity (Small 1973): pairs of TARGET pages cited
+    by the same sources — (a, b, n_shared_citers, cocite_jaccard) for
+    every dst pair sharing >= ``min_shared`` in-linking srcs, where
+    cocite_jaccard = shared / (in(a) + in(b) - shared) over distinct
+    citers. The "related pages" signal that needs no content at all:
+    two URLs repeatedly linked from the same pages are topically bound
+    even when their text shares nothing (the complement to text
+    near-dup — used to group mirrors ACROSS hosts and to expand
+    blocklists from seed spam pages).
+
+    Scale shape: distinct edges, then a src-keyed self-join whose
+    output per src is out_degree² — the SAME quadratic-bucket geometry
+    as an LSH band bucket, so the identical mitigation applies: at web
+    scale, pre-cap each src's out-list (dedup.py:cap_band_buckets
+    pattern) or drop mega-hubs (a directory page linking 10⁵ targets
+    asserts little about any pair). Fixture out-degree is a small
+    constant. The pair aggregate and both in-degree folds are map-side
+    combinable; ``min_shared`` prunes the pair table before the
+    in-degree join."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    e = links.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    left = e.select("src", F.col("dst").alias("a"))
+    right = e.select("src", F.col("dst").alias("b"))
+    shared = (
+        left.join(right, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared_citers"))
+        .filter(F.col("n_shared_citers") >= min_shared)
+    )
+    ind = e.groupBy("dst").agg(F.count("*").alias("_in"))
+    return (
+        shared.join(ind.select(F.col("dst").alias("a"), F.col("_in").alias("_ia")), "a")
+        .join(ind.select(F.col("dst").alias("b"), F.col("_in").alias("_ib")), "b")
+        .select(
+            "a", "b", "n_shared_citers",
+            F.round(
+                F.col("n_shared_citers").cast("double")
+                / (F.col("_ia") + F.col("_ib") - F.col("n_shared_citers")).cast("double"),
+                6,
+            ).alias("cocite_jaccard"),
+        )
+    )

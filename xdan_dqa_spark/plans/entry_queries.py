@@ -10815,6 +10815,80 @@ FROM na, nb, ni, exact
 """
 
 
+def q_label_prop_communities(spark, sf_dir):
+    """3-round synchronous label propagation over the synthesized link
+    graph (operators/graph.py:label_propagation) — the linear-time
+    community detector that groups mirror rings / template families
+    where connected components is too coarse. Deterministic by
+    construction: synchronous rounds, integer vote counts, ties to the
+    smallest label — so the unrolled-CTE twin matches exactly; per
+    round ONE dst-keyed join and two map-side-combinable aggregates
+    (never a per-node window, which would sort a mega-hub's votes in
+    one task)."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_link_edges(spark, sf_dir), n_rounds=3)
+
+
+def _sql_label_prop() -> str:
+    rnd = """
+SELECT v.node, MIN(v.label) AS label
+FROM (SELECT ue.u AS node, l.label, COUNT(*) AS c
+      FROM ue JOIN {L} l ON ue.v = l.node GROUP BY 1, 2) v
+JOIN (SELECT node, MAX(c) AS mc
+      FROM (SELECT ue.u AS node, l.label, COUNT(*) AS c
+            FROM ue JOIN {L} l ON ue.v = l.node GROUP BY 1, 2)
+      GROUP BY node) m
+ON v.node = m.node AND v.c = m.mc
+GROUP BY v.node
+"""
+    return f"""
+WITH e0 AS ({_SQL_LINK_EDGES}),
+ue AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e0
+    UNION ALL SELECT dst, src FROM e0
+  )
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM ue),
+l1 AS ({rnd.format(L='l0')}),
+l2 AS ({rnd.format(L='l1')}),
+l3 AS ({rnd.format(L='l2')})
+SELECT node, label FROM l3
+"""
+
+
+def q_cocitation_pairs(spark, sf_dir):
+    """Co-citation similarity over the link graph
+    (operators/graph.py:cocitation_pairs): dst pairs cited by >= 2
+    common sources with the citer-set Jaccard — the content-free
+    "related pages" signal that groups mirrors ACROSS hosts. The
+    src-keyed self-join has the same quadratic-bucket geometry as an
+    LSH band bucket (out_degree² per src), with the same documented
+    mitigation at scale."""
+    from ..operators.graph import cocitation_pairs
+
+    return cocitation_pairs(_link_edges(spark, sf_dir), min_shared=2)
+
+
+SQL_COCITATION_PAIRS = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({_SQL_LINK_EDGES})),
+shared AS (
+  SELECT l.dst AS a, r.dst AS b, COUNT(*) AS n_shared_citers
+  FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+ind AS (SELECT dst, COUNT(*) AS ind FROM e GROUP BY dst)
+SELECT a, b, n_shared_citers,
+       round(CAST(n_shared_citers AS DOUBLE)
+             / CAST(ia.ind + ib.ind - n_shared_citers AS DOUBLE), 6)
+         AS cocite_jaccard
+FROM shared JOIN ind ia ON shared.a = ia.dst
+            JOIN ind ib ON shared.b = ib.dst
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11014,6 +11088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keep_discriminative_terms": q_keep_discriminative_terms,
     "theta_vocab_by_source": q_theta_vocab_by_source,
     "theta_vocab_overlap": q_theta_vocab_overlap,
+    "label_prop_communities": q_label_prop_communities,
+    "cocitation_pairs": q_cocitation_pairs,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11195,6 +11271,8 @@ def oracle_map() -> dict[str, str]:
         "keep_discriminative_terms": SQL_KEEP_DISCRIMINATIVE_TERMS,
         "theta_vocab_by_source": SQL_THETA_VOCAB_BY_SOURCE,
         "theta_vocab_overlap": SQL_THETA_VOCAB_OVERLAP,
+        "label_prop_communities": _sql_label_prop(),
+        "cocitation_pairs": SQL_COCITATION_PAIRS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
