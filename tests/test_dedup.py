@@ -677,3 +677,75 @@ def test_exact_dedup_best_keeps_top_scoring_copy(spark):
     got = sorted(r["doc_id"] for r in exact_dedup_best(df, "score").collect())
     # highest score wins; tie between 2 and 3 goes to the LOWEST id
     assert got == [2, 4]
+
+
+# ------------------------------------------- content-defined chunking
+
+def _py_cdc_chunks(text: str, mask_bits: int = 4) -> list[str]:
+    """Pure-python reference of the CDC boundary rule."""
+    import hashlib
+
+    words = [w for w in __import__("re").split(r"[ \t\n\x0b\f\r]+", text) if w]
+    chunks, buf = [], []
+    for w in words:
+        buf.append(w)
+        h = int(hashlib.md5(f"cdc:{w}".encode()).hexdigest()[:8], 16)
+        if h % (1 << mask_bits) == 0:
+            chunks.append(" ".join(buf))
+            buf = []
+    if buf:
+        chunks.append(" ".join(buf))
+    return chunks
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    from xdan_dqa_spark.operators.dedup import cdc_chunks
+
+    texts = [
+        " ".join(f"tok{(i * 7) % 97}" for i in range(200)),
+        "one two three",
+        "",
+        "   \t\n  ",
+        "single",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["c"]
+           for r in df.select("doc_id", cdc_chunks("text").alias("c")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_cdc_chunks(t), f"doc {i}"
+
+
+def test_cdc_shift_resistance_vs_fixed_spans(spark):
+    """Insert one token at the head of a 400-token doc: content-defined
+    boundaries re-synchronize at the first boundary token, so almost
+    all chunks still hash identically — the property fixed spans lack
+    (every span boundary shifts by one)."""
+    from xdan_dqa_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"w{(i * 13) % 211}" for i in range(400))
+    shifted = "INSERTED " + base
+    df = spark.createDataFrame([(0, base), (1, shifted)],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: set(r["c"])
+            for r in df.select("doc_id", cdc_chunks("text").alias("c")).collect()}
+    shared = len(rows[0] & rows[1])
+    assert shared >= 0.8 * len(rows[0])
+
+
+def test_cdc_census_counts_within_and_cross_doc_dups(spark):
+    from xdan_dqa_spark.operators.dedup import cdc_chunk_census
+
+    # doc 0 and doc 1 identical -> every chunk is a cross-doc dup;
+    # doc 2 unrelated -> zero dups.
+    t = " ".join(f"z{(i * 11) % 53}" for i in range(120))
+    u = " ".join(f"q{i}" for i in range(120))   # unique tokens: no
+    # within-doc chunk repeats (a modular generator cycles and repeats
+    # chunks inside one doc, which the census correctly counts as dup)
+    df = spark.createDataFrame([(0, t), (1, t), (2, u)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+           for r in cdc_chunk_census(df).collect()}
+    assert got[0][0] > 0 and got[0] == got[1]
+    assert got[0][1] == got[0][0]          # all chunks duplicated
+    assert got[2][1] == 0

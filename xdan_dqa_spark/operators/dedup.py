@@ -1038,3 +1038,100 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
             6,
         ).alias("jaccard"),
     )
+
+
+# ------------------------------------------- content-defined chunking
+
+def cdc_chunks(text_col: str, mask_bits: int = 4,
+               salt: str = "cdc") -> F.Column:
+    """Array of CONTENT-DEFINED chunks of a document: the token stream
+    splits after every token whose 32-bit md5 hash is ≡ 0 mod
+    2^mask_bits (expected chunk length 2^mask_bits tokens). This is the
+    Rabin/FastCDC boundary rule at token granularity — the property
+    fixed spans (span_dedup) lack is SHIFT RESISTANCE: inserting one
+    token early in a doc shifts every fixed-span boundary after it, but
+    content-defined boundaries re-synchronize at the next boundary
+    token, so all later chunks hash identically again. That is what
+    makes chunk-grain dedup work on near-identical pages with small
+    head edits (cookie notices, injected dates).
+
+    Pure-expression construction, O(tokens) per doc and map-only: the
+    boundary POSITIONS are one indexed transform+filter, chunk (start,
+    end) ranges are a zip of the shifted boundary list, and each chunk
+    is one slice+concat — no per-element array rebuilding (an
+    aggregate() fold that appends to an accumulator array would copy
+    the accumulator per boundary, O(tokens²/2^mask_bits))."""
+    if mask_bits < 1:
+        raise ValueError(f"mask_bits must be >= 1, got {mask_bits}")
+    mod = 1 << mask_bits
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+
+    def is_boundary(w):
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), w)), 1, 8),
+                   16, 10).cast("long")
+        return h % mod == 0
+
+    # 1-based positions of boundary tokens (Spark transform index is
+    # 0-based; the DuckDB twin's lambda index is 1-based — hence i+1).
+    bpos = F.filter(
+        F.transform(words,
+                    lambda w, i: F.when(is_boundary(w), i + 1).otherwise(F.lit(-1))),
+        lambda p: p > 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(F.size(words)))
+    return F.filter(
+        F.zip_with(
+            starts, ends,
+            lambda s, e: F.when(
+                s <= e, F.concat_ws(" ", F.slice(words, s, e - s + 1))
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+
+
+def cdc_chunk_census(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", mask_bits: int = 4) -> DataFrame:
+    """Per-document chunk-grain duplication census over content-defined
+    chunks: (doc_id, n_chunks, n_dup_chunks, dup_frac), where a chunk
+    is "dup" iff its text occurs in at least one OTHER document (or
+    more than once overall). The chunk-level complement to exact/
+    near-dup dedup — it measures how much of each page is boilerplate
+    shared with the rest of the corpus, robust to small edits because
+    the chunking is content-defined (see cdc_chunks).
+
+    Scale shape: chunks are built map-side (O(tokens) pure exprs), the
+    census is explode (rows ≈ tokens/2^mask_bits) → ONE md5-keyed
+    aggregate counting occurrences and distinct docs — map-side
+    combinable; a universal chunk (cookie banner) is one hot reduce key
+    whose partial counts fold before the exchange, never a blown-up
+    join output. The rejoin back to chunks is at (hash) grain with
+    output = input rows."""
+    ch = df.select(
+        F.col(id_col),
+        F.explode(cdc_chunks(text_col, mask_bits)).alias("_c"),
+    ).select(F.col(id_col), F.md5(F.col("_c")).alias("_h"))
+    census = ch.groupBy("_h").agg(
+        F.count("*").alias("_n_occ"),
+        F.count_distinct(id_col).alias("_n_docs"),
+    )
+    flagged = ch.join(census, "_h").groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(
+            F.when((F.col("_n_docs") > 1) | (F.col("_n_occ") > 1), 1).otherwise(0)
+        ).alias("n_dup_chunks"),
+    )
+    return df.select(F.col(id_col)).join(flagged, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0)).alias("n_dup_chunks"),
+        F.round(
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_chunks"), F.lit(0)), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -10889,6 +10889,69 @@ FROM shared JOIN ind ia ON shared.a = ia.dst
 """
 
 
+def q_cdc_chunk_census(spark, sf_dir):
+    """Chunk-grain boilerplate census over CONTENT-DEFINED chunks
+    (operators/dedup.py:cdc_chunk_census): how much of each document is
+    chunk-identical to the rest of the corpus, with boundaries chosen
+    by token-hash (Rabin/FastCDC rule, expected 16-token chunks) so the
+    measure survives small head edits that would shift every fixed-span
+    boundary. Chunks are built map-side in O(tokens) pure exprs; the
+    census is one md5-keyed map-side-combinable aggregate."""
+    from ..operators.dedup import cdc_chunk_census
+
+    return cdc_chunk_census(_t(spark, sf_dir, "documents"))
+
+
+SQL_CDC_CHUNK_CENSUS = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS_WS_SQL} AS ws FROM documents
+),
+geom AS (
+  SELECT doc_id, ws,
+         list_filter(
+           list_transform(ws, (w, i) ->
+             CASE WHEN CAST('0x' || substr(md5('cdc:' || w), 1, 8) AS BIGINT)
+                       % 16 = 0 THEN i ELSE -1 END),
+           p -> p > 0) AS bpos
+  FROM base
+),
+ranges AS (
+  SELECT doc_id, ws,
+         list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+         list_append(bpos, len(ws)) AS ends
+  FROM geom
+),
+chunks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(starts, (s, k) ->
+             CASE WHEN s <= ends[k]
+                  THEN array_to_string(ws[s:ends[k]], ' ') END),
+           c -> c IS NOT NULL) AS cs
+  FROM ranges
+),
+ch AS (SELECT doc_id, md5(unnest(cs)) AS h FROM chunks),
+census AS (
+  SELECT h, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+  FROM ch GROUP BY h
+),
+flagged AS (
+  SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN n_docs > 1 OR n_occ > 1 THEN 1 ELSE 0 END)
+           AS n_dup_chunks
+  FROM ch JOIN census USING (h)
+  GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_chunks, 0) AS n_chunks,
+       coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+       round(CAST(coalesce(n_dup_chunks, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(n_chunks, 0), 1) AS DOUBLE), 6)
+         AS dup_frac
+FROM documents d LEFT JOIN flagged ON d.doc_id = flagged.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11090,6 +11153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_vocab_overlap": q_theta_vocab_overlap,
     "label_prop_communities": q_label_prop_communities,
     "cocitation_pairs": q_cocitation_pairs,
+    "cdc_chunk_census": q_cdc_chunk_census,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11273,6 +11337,7 @@ def oracle_map() -> dict[str, str]:
         "theta_vocab_overlap": SQL_THETA_VOCAB_OVERLAP,
         "label_prop_communities": _sql_label_prop(),
         "cocitation_pairs": SQL_COCITATION_PAIRS,
+        "cdc_chunk_census": SQL_CDC_CHUNK_CENSUS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
