@@ -10952,6 +10952,80 @@ FROM documents d LEFT JOIN flagged ON d.doc_id = flagged.doc_id
 """
 
 
+def q_linear_probe_train(spark, sf_dir):
+    """Closed-form ridge training of a linear quality probe
+    (operators/score.py:linear_probe_train) — the deterministic core of
+    the "train a filter on labels" step (CCNet/fastText-style): the 3×3
+    normal equations are assembled from ONE map-side-combinable
+    DECIMAL(38,0) aggregate of integer feature products and solved by
+    exact integer Cramer determinants; training accuracy is an
+    all-integer margin comparison (2·(d₀+d₁x₁+d₂x₂) ≥ det A), so the
+    only float ops are three terminal weight divisions."""
+    from ..operators.score import linear_probe_train
+
+    return linear_probe_train(_t(spark, sf_dir, "documents"))
+
+
+SQL_LINEAR_PROBE_TRAIN = f"""
+WITH base AS (
+  SELECT coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'), x -> x <> '')
+           AS lines
+  FROM documents
+),
+feat AS (
+  SELECT CAST(len(ws) AS HUGEINT) AS x1,
+         CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+              AS HUGEINT) AS x2,
+         CAST(CASE WHEN len(ws) >= 5
+                    AND 10 * (length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, '')))
+                        <= len(ws)
+                    AND (len(lines) <= 1
+                         OR 10 * (len(lines) - len(list_distinct(lines)))
+                            <= 3 * len(lines))
+               THEN 1 ELSE 0 END AS HUGEINT) AS y
+  FROM base
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM feat
+),
+dets AS (
+  SELECT CAST(n AS BIGINT) AS n_docs, CAST(sy AS BIGINT) AS n_keep,
+         (n + 1) * ((s11 + 1) * (s22 + 1) - s12 * s12)
+           - s1 * (s1 * (s22 + 1) - s12 * s2)
+           + s2 * (s1 * s12 - (s11 + 1) * s2) AS dA,
+         sy * ((s11 + 1) * (s22 + 1) - s12 * s12)
+           - s1 * (s1y * (s22 + 1) - s12 * s2y)
+           + s2 * (s1y * s12 - (s11 + 1) * s2y) AS d0,
+         (n + 1) * (s1y * (s22 + 1) - s12 * s2y)
+           - sy * (s1 * (s22 + 1) - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS d1,
+         (n + 1) * ((s11 + 1) * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - (s11 + 1) * s2) AS d2
+  FROM sums
+),
+correct AS (
+  SELECT SUM(CASE WHEN (CASE WHEN 2 * (d0 + d1 * x1 + d2 * x2) >= dA
+                              THEN 1 ELSE 0 END) = y
+              THEN 1 ELSE 0 END) AS n_correct
+  FROM feat CROSS JOIN dets
+)
+SELECT n_docs, n_keep,
+       round(CAST(d0 AS DOUBLE) / CAST(dA AS DOUBLE), 6) AS w0,
+       round(CAST(d1 AS DOUBLE) / CAST(dA AS DOUBLE), 6) AS w1,
+       round(CAST(d2 AS DOUBLE) / CAST(dA AS DOUBLE), 6) AS w2,
+       n_correct,
+       round(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS accuracy
+FROM dets CROSS JOIN correct
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11154,6 +11228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_prop_communities": q_label_prop_communities,
     "cocitation_pairs": q_cocitation_pairs,
     "cdc_chunk_census": q_cdc_chunk_census,
+    "linear_probe_train": q_linear_probe_train,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11338,6 +11413,7 @@ def oracle_map() -> dict[str, str]:
         "label_prop_communities": _sql_label_prop(),
         "cocitation_pairs": SQL_COCITATION_PAIRS,
         "cdc_chunk_census": SQL_CDC_CHUNK_CENSUS,
+        "linear_probe_train": SQL_LINEAR_PROBE_TRAIN,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
