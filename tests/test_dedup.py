@@ -749,3 +749,40 @@ def test_cdc_census_counts_within_and_cross_doc_dups(spark):
     assert got[0][0] > 0 and got[0] == got[1]
     assert got[0][1] == got[0][0]          # all chunks duplicated
     assert got[2][1] == 0
+
+
+def test_cc_dedup_best_keeps_highest_score(spark):
+    """Near-dup chain A~B~C: the component survivor is the best-SCORING
+    member, not the min id; unrelated docs survive untouched."""
+    from xdan_dqa_spark.operators.dedup import cc_dedup_best
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, base + " tail1", 10),
+        (2, base + " tail2", 99),          # best of the cluster
+        (3, base + " tail3", 50),
+        (7, " ".join(f"z{i}" for i in range(60)), 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    kept = sorted(r["doc_id"] for r in cc_dedup_best(df, "score").collect())
+    assert kept == [2, 7]
+
+
+def test_cc_dedup_best_collapse_value_identity(spark):
+    """10% byte-identical skew: survivors with collapse_exact on and
+    off are identical — the exact-collapse-BEST pre-step keeps each
+    identical group's argmax, which is always the component argmax
+    candidate."""
+    from xdan_dqa_spark.operators.dedup import cc_dedup_best
+
+    rows = []
+    for i in range(80):
+        txt = (" ".join(f"t{i}_{j}" for j in range(40))
+               if i % 10 else "the same exact duplicated text " * 8)
+        rows.append((i, txt, (i * 37) % 101))
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    a = sorted(r["doc_id"]
+               for r in cc_dedup_best(df, "score", collapse_exact=True).collect())
+    b = sorted(r["doc_id"]
+               for r in cc_dedup_best(df, "score", collapse_exact=False).collect())
+    assert a == b and len(a) > 0

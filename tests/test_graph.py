@@ -347,3 +347,31 @@ def test_cocitation_dedups_multi_edges(spark):
     e = _edges(spark, [(1, 100), (1, 100), (1, 200), (2, 100), (2, 200)])
     r = cocitation_pairs(e, min_shared=2).collect()[0]
     assert r["n_shared_citers"] == 2 and abs(r["cocite_jaccard"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------ trustrank
+
+def test_trustrank_spam_island_scores_zero(spark):
+    """A subgraph unreachable from any seed gets trust exactly 0 —
+    the property uniform-teleport PageRank lacks (every node keeps its
+    (1-d)/N floor there)."""
+    from xdan_dqa_spark.operators.graph import pagerank, trustrank
+
+    # trusted cluster 1->2->3; spam island 10<->11
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 10)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    t = {r["node"]: r["trust"] for r in trustrank(e, seeds, 3).collect()}
+    assert t[10] == 0.0 and t[11] == 0.0
+    assert t[1] > 0 and t[2] > 0 and t[3] > 0
+    p = {r["node"]: r["rank"] for r in pagerank(e, 3).collect()}
+    assert p[10] > 0  # pagerank pays the floor; trustrank does not
+
+
+def test_trustrank_repartition_invariant(spark):
+    from xdan_dqa_spark.operators.graph import trustrank
+
+    e = _edges(spark, [(i, (i * 7 + 3) % 23) for i in range(60)])
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    a = sorted(map(tuple, trustrank(e, seeds, 3).collect()))
+    b = sorted(map(tuple, trustrank(e.repartition(9), seeds, 3).collect()))
+    assert a == b

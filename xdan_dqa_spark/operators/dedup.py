@@ -1135,3 +1135,51 @@ def cdc_chunk_census(df: DataFrame, text_col: str = "text",
             6,
         ).alias("dup_frac"),
     )
+
+
+def cc_dedup_best(df: DataFrame, score_col: str, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.7,
+                  collapse_exact: bool = True,
+                  max_bucket: int | None = None) -> DataFrame:
+    """Transitive near-dup dedup keeping the BEST-SCORING member of each
+    connected component (ties → lowest id) — the quality-aware upgrade
+    of :func:`cc_dedup`'s min-id survivor, mirroring what
+    :func:`exact_dedup_best` does for byte-identical clusters: in a
+    near-dup cluster the copies differ (truncated mirrors, ad-injected
+    variants), and the survivor should be the longest / highest-quality
+    copy, not the accidental id minimum.
+
+    Survivor selection is max(struct(score, −id)) per component — ONE
+    map-side-combinable aggregate (never a per-component window; the
+    Zipf-head cluster would sort in a single task). The exact-collapse
+    pre-step uses :func:`exact_dedup_best` (NOT min-id exact_dedup):
+    each byte-identical group keeps its best-scoring member, so the
+    component argmax over collapsed reps equals the argmax over the
+    full component — the group maximum is always still present, and
+    identical texts always land in the same component (J = 1 edges).
+    Value-identity is pinned in tests; the DuckDB twin computes the
+    argmax over the UNCOLLAPSED component, so the oracle check itself
+    verifies the equivalence."""
+    base = (
+        exact_dedup_best(df, score_col, text_col, id_col)
+        if collapse_exact else df
+    )
+    pairs = jaccard_verify(
+        base,
+        minhash_candidate_pairs(base, text_col, id_col, max_bucket),
+        text_col, id_col, threshold,
+    )
+    labels = connected_components(pairs.select("a", "b"))
+    lab = (
+        base.select(F.col(id_col), F.col(score_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col), F.col(score_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("comp"),
+        )
+    )
+    best = lab.groupBy("comp").agg(
+        F.max(F.struct(F.col(score_col).alias("_s"),
+                       (-F.col(id_col)).alias("_ni"))).alias("_m")
+    ).select((-F.col("_m._ni")).alias(id_col))
+    return base.join(best, id_col, "left_semi")

@@ -693,3 +693,85 @@ def cocitation_pairs(links: DataFrame, min_shared: int = 2,
             ).alias("cocite_jaccard"),
         )
     )
+
+
+def trustrank(links: DataFrame, seeds: DataFrame, n_iter: int = 3,
+              damping_num: int = 17, damping_den: int = 20,
+              src_col: str = "src", dst_col: str = "dst",
+              seed_col: str = "node") -> DataFrame:
+    """Fixed-iteration TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank whose teleport mass is restricted to a curated
+    SEED set of trusted pages — trust flows out along links, so pages
+    reachable only from spam neighborhoods score ~0 while a uniform-
+    teleport PageRank would still pay them their (1−d)/N floor. This is
+    the standard whitelist-propagation signal a crawl pipeline runs
+    NEXT TO pagerank: rank high + trust low = the link-farm flag.
+
+    Returns (node, trust) for every node in the edge list. Semantics
+    per round: trust(v) = (1−d)·[v ∈ S]/|S| + d·Σ_{u→v} trust(u)/deg(u);
+    init = 1/|S| on seeds, 0 elsewhere; dangling mass leaks exactly as
+    in :func:`pagerank` (relative ranking, documented).
+
+    Same determinism contract as pagerank (module docstring): 1e12
+    integer fixed-point, round-half-up integral divisions, zero float
+    ops until the terminal /1e12 — bit-identical cross-engine at any
+    parallelism. Same scale shape too: ONE dst-keyed shuffle per round
+    with map-side partial sums; the seed flag is a broadcast-joined
+    bounded column; |S| is a 1-row broadcast."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"damping must satisfy 0 < num < den, got {damping_num}/{damping_den}"
+        )
+    e = links.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    flagged = nodes.join(
+        seeds.select(F.col(seed_col).alias("node")).distinct()
+        .withColumn("_is_seed", F.lit(1)),
+        "node", "left",
+    ).select("node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_is_seed"))
+    s_tbl = flagged.agg(F.sum("_is_seed").alias("_s"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+
+    ranks = (
+        flagged.crossJoin(F.broadcast(s_tbl))
+        .select(
+            "node", "_is_seed",
+            F.when(F.col("_is_seed") == 1, _rdiv(str(SCALE), "_s"))
+            .otherwise(F.lit(0).cast("long")).alias("fp"),
+        )
+    )
+    base_num = (damping_den - damping_num) * SCALE
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.select("node", "fp"), e.src == F.col("node"))
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), _rdiv("fp", "deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("received"))
+        )
+        ranks = (
+            flagged.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(s_tbl))
+            .select(
+                "node", "_is_seed",
+                (
+                    F.when(
+                        F.col("_is_seed") == 1,
+                        _rdiv(str(base_num), f"_s * {damping_den}"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    + _rdiv(
+                        f"coalesce(received, 0L) * {damping_num}",
+                        str(damping_den),
+                    )
+                ).alias("fp"),
+            )
+        )
+    return ranks.select(
+        "node", (F.col("fp").cast("double") / F.lit(float(SCALE))).alias("trust")
+    )

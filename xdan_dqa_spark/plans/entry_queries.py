@@ -11026,6 +11026,89 @@ FROM dets CROSS JOIN correct
 """
 
 
+def q_trustrank_links(spark, sf_dir):
+    """3-iteration TrustRank over the synthesized link graph with seeds
+    = nodes divisible by 50 (operators/graph.py:trustrank) — teleport
+    mass restricted to the trusted set, so pages reachable only from
+    spam neighborhoods score ~0 where uniform-teleport PageRank still
+    pays its (1−d)/N floor; rank-high + trust-low is the link-farm
+    flag. Same 1e12 integer fixed-point discipline as link_pagerank —
+    bit-identical vs the unrolled-CTE twin."""
+    from ..operators.graph import trustrank
+
+    e = _link_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 50 == 0)
+    return trustrank(e, seeds, n_iter=3)
+
+
+def _sql_trustrank() -> str:
+    s = 10 ** 12
+    it = f"""
+SELECT sd.node, sd.is_seed,
+  (CASE WHEN sd.is_seed = 1
+        THEN ({3 * s} * 2 + st.s * 20) // (st.s * 20 * 2) ELSE 0 END)
+  + ((coalesce(rc.received, 0) * 17 * 2 + 20) // 40) AS fp
+FROM sd CROSS JOIN st
+LEFT JOIN (
+  SELECT e.dst AS node, SUM((r.fp * 2 + d.deg) // (d.deg * 2)) AS received
+  FROM e JOIN {{R}} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst) rc
+ON sd.node = rc.node
+"""
+    return f"""
+WITH e AS ({_SQL_LINK_EDGES}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sd AS (SELECT node, CASE WHEN node % 50 = 0 THEN 1 ELSE 0 END AS is_seed
+       FROM nodes),
+st AS (SELECT SUM(is_seed) AS s FROM sd),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT sd.node, sd.is_seed,
+              CASE WHEN is_seed = 1 THEN ({s} * 2 + st.s) // (st.s * 2)
+                   ELSE 0 END AS fp
+       FROM sd CROSS JOIN st),
+r1 AS ({it.format(R='r0')}),
+r2 AS ({it.format(R='r1')}),
+r3 AS ({it.format(R='r2')})
+SELECT node, CAST(fp AS DOUBLE) / 1e12 AS trust FROM r3
+"""
+
+
+def q_dedup_cc_best(spark, sf_dir):
+    """Quality-aware transitive near-dup dedup
+    (operators/dedup.py:cc_dedup_best): each MinHash-verified connected
+    component keeps its LONGEST document (n_chars argmax, ties → lowest
+    id) instead of the accidental id minimum — the survivor policy real
+    pipelines want when near-dup copies differ (truncated mirrors,
+    ad-injected variants). The twin computes the argmax over the
+    UNCOLLAPSED component, so the hash check itself proves the
+    exact-collapse-best pre-step is value-identical."""
+    from ..operators.dedup import cc_dedup_best
+
+    d = _t(spark, sf_dir, "documents")
+    return cc_dedup_best(d, "n_chars").select("doc_id", "n_chars")
+
+
+SQL_DEDUP_CC_BEST = f"""{_CC_COMP_SQL},
+allc AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+best AS (
+  SELECT comp, doc_id
+  FROM (SELECT comp, doc_id,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM allc)
+  WHERE rn = 1
+)
+SELECT a.doc_id, a.n_chars
+FROM allc a JOIN best b ON a.doc_id = b.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11229,6 +11312,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cocitation_pairs": q_cocitation_pairs,
     "cdc_chunk_census": q_cdc_chunk_census,
     "linear_probe_train": q_linear_probe_train,
+    "trustrank_links": q_trustrank_links,
+    "dedup_cc_best": q_dedup_cc_best,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11414,6 +11499,8 @@ def oracle_map() -> dict[str, str]:
         "cocitation_pairs": SQL_COCITATION_PAIRS,
         "cdc_chunk_census": SQL_CDC_CHUNK_CENSUS,
         "linear_probe_train": SQL_LINEAR_PROBE_TRAIN,
+        "trustrank_links": _sql_trustrank(),
+        "dedup_cc_best": SQL_DEDUP_CC_BEST,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
