@@ -924,3 +924,99 @@ def hill_tail_index(docs: DataFrame, value_col: str = "n_chars",
             F.lit(float(k)) / F.col("_s").cast("double"), 6
         ).alias("alpha"),
     )
+
+
+def bpe_merge_train(df: DataFrame, text_col: str = "text",
+                    n_merges: int = 3) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges over the corpus (Sennrich
+    et al. 2016) — the tokenizer-FITTING step of a training-data
+    pipeline, run distributed: at each step the most frequent adjacent
+    symbol pair (ties → lexicographically smallest) is merged into one
+    symbol everywhere, starting from characters. Returns the merge
+    table: (step, lhs, rhs, pair_count).
+
+    Determinism + scale discipline:
+      * Training runs at VOCABULARY grain, not corpus grain — the
+        classic BPE trick: distinct words with their corpus frequencies
+        (one groupBy), so each merge step rescans |vocab| rows, not the
+        corpus, and pair counts are freq-weighted integer sums
+        (map-side combinable, order-independent).
+      * Each word is carried as a boundary-safe symbol string
+        " s1  s2  ...  sN " (single sentinel space at the edges, DOUBLE
+        space between symbols). Applying a merge is then ONE literal
+        replace of " lhs  rhs " with " lhs rhs "-joined — the pattern
+        consumes one boundary space per side so adjacent matches still
+        match ("a b a b" merges both pairs), while left-to-right
+        non-overlapping literal replace gives exactly BPE's greedy
+        semantics on overlaps ("a a a" → "aa a"). Both engines'
+        replace() scans identically, so the whole training loop is
+        oracle-checkable.
+      * The per-step argmax is a sort-limit over the PAIR table
+        (bounded by live vocab size, ~10⁷ rows at web scale — a single
+        TakeOrdered, never a corpus sort); it is broadcast back as a
+        1-row join.
+    n_merges is a small constant (the plan unrolls per step); for
+    real-tokenizer merge counts (~30k) this shape still works but wants
+    a checkpoint every ~10 steps and incremental pair-count updates.
+
+    Caveat (documented, not hit by the fixtures): the initial character
+    split uses Spark's split(w, ''), which splits at UTF-16 code-unit
+    boundaries — a non-BMP character (emoji, rare CJK ext-B) would
+    split into two surrogate halves while the DuckDB twin splits at
+    codepoints. For full astral-plane corpora, pre-split with a
+    codepoint-aware pandas UDF."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    wf = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: F.length(c) > 0)
+    cur = wf.select(
+        "freq",
+        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("_repr"),
+    )
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        toks = F.split(F.trim(F.col("_repr")), "  ")
+        pairs = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, y: F.when(
+                    y.isNotNull(), F.struct(x.alias("lhs"), y.alias("rhs"))
+                ),
+            ),
+            lambda p: p.isNotNull(),
+        )
+        counts = (
+            cur.select("freq", F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p.lhs").alias("lhs"), F.col("_p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = counts.orderBy(
+            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1)
+        merge_rows.append(top.select(F.lit(step).alias("step"),
+                                     "lhs", "rhs", "pair_count"))
+        cur = (
+            cur.crossJoin(F.broadcast(top.select(
+                F.col("lhs").alias("_ml"), F.col("rhs").alias("_mr"))))
+            .select(
+                "freq",
+                F.replace(
+                    F.col("_repr"),
+                    F.concat(F.lit(" "), F.col("_ml"), F.lit("  "),
+                             F.col("_mr"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("_ml"), F.col("_mr"), F.lit(" ")),
+                ).alias("_repr"),
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

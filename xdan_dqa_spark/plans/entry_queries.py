@@ -11109,6 +11109,133 @@ FROM allc a JOIN best b ON a.doc_id = b.doc_id
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """First 3 BPE merges trained over the corpus
+    (operators/textstats.py:bpe_merge_train) — distributed tokenizer
+    fitting: vocabulary-grain reprs with freq-weighted integer pair
+    counts (map-side combinable), greedy-leftmost literal-replace merge
+    application whose boundary-space scheme makes replace() semantics
+    identical in both engines, deterministic argmax (count desc, pair
+    asc). The twin unrolls the 3 training steps as CTEs."""
+    from ..operators.textstats import bpe_merge_train
+
+    return bpe_merge_train(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+SQL_BPE_MERGES = f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest({_WORDS_WS_SQL}) AS w FROM documents) GROUP BY w
+),
+r0 AS (
+  SELECT freq,
+         ' ' || array_to_string(
+           list_filter(regexp_split_to_array(w, ''), c -> c <> ''), '  ')
+         || ' ' AS r
+  FROM wf
+),
+p1 AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_filter(
+             list_transform(t, (x, i) ->
+               CASE WHEN i < len(t) THEN [x, t[i + 1]] END),
+             q -> q IS NOT NULL)) AS p
+    FROM (SELECT freq, regexp_split_to_array(trim(r), '  ') AS t FROM r0)
+  ) GROUP BY 1, 2
+),
+m1 AS (SELECT lhs, rhs, pair_count FROM p1
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+r1 AS (SELECT freq,
+                replace(r, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ') AS r
+         FROM r0 CROSS JOIN m1 m),
+p2 AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_filter(
+             list_transform(t, (x, i) ->
+               CASE WHEN i < len(t) THEN [x, t[i + 1]] END),
+             q -> q IS NOT NULL)) AS p
+    FROM (SELECT freq, regexp_split_to_array(trim(r), '  ') AS t FROM r1)
+  ) GROUP BY 1, 2
+),
+m2 AS (SELECT lhs, rhs, pair_count FROM p2
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+r2 AS (SELECT freq,
+                replace(r, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ') AS r
+         FROM r1 CROSS JOIN m2 m),
+p3 AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_filter(
+             list_transform(t, (x, i) ->
+               CASE WHEN i < len(t) THEN [x, t[i + 1]] END),
+             q -> q IS NOT NULL)) AS p
+    FROM (SELECT freq, regexp_split_to_array(trim(r), '  ') AS t FROM r2)
+  ) GROUP BY 1, 2
+),
+m3 AS (SELECT lhs, rhs, pair_count FROM p3
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+r3 AS (SELECT freq,
+                replace(r, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ') AS r
+         FROM r2 CROSS JOIN m3 m)
+SELECT 1 AS step, lhs, rhs, pair_count FROM m1
+UNION ALL SELECT 2, lhs, rhs, pair_count FROM m2
+UNION ALL SELECT 3, lhs, rhs, pair_count FROM m3
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming EXACT dedup: dropDuplicates on (source, md5(text))
+    over a real 4-micro-batch file stream of the documents table —
+    Spark's native stateful dedup operator (the state store carries the
+    seen-key set across micro-batches) — then per-source survivor
+    counts, proven ≡ batch DISTINCT bit-for-bit by the twin. Same
+    idempotent staging + per-invocation memory-sink naming as
+    q_stream_windowed_agg."""
+    batch = _t(spark, sf_dir, "documents")
+    stage = "/tmp/xdan_stream_docs_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4}
+    marker = os.path.join(stage, "_SPEC.json")
+    _stage_with_spec(
+        marker, spec,
+        lambda: batch.repartition(4).write.mode("overwrite")
+        .parquet(f"{stage}/documents"),
+    )
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/documents")
+    )
+    dd = src.select(
+        "source", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h")
+    ).dropDuplicates(["source", "_h"])
+    agg = dd.groupBy("source").agg(F.count("*").alias("n_unique"))
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"stream_dedup_{key}_{next(_STREAM_QUERY_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    local = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+    return local
+
+
+SQL_STREAM_DEDUP = """
+SELECT source, COUNT(DISTINCT md5(coalesce(text, ''))) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11314,6 +11441,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_probe_train": q_linear_probe_train,
     "trustrank_links": q_trustrank_links,
     "dedup_cc_best": q_dedup_cc_best,
+    "bpe_merges": q_bpe_merges,
+    "stream_dedup": q_stream_dedup,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11501,6 +11630,8 @@ def oracle_map() -> dict[str, str]:
         "linear_probe_train": SQL_LINEAR_PROBE_TRAIN,
         "trustrank_links": _sql_trustrank(),
         "dedup_cc_best": SQL_DEDUP_CC_BEST,
+        "bpe_merges": SQL_BPE_MERGES,
+        "stream_dedup": SQL_STREAM_DEDUP,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
