@@ -11236,6 +11236,61 @@ FROM documents GROUP BY source
 """
 
 
+def q_rrf_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion
+    (operators/search.py:rrf_fuse): the BM25 top-20 for a 3-term query
+    fused with the cosine top-10 around vec 0 (vec_id ≡ doc_id), score
+    = Σ 1/(60+rank) — the calibration-free combiner hybrid search
+    stacks default to. Both input rankings are bit-deterministic
+    (rounded scores, id tie-breaks), the fusion terms are one fixed
+    IEEE division rounded 9 dp DECIMAL-summed, and everything past the
+    two retrievals runs on ≤30 rows."""
+    from ..operators.search import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    text = bm25_topk(d, ["fast", "scan", "table"], k=20)
+    wt = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tr = text.select("doc_id", F.row_number().over(wt).alias("rank"))
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0]
+    knn = brute_force_topk(emb, query, k=10).select(
+        F.col("vec_id").alias("doc_id"), F.round(F.col("cosine"), 6).alias("c")
+    )
+    wv = Window.orderBy(F.desc("c"), F.asc("doc_id"))
+    vr = knn.select("doc_id", F.row_number().over(wv).alias("rank"))
+    return rrf_fuse([tr, vr], top_k=20)
+
+
+def _sql_rrf_hybrid() -> str:
+    bm25 = _sql_bm25_topk()
+    return f"""
+WITH bm AS ({bm25}),
+tr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       FROM bm),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS c
+  FROM embeddings e, q
+),
+kn AS (SELECT doc_id, c FROM scored ORDER BY c DESC, doc_id LIMIT 10),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+       FROM kn),
+u AS (SELECT doc_id, rank FROM tr UNION ALL SELECT doc_id, rank FROM vr)
+SELECT doc_id, COUNT(*) AS n_lists,
+       round(CAST(SUM(CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(28,9)))
+                  AS DOUBLE), 9) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11443,6 +11498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cc_best": q_dedup_cc_best,
     "bpe_merges": q_bpe_merges,
     "stream_dedup": q_stream_dedup,
+    "rrf_hybrid_search": q_rrf_hybrid_search,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11632,6 +11688,7 @@ def oracle_map() -> dict[str, str]:
         "dedup_cc_best": SQL_DEDUP_CC_BEST,
         "bpe_merges": SQL_BPE_MERGES,
         "stream_dedup": SQL_STREAM_DEDUP,
+        "rrf_hybrid_search": _sql_rrf_hybrid(),
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
