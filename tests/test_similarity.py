@@ -322,3 +322,47 @@ def test_nearest_centroid_confusion_separable_clusters(spark):
     got = {(r["true_label"], r["pred_label"]): r["n"]
            for r in nearest_centroid_confusion(df).collect()}
     assert got == {(0, 0): 21, (1, 1): 20}
+
+
+# ------------------------------------------------- product quantization
+
+def test_pq_codes_shape_and_range(spark):
+    from xdan_dqa_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_codebooks(emb, n_codes=8, m_sub=4)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 16
+    codes = pq_encode(emb, cbs).select("_codes").collect()
+    for r in codes:
+        assert len(r["_codes"]) == 4
+        assert all(0 <= c < 8 for c in r["_codes"])
+
+
+def test_pq_topk_reranks_self_query_high(spark):
+    """Querying with vec 0's own embedding: the ADC scan plus exact
+    rerank must keep vec 0 in the top-10 with the top exact cosine
+    (1.0) — the recall sanity every PQ rollout checks first."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rows = pq_topk(emb, q, k=10).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert 0 in by_id
+    assert by_id[0]["cosine_r"] == max(r["cosine_r"] for r in rows)
+
+
+def test_pq_topk_repartition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    a = sorted(map(tuple, pq_topk(emb, q, k=10).collect()))
+    b = sorted(map(tuple, pq_topk(emb.repartition(7), q, k=10).collect()))
+    assert a == b

@@ -11291,6 +11291,72 @@ ORDER BY rrf_score DESC, doc_id LIMIT 20
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 with exact rerank evidence
+    (operators/similarity.py:pq_topk): 4 subspaces × 8 codewords seeded
+    by the smallest-md5(id) rule (the whole index spec reproducible
+    from the data in any engine), query-side lookup table of rounded
+    subspace inner products, compressed-domain scoring that reads ONLY
+    the 4-byte codes — the 64x footprint cut that makes billion-vector
+    rerank RAM-resident — then exact cosine on the ≤10 winners."""
+    from ..operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0] * 64
+    return pq_topk(emb, query, k=10)
+
+
+def _sql_pq_topk(n_codes: int = 8, m_sub: int = 4, dim: int = 64) -> str:
+    d = dim // m_sub
+    return f"""
+WITH seeds AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_codes}
+),
+ms AS (SELECT unnest(range({m_sub})) AS m),
+cb AS (
+  SELECT m, j, v[m * {d} + 1 : m * {d} + {d}] AS sub FROM seeds CROSS JOIN ms
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT m, j,
+         round(list_dot_product(qv[m * {d} + 1 : m * {d} + {d}], sub), 9) AS ip
+  FROM cb CROSS JOIN q
+),
+subdots AS (
+  SELECT e.vec_id, cb.m, cb.j,
+         list_dot_product(
+           CAST(e.embedding AS DOUBLE[])[cb.m * {d} + 1 : cb.m * {d} + {d}],
+           cb.sub) AS dd
+  FROM embeddings e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dd DESC, j ASC) AS rn
+    FROM subdots) WHERE rn = 1
+),
+scored AS (
+  SELECT c.vec_id,
+         round(CAST(SUM(CAST(l.ip AS DECIMAL(28,9))) AS DOUBLE), 9)
+           AS pq_score
+  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+  GROUP BY c.vec_id
+),
+top AS (SELECT vec_id, pq_score FROM scored
+        ORDER BY pq_score DESC, vec_id LIMIT 10)
+SELECT t.vec_id, t.pq_score,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_r
+FROM top t JOIN embeddings e ON t.vec_id = e.vec_id CROSS JOIN q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11499,6 +11565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "stream_dedup": q_stream_dedup,
     "rrf_hybrid_search": q_rrf_hybrid_search,
+    "pq_topk": q_pq_topk,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11689,6 +11756,7 @@ def oracle_map() -> dict[str, str]:
         "bpe_merges": SQL_BPE_MERGES,
         "stream_dedup": SQL_STREAM_DEDUP,
         "rrf_hybrid_search": _sql_rrf_hybrid(),
+        "pq_topk": _sql_pq_topk(),
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
