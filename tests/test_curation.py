@@ -665,3 +665,53 @@ def test_scd2_intervals_runs_and_reappearance(spark):
     assert [c for *_, c in u] == [False, False, True]
     v = out.filter(F.col("page") == "v").collect()
     assert len(v) == 1 and v[0]["is_current"]
+
+
+# ------------------------------------------------ quantile normalization
+
+def test_quantile_normalize_identical_distributions_are_identity(spark):
+    """Two groups with the SAME value multiset: normalization maps every
+    value to itself (the pooled distribution equals each group's)."""
+    from xdan_dqa_spark.operators.curation import quantile_normalize
+
+    rows = [(i, "a", v) for i, v in enumerate([10, 20, 30, 40])] + [
+        (100 + i, "b", v) for i, v in enumerate([10, 20, 30, 40])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = quantile_normalize(df, "n_chars", "source").collect()
+    assert all(r["norm_n_chars"] == r["n_chars"] for r in out)
+
+
+def test_quantile_normalize_aligns_shifted_group(spark):
+    """Group b is group a shifted by +1000: after normalization both
+    groups land on the SAME pooled values rank-for-rank, so a global
+    threshold treats them identically."""
+    from xdan_dqa_spark.operators.curation import quantile_normalize
+
+    a_vals = [10, 20, 30, 40, 50]
+    rows = [(i, "a", v) for i, v in enumerate(a_vals)] + [
+        (100 + i, "b", v + 1000) for i, v in enumerate(a_vals)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = quantile_normalize(df, "n_chars", "source").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(
+            (r["n_chars"], r["norm_n_chars"])
+        )
+    norm_a = [n for _, n in sorted(by_group["a"])]
+    norm_b = [n for _, n in sorted(by_group["b"])]
+    assert norm_a == norm_b          # rank-aligned onto the pooled scale
+    assert norm_a == sorted(norm_a)  # monotone within group
+
+
+def test_quantile_normalize_singleton_group_maps_to_pooled_median(spark):
+    from xdan_dqa_spark.operators.curation import quantile_normalize
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 40),
+            (9, "solo", 999999)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["doc_id"]: r["norm_n_chars"]
+           for r in quantile_normalize(df, "n_chars", "source").collect()}
+    # pooled rank (N+1) DIV 2 = 3rd of [10,20,30,40,999999] -> 30
+    assert out[9] == 30

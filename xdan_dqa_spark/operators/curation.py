@@ -1354,3 +1354,58 @@ def doc_novelty(docs: DataFrame, text_col: str = "text",
     return hi.unionByName(lo).select(
         id_col, "n_tokens", "cross_entropy", "which_end"
     )
+
+
+def quantile_normalize(df: DataFrame, value_col: str, group_col: str,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-group quantile normalization (the batch-effect correction
+    of microarray statistics, applied to corpus curation): map each
+    row's value to the POOLED distribution's value at the same relative
+    rank within its group, so a global threshold means the same thing
+    for every source even when sources' raw distributions differ
+    (one host's "long" is another's median — normalize before a single
+    keep cutoff). Returns (id, group, value, norm_value).
+
+    All-integer construction — no float op anywhere, so cross-engine
+    identity is structural: per-group rank rn over the total order
+    (value, id); pooled target index via round-half-up rational
+    idx = 1 + round((N−1)(rn−1)/(ng−1)) (group of one maps to the
+    pooled median); the pooled value at a rank is read from the
+    VALUE-COMPRESSED cumulative histogram (ranks [lo, hi] per distinct
+    value), never a global row sort — at web scale the histogram is
+    bounded by distinct values and broadcasts, while a naive pooled
+    row_number would total-order the corpus in one task. The per-group
+    rank window sorts within each group; for Zipf-head groups switch
+    the group side to its own histogram cume (same values, documented).
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    n_tbl = df.agg(F.count("*").alias("_N"))
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        F.col(id_col), g.alias("_g"), v.alias("_v"),
+        F.row_number().over(wg).alias("_rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_ng"),
+    )
+    idx = F.when(
+        F.col("_ng") > 1,
+        F.lit(1) + F.expr("(2 * (_N - 1) * (_rn - 1) + (_ng - 1)) "
+                          "DIV (2 * (_ng - 1))"),
+    ).otherwise(F.expr("(_N + 1) DIV 2"))
+    tgt = ranked.crossJoin(F.broadcast(n_tbl)).withColumn("_idx", idx)
+    hist = (
+        df.groupBy(v.alias("_hv")).agg(F.count("*").alias("_c"))
+        .withColumn("_hi", F.sum("_c").over(Window.orderBy("_hv")))
+        .withColumn("_lo", F.col("_hi") - F.col("_c") + 1)
+    )
+    return (
+        tgt.join(
+            F.broadcast(hist),
+            (F.col("_idx") >= F.col("_lo")) & (F.col("_idx") <= F.col("_hi")),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            F.col("_hv").alias(f"norm_{value_col}"),
+        )
+    )

@@ -11357,6 +11357,114 @@ FROM top t JOIN embeddings e ON t.vec_id = e.vec_id CROSS JOIN q
 """
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of doc length
+    (operators/curation.py:quantile_normalize) — batch-effect
+    correction before a single global threshold: each doc's n_chars
+    maps to the pooled distribution's value at the same within-source
+    relative rank. All-integer (round-half-up rational index into the
+    value-compressed pooled histogram; no float anywhere), so
+    cross-engine identity is structural."""
+    from ..operators.curation import quantile_normalize
+
+    return quantile_normalize(_t(spark, sf_dir, "documents"),
+                              "n_chars", "source")
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+ranked AS (
+  SELECT doc_id, source AS g, n_chars AS v,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS ng
+  FROM documents
+),
+tgt AS (
+  SELECT doc_id, g, v,
+         CASE WHEN ng > 1
+              THEN 1 + (2 * (nn - 1) * (rn - 1) + (ng - 1))
+                       // (2 * (ng - 1))
+              ELSE (nn + 1) // 2 END AS idx
+  FROM ranked CROSS JOIN n
+),
+hist AS (
+  SELECT hv, hi, hi - c + 1 AS lo FROM (
+    SELECT n_chars AS hv, COUNT(*) AS c,
+           SUM(COUNT(*)) OVER (ORDER BY n_chars) AS hi
+    FROM documents GROUP BY n_chars)
+)
+SELECT doc_id, g AS source, v AS n_chars, hv AS norm_n_chars
+FROM tgt JOIN hist ON idx >= lo AND idx <= hi
+"""
+
+
+def q_dow_seasonal_anomaly(spark, sf_dir):
+    """Day-of-week-adjusted robust anomaly detection over the events
+    stream: per-day counts, the per-dow exact median as the seasonal
+    baseline, and a 3-MAD flag on the residuals — the robust STL-lite
+    that catches a quiet Tuesday a raw rolling z-score (spike_zscore)
+    would call normal and a uniformity test (dow_chi2) can't localize.
+    Medians ride the value-compressed exact-histogram helper (bounded
+    state); residuals are rounded to 6 dp BEFORE the MAD pass so both
+    engines take the median of identical values; dow is integral
+    epoch-day mod 7 (no calendar semantics)."""
+    from ..operators.textstats import exact_quantiles_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+                  .alias("day"))
+        .groupBy("day").agg(F.count("*").alias("n_events"))
+        .withColumn("dow", F.pmod(F.col("day"), F.lit(7)))
+    )
+    med = exact_quantiles_histogram(
+        daily.select(F.col("dow").alias("g"),
+                     F.col("n_events").cast("double").alias("v")),
+        (0.5,),
+    ).select(F.col("g").alias("dow"), F.col("p50").alias("dow_median"))
+    resid = daily.join(med, "dow").withColumn(
+        "resid",
+        F.round(F.col("n_events").cast("double") - F.col("dow_median"), 6),
+    )
+    mad = exact_quantiles_histogram(
+        resid.select(F.lit(0).alias("g"), F.abs(F.col("resid")).alias("v")),
+        (0.5,),
+    ).select(F.col("p50").alias("mad"))
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .select(
+            "day", "dow", "n_events", "dow_median", "resid",
+            (F.abs(F.col("resid")) > F.lit(3.0) * F.col("mad"))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+SQL_DOW_SEASONAL_ANOMALY = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+d2 AS (SELECT day, n_events, day % 7 AS dow FROM daily),
+med AS (
+  SELECT dow, round(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 6)
+           AS dow_median
+  FROM d2 GROUP BY dow
+),
+resid AS (
+  SELECT d2.day, d2.dow, d2.n_events, med.dow_median,
+         round(CAST(d2.n_events AS DOUBLE) - med.dow_median, 6) AS resid
+  FROM d2 JOIN med USING (dow)
+),
+mad AS (SELECT round(quantile_cont(abs(resid), 0.5), 6) AS mad FROM resid)
+SELECT day, dow, n_events, dow_median, resid,
+       abs(resid) > 3.0 * mad AS is_anomaly
+FROM resid CROSS JOIN mad
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11566,6 +11674,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "rrf_hybrid_search": q_rrf_hybrid_search,
     "pq_topk": q_pq_topk,
+    "quantile_normalize": q_quantile_normalize,
+    "dow_seasonal_anomaly": q_dow_seasonal_anomaly,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11757,6 +11867,8 @@ def oracle_map() -> dict[str, str]:
         "stream_dedup": SQL_STREAM_DEDUP,
         "rrf_hybrid_search": _sql_rrf_hybrid(),
         "pq_topk": _sql_pq_topk(),
+        "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+        "dow_seasonal_anomaly": SQL_DOW_SEASONAL_ANOMALY,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
