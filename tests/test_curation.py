@@ -715,3 +715,52 @@ def test_quantile_normalize_singleton_group_maps_to_pooled_median(spark):
            for r in quantile_normalize(df, "n_chars", "source").collect()}
     # pooled rank (N+1) DIV 2 = 3rd of [10,20,30,40,999999] -> 30
     assert out[9] == 30
+
+
+# ------------------------------------------------------------- DSIR
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """Docs sharing the target slice's vocabulary must outweigh docs
+    from a disjoint vocabulary — the selector's defining property."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.curation import dsir_weights
+
+    rows = []
+    for i in range(30):          # target exemplars: vocab A
+        rows.append((i, "en", " ".join(f"alpha{j % 7}" for j in range(20))))
+    for i in range(30, 60):      # source-only: vocab B
+        rows.append((i, "zh", " ".join(f"beta{j % 7}" for j in range(20))))
+    # probes: one doc of each vocab, tagged outside the target slice
+    rows += [(100, "xx", " ".join(f"alpha{j % 7}" for j in range(20))),
+             (101, "xx", " ".join(f"beta{j % 7}" for j in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {r["doc_id"]: r["dsir_weight"]
+         for r in dsir_weights(df, F.col("lang") == "en").collect()}
+    assert w[100] > 0 > w[101]
+
+
+def test_bigram_lm_frequent_patterns_score_lower_surprise(spark):
+    """A held-out doc repeating the train slice's dominant bigram must
+    have lower avg negative log prob than unseen-vocab gibberish."""
+    from xdan_dqa_spark.plans.entry_queries import q_bigram_lm_ppl
+    import duckdb, hashlib
+
+    # find doc_ids landing in the test bucket (md5 'sp:' rule, >= 80)
+    def bk(i):
+        return int(hashlib.md5(f"sp:{i}".encode()).hexdigest()[:8], 16) % 100
+
+    test_ids = [i for i in range(1000) if bk(i) >= 80]
+    train_ids = [i for i in range(1000) if bk(i) < 80][:40]
+    common = "the cat sat on the mat and the cat ran"
+    rows = [(i, common) for i in train_ids]
+    rows.append((test_ids[0], common))                     # familiar
+    rows.append((test_ids[1], "zzq qqz zqz qzz zzq wwx"))  # gibberish
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in q_bigram_lm_ppl(spark, tmp).collect()}
+    assert out[test_ids[0]] < out[test_ids[1]]

@@ -1409,3 +1409,69 @@ def quantile_normalize(df: DataFrame, value_col: str, group_col: str,
             F.col("_hv").alias(f"norm_{value_col}"),
         )
     )
+
+
+def dsir_weights(df: DataFrame, target_filter, text_col: str = "text",
+                 id_col: str = "doc_id", n_buckets: int = 1024) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023), reduced to its deterministic core: score every document by
+    how target-like its HASHED unigram profile is, weight(d) =
+    Σ_{w∈d} ln( p_target(bucket(w)) / p_source(bucket(w)) ) with add-1
+    smoothing — the classifier-free data-selection signal ("give me
+    more docs that look like Wikipedia") that needs only two count
+    tables, no trained model. Returns (id, n_tokens, dsir_weight).
+
+    ``target_filter`` is a boolean Column selecting the target
+    exemplars (the source distribution is the whole corpus). Hashing
+    unigrams into ``n_buckets`` md5 buckets is DSIR's own trick and the
+    scale bound: both probability tables are ≤ n_buckets rows
+    regardless of vocabulary, so they BROADCAST, and the corpus-side
+    pass is explode → bucket → two broadcast lookups — no vocab-grain
+    shuffle at scoring time. Determinism: probabilities are exact
+    integer-ratio inputs to ONE ln per (bucket) pair, rounded 9 dp;
+    per-doc sums ride DECIMAL (order-free)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ds:"), F.col("_w"))), 1, 8),
+               16, 10).cast("long") % n_buckets
+    ).alias("_b")
+    ex = df.select(F.col(id_col), target_filter.alias("_t"),
+                   F.explode(words).alias("_w")).select(
+        F.col(id_col), F.col("_t"), bucket)
+    tgt = ex.filter(F.col("_t")).groupBy("_b").agg(F.count("*").alias("_ct"))
+    src = ex.groupBy("_b").agg(F.count("*").alias("_cs"))
+    totals = ex.agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_nt"),
+        F.count("*").alias("_ns"),
+    )
+    ratio = (
+        src.join(tgt, "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                     / (F.col("_nt") + n_buckets).cast("double"))
+                    / ((F.col("_cs") + 1).cast("double")
+                       / (F.col("_ns") + n_buckets).cast("double"))
+                ),
+                9,
+            ).alias("_lr"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_lr").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("dsir_weight"),
+        )
+    )

@@ -11465,6 +11465,158 @@ FROM resid CROSS JOIN mad
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the English slice
+    (operators/curation.py:dsir_weights): hashed-unigram log-ratio
+    scoring with add-1 smoothing — the classifier-free "more docs like
+    the target" selector. Both probability tables are ≤1024 rows (the
+    hash-bucket bound is DSIR's own trick), so they broadcast and the
+    scoring pass never shuffles at vocab grain."""
+    from ..operators.curation import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, F.col("lang") == "en")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH ex AS (
+  SELECT doc_id, lang = 'en' AS t,
+         CAST('0x' || substr(md5('ds:' || w), 1, 8) AS BIGINT) % 1024 AS b
+  FROM (SELECT doc_id, lang, unnest({_WORDS_WS_SQL}) AS w FROM documents)
+),
+tgt AS (SELECT b, COUNT(*) AS ct FROM ex WHERE t GROUP BY b),
+srcs AS (SELECT b, COUNT(*) AS cs FROM ex GROUP BY b),
+tot AS (
+  SELECT SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt, COUNT(*) AS ns FROM ex
+),
+ratio AS (
+  SELECT srcs.b,
+         round(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                   / CAST(nt + 1024 AS DOUBLE))
+                  / (CAST(cs + 1 AS DOUBLE)
+                     / CAST(ns + 1024 AS DOUBLE))), 9) AS lr
+  FROM srcs LEFT JOIN tgt ON srcs.b = tgt.b CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(CAST(lr AS DECIMAL(28,9))) AS DOUBLE), 6)
+         AS dsir_weight
+FROM ex JOIN ratio ON ex.b = ratio.b
+GROUP BY doc_id
+"""
+
+
+def q_bigram_lm_ppl(spark, sf_dir):
+    """Held-out bigram language-model scoring — the "train a KenLM on
+    your corpus, score everything" CCNet step at its deterministic
+    core: an 80/20 md5-bucket split, add-1-smoothed bigram
+    probabilities from the train slice, per-test-doc mean negative log
+    prob. Train counts are one explode+groupBy; test bigrams join the
+    count tables on their natural keys (vocab-grain shuffles with
+    map-side combine); V and the unigram table ride the joins. Each
+    ln term is rounded 9 dp and DECIMAL-summed per doc."""
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda x: F.length(x) > 0)
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit("sp:"),
+                                               F.col("doc_id").cast("string"))),
+                                1, 8), 16, 10).cast("long") % 100
+    base = d.select("doc_id", words.alias("_ws"), bucket.alias("_bk"))
+    pairs = F.filter(
+        F.zip_with(
+            F.col("_ws"),
+            F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+            lambda x, y: F.when(y.isNotNull(),
+                                F.struct(x.alias("w1"), y.alias("w2"))),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    train = base.filter(F.col("_bk") < 80)
+    test = base.filter(F.col("_bk") >= 80)
+    big = (
+        train.select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = (
+        train.select(F.explode(F.col("_ws")).alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    vtbl = uni.agg(F.count("*").alias("_V"))
+    tb = test.select("doc_id", F.explode(pairs).alias("_p")).select(
+        "doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    scored = (
+        tb.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vtbl))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("_V"))
+                    .cast("double")
+                ),
+                9,
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            (-F.sum(F.col("_lp").cast("decimal(28,9)")).cast("double"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
+SQL_BIGRAM_LM_PPL = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS_WS_SQL} AS ws,
+         CAST('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bk
+  FROM documents
+),
+pz AS (
+  SELECT doc_id, bk,
+         list_filter(
+           list_transform(ws, (x, i) ->
+             CASE WHEN i < len(ws) THEN [x, ws[i + 1]] END),
+           q -> q IS NOT NULL) AS prs,
+         ws
+  FROM base
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12
+  FROM (SELECT unnest(prs) AS p FROM pz WHERE bk < 80) GROUP BY 1, 2
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(ws) AS w1 FROM pz WHERE bk < 80) GROUP BY 1
+),
+v AS (SELECT COUNT(*) AS vv FROM uni),
+tb AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(prs) AS p FROM pz WHERE bk >= 80)
+),
+scored AS (
+  SELECT doc_id,
+         round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+                  / CAST(coalesce(c1, 0) + vv AS DOUBLE)), 9) AS lp
+  FROM tb LEFT JOIN big USING (w1, w2)
+          LEFT JOIN uni USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(-CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11676,6 +11828,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "quantile_normalize": q_quantile_normalize,
     "dow_seasonal_anomaly": q_dow_seasonal_anomaly,
+    "dsir_weights": q_dsir_weights,
+    "bigram_lm_ppl": q_bigram_lm_ppl,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -11869,6 +12023,8 @@ def oracle_map() -> dict[str, str]:
         "pq_topk": _sql_pq_topk(),
         "quantile_normalize": SQL_QUANTILE_NORMALIZE,
         "dow_seasonal_anomaly": SQL_DOW_SEASONAL_ANOMALY,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
+        "bigram_lm_ppl": SQL_BIGRAM_LM_PPL,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
