@@ -366,3 +366,46 @@ def test_pq_topk_repartition_invariant(spark):
     a = sorted(map(tuple, pq_topk(emb, q, k=10).collect()))
     b = sorted(map(tuple, pq_topk(emb.repartition(7), q, k=10).collect()))
     assert a == b
+
+
+# ----------------------------------------------------- energy distance
+
+def test_energy_distance_zero_for_identical_sets(spark):
+    """Same sample on both sides: the plug-in between-mean includes the
+    n self-pairs (distance 0), so the statistic lands at exactly
+    −2·mean_within/n — the known small-sample bias of the V-statistic
+    form, pinned here rather than hidden, and vanishing as n grows."""
+    from xdan_dqa_spark.operators.similarity import energy_distance
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r = energy_distance(emb, emb, n_sample=30).collect()[0]
+    expected_bias = -2.0 * r["mean_within_a"] / 30
+    assert abs(r["energy_distance"] - expected_bias) < 1e-2
+    assert r["n_a"] == r["n_b"] == 30
+
+
+def test_energy_distance_detects_mean_shift(spark):
+    """Shifting one side by a constant vector must produce a clearly
+    positive statistic (distribution mismatch)."""
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.similarity import energy_distance
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shifted = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x + F.lit(5.0))
+        .alias("embedding"),
+    )
+    r = energy_distance(emb, shifted, n_sample=30).collect()[0]
+    assert r["energy_distance"] > 1.0
+
+
+def test_conformal_bounds_guarantee_on_fixture(spark):
+    from xdan_dqa_spark.plans.entry_queries import q_conformal_bounds
+
+    r = q_conformal_bounds(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["lo_bound"] <= r["hi_bound"]
+    assert r["n_covered"] <= r["n_test"]
+    # 90%-nominal split conformal: allow finite-sample slack
+    assert r["coverage"] >= 0.8

@@ -11617,6 +11617,171 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_conformal_bounds(spark, sf_dir):
+    """Split-conformal prediction bounds on doc length with the
+    finite-sample coverage guarantee (Vovk et al.; the distribution-free
+    data-validation recipe): calibration = md5 bucket < 50, bounds =
+    the floor((n+1)·0.05)-th and ceil((n+1)·0.95)-th order statistics
+    of calibration n_chars — EXACT integer ranks, no interpolation —
+    then measured coverage on the held-out slice. Guarantee: coverage ≥
+    0.9 in expectation over splits; the measured value is reported, not
+    asserted. Rank extraction rides the value-compressed histogram
+    (bounded state, no global row sort); everything is integer until
+    the one terminal coverage division."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit("cf:"),
+                                               F.col("doc_id").cast("string"))),
+                                1, 8), 16, 10).cast("long") % 100
+    base = d.select("doc_id", F.col("n_chars"), bucket.alias("_bk"))
+    cal = base.filter(F.col("_bk") < 50)
+    test = base.filter(F.col("_bk") >= 50)
+    hist = (
+        cal.groupBy("n_chars").agg(F.count("*").alias("_c"))
+        .withColumn("_hi", F.sum("_c").over(Window.orderBy("n_chars")))
+        .withColumn("_lo", F.col("_hi") - F.col("_c") + 1)
+    )
+    n_tbl = cal.agg(F.count("*").alias("_n"))
+    ranks = n_tbl.select(
+        "_n",
+        F.expr("CAST(FLOOR((_n + 1) * 0.05) AS LONG)").alias("_rlo"),
+        F.expr("CAST(CEIL((_n + 1) * 0.95) AS LONG)").alias("_rhi"),
+    ).select(
+        "_n",
+        F.greatest(F.col("_rlo"), F.lit(1)).alias("_rlo"),
+        F.least(F.col("_rhi"), F.col("_n")).alias("_rhi"),
+    )
+    bounds = (
+        F.broadcast(ranks).join(
+            F.broadcast(hist),
+            (F.col("_rlo") >= F.col("_lo")) & (F.col("_rlo") <= F.col("_hi")),
+        ).select(F.col("_n"), F.col("_rhi"),
+                 F.col("n_chars").alias("lo_bound"))
+        .join(
+            F.broadcast(hist.select(F.col("n_chars").alias("_v2"),
+                                    F.col("_lo").alias("_lo2"),
+                                    F.col("_hi").alias("_hi2"))),
+            (F.col("_rhi") >= F.col("_lo2")) & (F.col("_rhi") <= F.col("_hi2")),
+        ).select(F.col("_n").alias("n_cal"), "lo_bound",
+                 F.col("_v2").alias("hi_bound"))
+    )
+    return (
+        test.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("lo_bound").alias("lo_bound"),
+            F.max("hi_bound").alias("hi_bound"),
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= F.col("lo_bound"))
+                    & (F.col("n_chars") <= F.col("hi_bound")), 1
+                ).otherwise(0)
+            ).alias("n_covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(F.col("n_covered").cast("double")
+                    / F.col("n_test").cast("double"), 6),
+        )
+    )
+
+
+SQL_CONFORMAL_BOUNDS = """
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5('cf:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bk
+  FROM documents
+),
+cal AS (SELECT n_chars FROM base WHERE bk < 50),
+test AS (SELECT n_chars FROM base WHERE bk >= 50),
+hist AS (
+  SELECT n_chars, hi, hi - c + 1 AS lo FROM (
+    SELECT n_chars, COUNT(*) AS c,
+           SUM(COUNT(*)) OVER (ORDER BY n_chars) AS hi
+    FROM cal GROUP BY n_chars)
+),
+n AS (SELECT COUNT(*) AS nn FROM cal),
+rk AS (
+  SELECT nn,
+         greatest(CAST(FLOOR((nn + 1) * 0.05) AS BIGINT), 1) AS rlo,
+         least(CAST(CEIL((nn + 1) * 0.95) AS BIGINT), nn) AS rhi
+  FROM n
+),
+bounds AS (
+  SELECT rk.nn AS n_cal,
+         (SELECT n_chars FROM hist WHERE rk.rlo >= lo AND rk.rlo <= hi)
+           AS lo_bound,
+         (SELECT n_chars FROM hist WHERE rk.rhi >= lo AND rk.rhi <= hi)
+           AS hi_bound
+  FROM rk
+)
+SELECT max(n_cal) AS n_cal, max(lo_bound) AS lo_bound,
+       max(hi_bound) AS hi_bound, COUNT(*) AS n_test,
+       SUM(CASE WHEN n_chars >= lo_bound AND n_chars <= hi_bound
+            THEN 1 ELSE 0 END) AS n_covered,
+       round(CAST(SUM(CASE WHEN n_chars >= lo_bound AND n_chars <= hi_bound
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM test CROSS JOIN bounds
+"""
+
+
+def q_energy_drift(spark, sf_dir):
+    """Energy-distance drift between the even- and odd-id embedding
+    halves (operators/similarity.py:energy_distance) — the multivariate
+    two-sample statistic that catches correlated drift per-dimension
+    stats miss. Deterministic md5-smallest 100-row subsamples per side
+    (subsampling IS the scale strategy for an all-pairs statistic);
+    distances rounded 6 dp with DECIMAL means."""
+    from ..operators.similarity import energy_distance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return energy_distance(emb.filter(F.col("vec_id") % 2 == 0),
+                           emb.filter(F.col("vec_id") % 2 == 1))
+
+
+SQL_ENERGY_DRIFT = """
+WITH sa AS (
+  SELECT vec_id AS ia, CAST(embedding AS DOUBLE[]) AS va
+  FROM embeddings WHERE vec_id % 2 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 100
+),
+sb AS (
+  SELECT vec_id AS ib, CAST(embedding AS DOUBLE[]) AS vb
+  FROM embeddings WHERE vec_id % 2 = 1
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 100
+),
+bt AS (
+  SELECT round(CAST(SUM(CAST(round(sqrt(list_dot_product(d, d)), 6)
+                            AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 6)
+           AS mean_between
+  FROM (SELECT list_transform(va, (x, i) -> x - vb[i]) AS d
+        FROM sa CROSS JOIN sb)
+),
+wa AS (
+  SELECT round(CAST(SUM(CAST(round(sqrt(list_dot_product(d, d)), 6)
+                            AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 6)
+           AS mean_within_a
+  FROM (SELECT list_transform(l.va, (x, i) -> x - r.va[i]) AS d
+        FROM sa l JOIN sa r ON l.ia < r.ia)
+),
+wb AS (
+  SELECT round(CAST(SUM(CAST(round(sqrt(list_dot_product(d, d)), 6)
+                            AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 6)
+           AS mean_within_b
+  FROM (SELECT list_transform(l.vb, (x, i) -> x - r.vb[i]) AS d
+        FROM sb l JOIN sb r ON l.ib < r.ib)
+),
+na AS (SELECT COUNT(*) AS n_a FROM sa),
+nb AS (SELECT COUNT(*) AS n_b FROM sb)
+SELECT n_a, n_b, mean_between, mean_within_a, mean_within_b,
+       round(2.0 * mean_between - mean_within_a - mean_within_b, 6)
+         AS energy_distance
+FROM na, nb, bt, wa, wb
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11830,6 +11995,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dow_seasonal_anomaly": q_dow_seasonal_anomaly,
     "dsir_weights": q_dsir_weights,
     "bigram_lm_ppl": q_bigram_lm_ppl,
+    "conformal_bounds": q_conformal_bounds,
+    "energy_drift": q_energy_drift,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12025,6 +12192,8 @@ def oracle_map() -> dict[str, str]:
         "dow_seasonal_anomaly": SQL_DOW_SEASONAL_ANOMALY,
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "bigram_lm_ppl": SQL_BIGRAM_LM_PPL,
+        "conformal_bounds": SQL_CONFORMAL_BOUNDS,
+        "energy_drift": SQL_ENERGY_DRIFT,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
