@@ -764,3 +764,28 @@ def test_bigram_lm_frequent_patterns_score_lower_surprise(spark):
     out = {r["doc_id"]: r["avg_neg_logprob"]
            for r in q_bigram_lm_ppl(spark, tmp).collect()}
     assert out[test_ids[0]] < out[test_ids[1]]
+
+
+# --------------------------------------------------- coverage selection
+
+def test_greedy_coverage_picks_complement_not_second_best(spark):
+    """Doc 1 covers {a..e}; doc 2 covers {a..d,f} (second-highest raw
+    coverage but mostly redundant); doc 3 covers {x,y,z} (small but
+    disjoint). Greedy must pick 1 then 3 — the submodular gain, not
+    the raw count."""
+    from xdan_dqa_spark.operators.curation import greedy_coverage_select
+
+    rows = [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r["step"], r["doc_id"], r["new_terms"])
+           for r in greedy_coverage_select(df, k=2).orderBy("step").collect()]
+    assert out == [(1, 1, 5), (2, 3, 3)]
+
+
+def test_greedy_coverage_stops_when_nothing_new(spark):
+    from xdan_dqa_spark.operators.curation import greedy_coverage_select
+
+    rows = [(1, "a b c"), (2, "a b"), (3, "c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = greedy_coverage_select(df, k=3).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1

@@ -409,3 +409,23 @@ def test_conformal_bounds_guarantee_on_fixture(spark):
     assert r["n_covered"] <= r["n_test"]
     # 90%-nominal split conformal: allow finite-sample slack
     assert r["coverage"] >= 0.8
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Vectors: q-aligned near-duplicates 1,2 and an orthogonal-ish 3.
+    Plain top-2 takes {1,2}; MMR at lam=0.3 must take 1 then 3. (When
+    the query IS the top vector, sim(c, top) == qsim(c) for every c, so
+    lam=0.5 cancels exactly and lam must sit below it for the penalty
+    to bite — the diversity-weight calibration note, pinned here.)"""
+    from xdan_dqa_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.5, 0.0, 0.86, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [(r["step"], r["vec_id"])
+           for r in mmr_rerank(df, [1.0, 0.0, 0.0, 0.0], k=2, pool=3,
+                               lam=0.3).orderBy("step").collect()]
+    assert out == [(1, 1), (2, 3)]

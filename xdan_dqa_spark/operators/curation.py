@@ -1475,3 +1475,69 @@ def dsir_weights(df: DataFrame, target_filter, text_col: str = "text",
             ).alias("dsir_weight"),
         )
     )
+
+
+def greedy_coverage_select(df: DataFrame, k: int = 3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           ngram: int = 1) -> DataFrame:
+    """Greedy maximum-coverage data selection (the submodular
+    facility-location recipe of data-subset selection): pick ``k``
+    documents one at a time, each maximizing the number of NEW distinct
+    tokens it adds to the running covered vocabulary (ties → lowest
+    id). The classic 1−1/e-approximate coverage maximizer — "which k
+    docs teach the tokenizer/model the most vocabulary" — and the
+    deterministic core of submodular corpus pruning. Returns one row
+    per step: (step, doc_id, new_terms, covered_total).
+
+    Scale shape per step: ONE distributed aggregate — explode to
+    (doc, term), anti-join the ≤|covered| broadcast of already-covered
+    terms, count per doc, TakeOrdered(1) — the greedy argmax never
+    sorts the corpus. The driver holds only the k selected ids and the
+    covered-term DataFrame lineage (unioned term sets of ≤k docs —
+    bounded); k is a small constant so the python loop builds k plans.
+    A 10⁶-doc selection would switch to the stochastic-greedy variant
+    (sample candidates per step), same per-step shape. ``ngram`` > 1
+    covers distinct word n-grams instead of unigrams — on template
+    corpora whose unigram vocabulary one doc can exhaust, trigram
+    coverage is the non-degenerate objective."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if ngram == 1:
+        units = F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+            lambda w: F.length(w) > 0,
+        )
+    else:
+        units = shingles(text_col, ngram)
+    terms = df.select(F.col(id_col),
+                      F.explode(F.array_distinct(units)).alias("_t"))
+    spark = df.sparkSession
+    covered = None
+    chosen: list[int] = []
+    out_rows = []
+    total = 0
+    for step in range(1, k + 1):
+        cand = terms.filter(~F.col(id_col).isin(chosen)) if chosen else terms
+        fresh = (
+            cand.join(F.broadcast(covered), "_t", "left_anti")
+            if covered is not None else cand
+        )
+        gains = fresh.groupBy(id_col).agg(F.count("*").alias("_gain"))
+        top = gains.orderBy(F.desc("_gain"), F.asc(id_col)).limit(1).collect()
+        if not top:
+            break
+        sel, gain = top[0][id_col], top[0]["_gain"]
+        chosen.append(sel)
+        total += gain
+        out_rows.append((step, sel, gain, total))
+        sel_terms = terms.filter(F.col(id_col) == sel).select("_t").distinct()
+        covered = (
+            sel_terms if covered is None
+            else covered.unionByName(sel_terms).distinct()
+        )
+    return spark.createDataFrame(
+        out_rows, "step int, doc_id long, new_terms long, covered_total long"
+    )

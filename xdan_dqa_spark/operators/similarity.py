@@ -683,3 +683,64 @@ def energy_distance(df_a: DataFrame, df_b: DataFrame,
             ).alias("energy_distance"),
         )
     )
+
+
+def mmr_rerank(df: DataFrame, query: list[float], k: int = 5,
+               pool: int = 10, lam: float = 0.7,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank (Carbonell &
+    Goldstein, SIGIR 1998): from the cosine top-``pool`` candidates,
+    greedily pick ``k`` docs maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s) — the standard de-redundancy pass that keeps a results
+    page (or a few-shot example set) from being five near-copies of
+    the best hit. Returns (step, id, qsim, mmr_score).
+
+    Shape: retrieval does the distributed work (brute-force/ANN top-
+    pool); the greedy loop then runs DRIVER-SIDE on the collected
+    pool — deliberately: MMR is sequential by definition and the pool
+    is ≤ tens of rows, so pushing k dependent distributed jobs would
+    be pure overhead. Determinism: query sims and the pool×pool sim
+    matrix are rounded to 6 dp BEFORE the greedy (both engines compare
+    identical values), each step's score is one fixed float sequence
+    round(λ·qs − (1−λ)·maxsim, 6), ties → lowest id."""
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1 or pool < k:
+        raise ValueError(f"need 1 <= k <= pool, got k={k}, pool={pool}")
+    cand = brute_force_topk(df, query, pool).select(
+        F.col(id_col), F.round(F.col("cosine"), 6).alias("_qs")
+    )
+    withv = cand.join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    left = withv.select(F.col(id_col).alias("_a"), F.col("_qs"),
+                        F.col(vec_col).alias("_va"))
+    right = withv.select(F.col(id_col).alias("_b"),
+                         F.col(vec_col).alias("_vb"))
+    pc = _pair_cosine_udf()
+    sim_rows = (
+        left.crossJoin(right).filter(F.col("_a") != F.col("_b"))
+        .select("_a", "_b",
+                F.round(pc(F.col("_va"), F.col("_vb")), 6).alias("_s"))
+        .collect()
+    )
+    qs = {r["_a"]: r["_qs"] for r in
+          left.select("_a", "_qs").distinct().collect()}
+    sims: dict[tuple, float] = {(r["_a"], r["_b"]): r["_s"] for r in sim_rows}
+    selected: list = []
+    out = []
+    for step in range(1, k + 1):
+        best = None
+        for c in sorted(qs):
+            if c in selected:
+                continue
+            ms = max((sims[(c, s)] for s in selected), default=0.0)
+            score = round(lam * qs[c] - (1.0 - lam) * ms, 6)
+            if best is None or score > best[1]:
+                best = (c, score)
+        if best is None:
+            break
+        selected.append(best[0])
+        out.append((step, best[0], qs[best[0]], best[1]))
+    return df.sparkSession.createDataFrame(
+        out, f"step int, {id_col} long, qsim double, mmr_score double"
+    )

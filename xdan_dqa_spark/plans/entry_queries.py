@@ -11782,6 +11782,143 @@ FROM na, nb, bt, wa, wb
 """
 
 
+def q_coverage_select(spark, sf_dir):
+    """Greedy maximum-coverage selection of 3 documents
+    (operators/curation.py:greedy_coverage_select) — the submodular
+    "which docs add the most new vocabulary" pruning step, 1−1/e
+    approximate by the classic greedy guarantee, over distinct
+    TRIGRAMS (one template doc exhausts this corpus's unigram
+    vocabulary — the degenerate objective the ngram knob exists for).
+    Per step: one distributed gain aggregate with the covered set
+    broadcast anti-joined; the corpus is never sorted. The twin
+    unrolls the 3 greedy steps as CTEs."""
+    from ..operators.curation import greedy_coverage_select
+
+    return greedy_coverage_select(_t(spark, sf_dir, "documents"), k=3,
+                                  ngram=3)
+
+
+SQL_COVERAGE_SELECT = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS tm
+           FROM documents),
+g1 AS (SELECT doc_id, COUNT(*) AS gain FROM t GROUP BY doc_id),
+s1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT tm FROM t WHERE doc_id = (SELECT doc_id FROM s1)),
+g2 AS (
+  SELECT doc_id, COUNT(*) AS gain FROM t
+  WHERE doc_id <> (SELECT doc_id FROM s1)
+    AND tm NOT IN (SELECT tm FROM c1)
+  GROUP BY doc_id
+),
+s2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+c2 AS (
+  SELECT tm FROM c1
+  UNION
+  SELECT tm FROM t WHERE doc_id = (SELECT doc_id FROM s2)
+),
+g3 AS (
+  SELECT doc_id, COUNT(*) AS gain FROM t
+  WHERE doc_id NOT IN (SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2)
+    AND tm NOT IN (SELECT tm FROM c2)
+  GROUP BY doc_id
+),
+s3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1)
+SELECT 1 AS step, s1.doc_id, s1.gain AS new_terms,
+       s1.gain AS covered_total FROM s1
+UNION ALL
+SELECT 2, s2.doc_id, s2.gain, s1.gain + s2.gain FROM s1, s2
+UNION ALL
+SELECT 3, s3.doc_id, s3.gain, s1.gain + s2.gain + s3.gain FROM s1, s2, s3
+"""
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity rerank of the cosine top-10 around vec 0
+    (operators/similarity.py:mmr_rerank): greedy λ=0.7 pick of 5,
+    penalizing similarity to already-selected results — the
+    de-redundancy pass that keeps a results page from being five
+    near-copies of the best hit. Retrieval is the distributed part;
+    the sequential greedy runs on the collected ≤10-row pool with all
+    sims pre-rounded to 6 dp, so the twin's unrolled 5-step CTEs
+    compare identical values."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0] * 64
+    return mmr_rerank(emb, query, k=5, pool=10).select(
+        "step", F.col("vec_id").alias("doc_id"), "qsim", "mmr_score"
+    )
+
+
+SQL_MMR_RERANK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS qsr
+  FROM embeddings e, q
+),
+-- pool selection orders by the RAW cosine (matching brute_force_topk);
+-- the greedy compares only the rounded values
+cand AS (SELECT doc_id, v, round(qsr, 6) AS qs FROM scored
+         ORDER BY qsr DESC, doc_id LIMIT 10),
+sims AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v))
+                  * sqrt(list_dot_product(r.v, r.v))), 6) AS sim
+  FROM cand l JOIN cand r ON l.doc_id <> r.doc_id
+),
+sel1 AS (SELECT doc_id, qs, round(0.7 * qs, 6) AS sc
+         FROM cand ORDER BY round(0.7 * qs, 6) DESC, doc_id LIMIT 1),
+m2 AS (
+  SELECT c.doc_id, c.qs,
+         round(0.7 * c.qs - 0.3 * (SELECT max(s.sim) FROM sims s
+               WHERE s.a = c.doc_id AND s.b IN (SELECT doc_id FROM sel1)), 6) AS sc
+  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1)
+),
+sel2 AS (SELECT doc_id, qs, sc FROM m2
+           ORDER BY sc DESC, doc_id LIMIT 1),
+m3 AS (
+  SELECT c.doc_id, c.qs,
+         round(0.7 * c.qs - 0.3 * (SELECT max(s.sim) FROM sims s
+               WHERE s.a = c.doc_id AND s.b IN (SELECT doc_id FROM sel1 UNION ALL SELECT doc_id FROM sel2)), 6) AS sc
+  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1 UNION ALL SELECT doc_id FROM sel2)
+),
+sel3 AS (SELECT doc_id, qs, sc FROM m3
+           ORDER BY sc DESC, doc_id LIMIT 1),
+m4 AS (
+  SELECT c.doc_id, c.qs,
+         round(0.7 * c.qs - 0.3 * (SELECT max(s.sim) FROM sims s
+               WHERE s.a = c.doc_id AND s.b IN (SELECT doc_id FROM sel1 UNION ALL SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM sel3)), 6) AS sc
+  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1 UNION ALL SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM sel3)
+),
+sel4 AS (SELECT doc_id, qs, sc FROM m4
+           ORDER BY sc DESC, doc_id LIMIT 1),
+m5 AS (
+  SELECT c.doc_id, c.qs,
+         round(0.7 * c.qs - 0.3 * (SELECT max(s.sim) FROM sims s
+               WHERE s.a = c.doc_id AND s.b IN (SELECT doc_id FROM sel1 UNION ALL SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM sel4)), 6) AS sc
+  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1 UNION ALL SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM sel4)
+),
+sel5 AS (SELECT doc_id, qs, sc FROM m5
+           ORDER BY sc DESC, doc_id LIMIT 1)
+SELECT 1 AS step, doc_id, qs AS qsim, sc AS mmr_score FROM sel1
+UNION ALL
+SELECT 2 AS step, doc_id, qs AS qsim, sc AS mmr_score FROM sel2
+UNION ALL
+SELECT 3 AS step, doc_id, qs AS qsim, sc AS mmr_score FROM sel3
+UNION ALL
+SELECT 4 AS step, doc_id, qs AS qsim, sc AS mmr_score FROM sel4
+UNION ALL
+SELECT 5 AS step, doc_id, qs AS qsim, sc AS mmr_score FROM sel5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -11997,6 +12134,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_ppl": q_bigram_lm_ppl,
     "conformal_bounds": q_conformal_bounds,
     "energy_drift": q_energy_drift,
+    "coverage_select": q_coverage_select,
+    "mmr_rerank": q_mmr_rerank,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12194,6 +12333,8 @@ def oracle_map() -> dict[str, str]:
         "bigram_lm_ppl": SQL_BIGRAM_LM_PPL,
         "conformal_bounds": SQL_CONFORMAL_BOUNDS,
         "energy_drift": SQL_ENERGY_DRIFT,
+        "coverage_select": SQL_COVERAGE_SELECT,
+        "mmr_rerank": SQL_MMR_RERANK,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
