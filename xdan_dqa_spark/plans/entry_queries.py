@@ -11919,6 +11919,102 @@ SELECT 5 AS step, doc_id, qs AS qsim, sc AS mmr_score FROM sel5
 """
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Streaming STREAM-STREAM inner join — the last streaming shape in
+    the family (windowed agg, stateful dedup, stateful counters):
+    clicks join purchases by user within [click_ts, click_ts + 1h],
+    both sides watermarked at a REAL 2-hour delay so the join state is
+    bounded, over 4 genuine micro-batches — proven ≡ the batch
+    time-range join bit-for-bit.
+
+    Staging detail that MAKES stream ≡ batch at a bounded watermark:
+    the input is split into four disjoint time slabs written as
+    explicitly mtime-ordered single files (FileStreamSource consumes
+    oldest-modification-first), so BOTH file sources advance through
+    event time in lockstep and nothing ever arrives behind the
+    watermark. The first cut staged via repartitionByRange in one
+    commit — the two sources then consumed the part files in different
+    orders, one raced the watermark past the other's pending slabs,
+    and 7 of 33 matches were late-dropped; delivery ORDER, not slab
+    shape, is what the watermark contract is about. Append-mode memory
+    sink (complete is not defined for stream-stream joins); event-time
+    columns cast NTZ→LTZ (watermarks need an instant; session tz is
+    pinned UTC) and only ids + the integral µs gap are output, so the
+    interpretation cancels cross-engine."""
+    import glob
+    import shutil
+
+    batch = _t(spark, sf_dir, "events")
+    stage = "/tmp/xdan_stream_ssj_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4,
+            "layout": "mtime-ordered-slabs-v2"}
+    marker = os.path.join(stage, "_SPEC.json")
+
+    def _build():
+        shutil.rmtree(os.path.join(stage, "events"), ignore_errors=True)
+        os.makedirs(os.path.join(stage, "events"), exist_ok=True)
+        w = Window.orderBy("ts", "event_id")
+        slabbed = batch.withColumn("_q", F.ntile(4).over(w))
+        for i in range(1, 5):
+            tmp = os.path.join(stage, f"_b{i}")
+            (slabbed.filter(F.col("_q") == i).drop("_q")
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, "events", f"{i:05d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp)
+
+    _stage_with_spec(marker, spec, _build)
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/events")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").cast("timestamp").alias("cts"))
+        .withWatermark("cts", "2 hours")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").cast("timestamp").alias("pts"))
+        .withWatermark("pts", "2 hours")
+    )
+    j = clicks.join(
+        purchases,
+        F.expr("user_id = p_user AND pts >= cts "
+               "AND pts <= cts + INTERVAL 1 HOUR"),
+    ).select(
+        "user_id", "click_id", "purchase_id",
+        F.expr("unix_micros(pts) - unix_micros(cts)").alias("gap_us"),
+    )
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"stream_ssj_{key}_{next(_STREAM_QUERY_SEQ)}"
+    q = (
+        j.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    local = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+    return local
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12136,6 +12232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "energy_drift": q_energy_drift,
     "coverage_select": q_coverage_select,
     "mmr_rerank": q_mmr_rerank,
+    "stream_stream_join": q_stream_stream_join,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12335,6 +12432,7 @@ def oracle_map() -> dict[str, str]:
         "energy_drift": SQL_ENERGY_DRIFT,
         "coverage_select": SQL_COVERAGE_SELECT,
         "mmr_rerank": SQL_MMR_RERANK,
+        "stream_stream_join": SQL_STREAM_STREAM_JOIN,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
