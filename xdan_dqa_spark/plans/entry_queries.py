@@ -12015,6 +12015,119 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_stream_left_join(spark, sf_dir):
+    """Streaming stream-stream LEFT OUTER join — the semantically hard
+    streaming shape: matched pairs emit immediately, but an unmatched
+    click may only emit its null row once the watermark PASSES the end
+    of its join window (cts + 1h < watermark) — earlier emission could
+    be contradicted by a late purchase. With availableNow the final
+    no-data batch flushes every click whose window closed under the
+    terminal watermark min(max cts, max pts) − 2h; clicks still inside
+    the 2-hour safety margin are correctly WITHHELD, and the oracle
+    twin reproduces exactly that emission rule (strict <, verified
+    empirically) rather than pretending stream equals a plain batch
+    left join. Same mtime-ordered slab staging as
+    q_stream_stream_join (shared stage dir)."""
+    import glob
+    import shutil
+
+    batch = _t(spark, sf_dir, "events")
+    stage = "/tmp/xdan_stream_ssj_" + sf_dir.strip("/").replace("/", "_")
+    spec = {"sf_dir": sf_dir, "rows": batch.count(), "n_files": 4,
+            "layout": "mtime-ordered-slabs-v2"}
+    marker = os.path.join(stage, "_SPEC.json")
+
+    def _build():
+        shutil.rmtree(os.path.join(stage, "events"), ignore_errors=True)
+        os.makedirs(os.path.join(stage, "events"), exist_ok=True)
+        w = Window.orderBy("ts", "event_id")
+        slabbed = batch.withColumn("_q", F.ntile(4).over(w))
+        for i in range(1, 5):
+            tmp = os.path.join(stage, f"_b{i}")
+            (slabbed.filter(F.col("_q") == i).drop("_q")
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, "events", f"{i:05d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp)
+
+    _stage_with_spec(marker, spec, _build)
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/events")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").cast("timestamp").alias("cts"))
+        .withWatermark("cts", "2 hours")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").cast("timestamp").alias("pts"))
+        .withWatermark("pts", "2 hours")
+    )
+    j = clicks.join(
+        purchases,
+        F.expr("user_id = p_user AND pts >= cts "
+               "AND pts <= cts + INTERVAL 1 HOUR"),
+        "leftOuter",
+    ).select(
+        "user_id", "click_id", "purchase_id",
+        F.expr("unix_micros(pts) - unix_micros(cts)").alias("gap_us"),
+    )
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"stream_slj_{key}_{next(_STREAM_QUERY_SEQ)}"
+    q = (
+        j.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    local = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+    return local
+
+
+SQL_STREAM_LEFT_JOIN = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+         - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT c.user_id, c.click_id, p.purchase_id,
+         epoch_us(p.pts) - epoch_us(c.cts) AS gap_us
+  FROM c JOIN p
+    ON c.user_id = p.p_user
+   AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT c.user_id, c.click_id,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS BIGINT) AS gap_us
+  FROM c CROSS JOIN wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.p_user = c.user_id
+            AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+    AND c.cts + INTERVAL 1 HOUR < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12233,6 +12346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coverage_select": q_coverage_select,
     "mmr_rerank": q_mmr_rerank,
     "stream_stream_join": q_stream_stream_join,
+    "stream_left_join": q_stream_left_join,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12433,6 +12547,7 @@ def oracle_map() -> dict[str, str]:
         "coverage_select": SQL_COVERAGE_SELECT,
         "mmr_rerank": SQL_MMR_RERANK,
         "stream_stream_join": SQL_STREAM_STREAM_JOIN,
+        "stream_left_join": SQL_STREAM_LEFT_JOIN,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
