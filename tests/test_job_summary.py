@@ -114,3 +114,35 @@ def test_fd_violations_census(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["url"], r["n_rows"], r["n_distinct_rhs"]) == ("u1", 3, 2)
+
+
+def test_dedup_job_subprocess_end_to_end(tmp_path):
+    """jobs/dedup_job.py lifecycle in a clean process: synth corpus
+    (20% exact + 10% near dups) → survivors + report parquet + RESULT
+    line. Exact method must drop exactly the byte-identical copies
+    (survivors distinct by text); the report's accounting must add up."""
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "dedup_job.py"),
+         "--input", "synth:400", "--output", str(tmp_path / "dd"),
+         "--method", "exact", "--run-id", "dd-1", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = re.search(r"RESULT run_id=dd-1 method=exact n_input=(\d+) "
+                  r"n_kept=(\d+)", out.stdout)
+    assert m and int(m.group(1)) == 400
+    n_kept = int(m.group(2))
+    assert 0 < n_kept < 400
+
+    import duckdb
+
+    dd = str(tmp_path / "dd")
+    n_rows, n_texts = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT text) FROM '{dd}/deduped/*.parquet'"
+    ).fetchone()
+    assert n_rows == n_kept == n_texts          # survivors text-distinct
+    rep = duckdb.sql(
+        f"SELECT n_input, n_kept, n_dropped FROM '{dd}/report/*.parquet'"
+    ).fetchone()
+    assert rep == (400, n_kept, 400 - n_kept)
