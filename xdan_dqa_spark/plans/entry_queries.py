@@ -12128,6 +12128,127 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 """
 
 
+def q_lsh_recall_eval(spark, sf_dir):
+    """LSH banding recall MEASURED against exact ground truth — the
+    eval a dedup rollout runs before trusting its banding geometry:
+    exact shingle-Jaccard ≥ 0.7 pairs come from the PPJoin prefix
+    filter (guaranteed recall 1.0) applied in md5-shingle space (each
+    distinct shingle becomes one whitespace token, so the prefix
+    filter's token-set Jaccard IS the shingle Jaccard the MinHash
+    bands approximate); candidates come from the production 4×2
+    banding. One row: (n_true_pairs, n_candidates, n_hits, recall,
+    mean_capture_theory) — the theoretical capture 1−(1−j²)⁴ averaged
+    over the true pairs rides alongside, spelled as explicit
+    multiplications (a libm pow() could differ in the last ulp across
+    engines). Recall ≥ theory-mean is the expected relationship; both
+    are REPORTED, not asserted."""
+    from ..operators.dedup import (
+        minhash_candidate_pairs,
+        prefix_filter_pairs,
+        shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh_text = F.array_join(
+        F.transform(F.array_distinct(shingles("text")), F.md5), " "
+    )
+    view = d.select("doc_id", sh_text.alias("text"))
+    exact = prefix_filter_pairs(view, threshold_num=7, threshold_den=10)
+    cand = minhash_candidate_pairs(d)
+    hits = exact.join(cand, ["a", "b"], "left_semi")
+    j = F.col("jaccard")
+    q1 = F.lit(1.0) - j * j
+    q2 = q1 * q1
+    p = F.round(F.lit(1.0) - q2 * q2, 9)
+    stats = exact.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.round(
+            (F.sum(p.cast("decimal(28,9)"))
+             / F.greatest(F.count("*"), F.lit(1))).cast("double"), 6
+        ).alias("mean_capture_theory"),
+    )
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        stats.crossJoin(nh).crossJoin(nc)
+        .select(
+            "n_true_pairs", "n_candidates", "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+            "mean_capture_theory",
+        )
+    )
+
+
+SQL_LSH_RECALL_EVAL = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([md5(x) FOR x IN {_SHINGLES_SQL}]) AS s
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(s) AS term FROM sh),
+vocab AS (SELECT term, COUNT(*) AS dfq FROM tok GROUP BY 1),
+ranks AS (
+  SELECT term, row_number() OVER (ORDER BY dfq, term) AS grank FROM vocab
+),
+sizes AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+pref AS (
+  SELECT doc_id, term, s FROM (
+    SELECT t.doc_id, t.term, z.s,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY r.grank) AS dr
+    FROM tok t JOIN ranks r ON t.term = r.term
+    JOIN sizes z ON t.doc_id = z.doc_id
+  ) WHERE dr <= s - (7 * s + 9) // 10 + 1
+),
+pcand AS (
+  SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b
+  FROM pref pa JOIN pref pb ON pa.term = pb.term AND pa.doc_id < pb.doc_id
+   AND pb.s * 10 >= pa.s * 7 AND pa.s * 10 >= pb.s * 7
+),
+shared AS (
+  SELECT c.a, c.b, COUNT(*) AS n_shared
+  FROM pcand c JOIN tok ta ON ta.doc_id = c.a
+  JOIN tok tb ON tb.doc_id = c.b AND tb.term = ta.term
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT s.a, s.b,
+         round(CAST(s.n_shared AS DOUBLE)
+               / CAST(za.s + zb.s - s.n_shared AS DOUBLE), 6) AS jaccard
+  FROM shared s JOIN sizes za ON za.doc_id = s.a
+  JOIN sizes zb ON zb.doc_id = s.b
+  WHERE s.n_shared * 10 >= 7 * (za.s + zb.s - s.n_shared)
+),
+sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+hits AS (SELECT e.a, e.b FROM exact e JOIN cand c ON e.a = c.a AND e.b = c.b),
+st AS (
+  SELECT COUNT(*) AS n_true_pairs,
+         round(CAST(SUM(CAST(round(
+                 1.0 - ((1.0 - jaccard * jaccard) * (1.0 - jaccard * jaccard))
+                     * ((1.0 - jaccard * jaccard) * (1.0 - jaccard * jaccard)),
+               9) AS DECIMAL(28,9))) / greatest(COUNT(*), 1) AS DOUBLE), 6)
+           AS mean_capture_theory
+  FROM exact
+),
+nh AS (SELECT COUNT(*) AS n_hits FROM hits),
+nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+SELECT n_true_pairs, n_candidates, n_hits,
+       round(CAST(n_hits AS DOUBLE)
+             / CAST(greatest(n_true_pairs, 1) AS DOUBLE), 6) AS recall,
+       mean_capture_theory
+FROM st, nh, nc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12347,6 +12468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "stream_stream_join": q_stream_stream_join,
     "stream_left_join": q_stream_left_join,
+    "lsh_recall_eval": q_lsh_recall_eval,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12548,6 +12670,7 @@ def oracle_map() -> dict[str, str]:
         "mmr_rerank": SQL_MMR_RERANK,
         "stream_stream_join": SQL_STREAM_STREAM_JOIN,
         "stream_left_join": SQL_STREAM_LEFT_JOIN,
+        "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
