@@ -789,3 +789,40 @@ def test_greedy_coverage_stops_when_nothing_new(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = greedy_coverage_select(df, k=3).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 1
+
+
+def test_cluster_safe_split_keeps_near_dups_together(spark):
+    """A 3-doc near-dup chain plus its byte-identical copy must all land
+    in ONE split; unrelated docs split independently."""
+    from xdan_dqa_spark.operators.curation import cluster_safe_split
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, base + " tail1"),
+        (2, base + " tail2"),
+        (3, base + " tail3"),
+        (4, base + " tail1"),            # exact copy of doc 1
+        (50, " ".join(f"z{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["comp"], r["split"])
+           for r in cluster_safe_split(df).collect()}
+    assert len(got) == 5
+    cluster_splits = {got[i][1] for i in (1, 2, 3, 4)}
+    assert len(cluster_splits) == 1          # whole cluster in one split
+    assert got[1][0] == got[2][0] == got[3][0] == got[4][0] == 1
+    assert got[50][0] == 50
+
+
+def test_cluster_safe_split_covers_every_row_and_is_stable(spark):
+    from xdan_dqa_spark.operators.curation import cluster_safe_split
+
+    df = spark.range(120).selectExpr(
+        "id AS doc_id",
+        "concat('unique doc ', id, ' body ', id * 7919) AS text",
+    )
+    a = sorted(map(tuple, cluster_safe_split(df).collect()))
+    b = sorted(map(tuple, cluster_safe_split(df.repartition(7)).collect()))
+    assert a == b and len(a) == 120
+    splits = {s for _, _, s in a}
+    assert splits <= {"train", "val", "test"} and "train" in splits

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import WS_PLUS
-from .dedup import shingles
+from .dedup import (
+    connected_components,
+    exact_dedup,
+    jaccard_verify,
+    minhash_candidate_pairs,
+    shingles,
+)
 
 
 def _words(text_col: str) -> F.Column:
@@ -1547,4 +1553,53 @@ def greedy_coverage_select(df: DataFrame, k: int = 3,
         )
     return spark.createDataFrame(
         out_rows, "step int, doc_id long, new_terms long, covered_total long"
+    )
+
+
+def cluster_safe_split(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       threshold: float = 0.7) -> DataFrame:
+    """NEAR-DUP-CLUSTER-aware train/val/test split: every member of a
+    MinHash-verified connected component inherits the split of its
+    component label, so near-duplicate pages can never straddle train
+    and test — the leakage mode :func:`leak_safe_split` (canonical-text
+    keying) cannot catch, and the one that actually inflates eval
+    numbers (a test doc whose 0.9-Jaccard sibling was trained on).
+    Returns (id, comp, split) for EVERY input row; assignment is
+    pmod(md5(comp), 100) against the fixed 80/10/10 boundaries — no
+    RNG, stable across runs and engines.
+
+    Scale shape: the component machinery is the documented cc_dedup
+    stack (exact-collapse first, band self-join, verified edges, one
+    job per propagation round); the split itself adds one id-keyed
+    join back through each doc's exact-dup representative and a
+    map-side bucket expression."""
+    keyed = df.select(F.col(id_col), F.md5(F.coalesce(F.col(text_col),
+                                                      F.lit(""))).alias("_k"))
+    reps = keyed.groupBy("_k").agg(F.min(id_col).alias("_rep"))
+    withrep = keyed.join(reps, "_k").select(F.col(id_col), F.col("_rep"))
+    base = exact_dedup(df.select(F.col(id_col), F.col(text_col)),
+                       text_col, id_col)
+    pairs = jaccard_verify(
+        base, minhash_candidate_pairs(base, text_col, id_col),
+        text_col, id_col, threshold,
+    )
+    labels = connected_components(pairs.select("a", "b"))
+    comp = (
+        withrep.join(labels.withColumnRenamed("node", "_rep"), "_rep", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col("_rep")).alias("comp"),
+        )
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    return comp.select(
+        F.col(id_col), "comp",
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
     )

@@ -12249,6 +12249,109 @@ FROM st, nh, nc
 """
 
 
+def q_split_by_cluster(spark, sf_dir):
+    """Near-dup-cluster-aware train/val/test split
+    (operators/curation.py:cluster_safe_split): every member of a
+    MinHash-verified connected component inherits the split of its
+    component label — the leakage mode canonical-text keying
+    (split_leak_safe) cannot catch: a test doc whose 0.9-Jaccard
+    sibling was trained on. Assignment is pmod(md5(comp), 100) vs
+    fixed 80/10/10 boundaries; the twin extends the recursive-CTE
+    component labels with the same bucket rule."""
+    from ..operators.curation import cluster_safe_split
+
+    return cluster_safe_split(_t(spark, sf_dir, "documents"))
+
+
+SQL_SPLIT_BY_CLUSTER = f"""{_CC_COMP_SQL},
+allc AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, comp,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, comp,
+         CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS b
+  FROM allc
+)
+"""
+
+
+def q_hashed_tf_knn(spark, sf_dir):
+    """Model-free document kNN by the HASHING TRICK, computed SPARSELY:
+    each doc becomes a 256-bucket hashed term-count vector, but the
+    vectors are never materialized — cosine to doc 0 is a sparse
+    relational dot (join on shared buckets, integer count products)
+    over the bucket tables, which is exactly how sparse similarity
+    scales (dense 256-dim arrays per doc would ship zeros; at 2^20
+    buckets the join form is the only viable one). Top-10 by rounded
+    cosine, ties → id."""
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda x: F.length(x) > 0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("htf:"), F.col("_w"))), 1, 8),
+               16, 10).cast("long") % 256
+    )
+    tb = (
+        d.select("doc_id", F.explode(words).alias("_w"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    )
+    norms = tb.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("_n2"))
+    q0 = tb.filter(F.col("doc_id") == 0).select(
+        F.col("b"), F.col("c").alias("c0"))
+    n0 = norms.filter(F.col("doc_id") == 0).select(
+        F.col("_n2").alias("_n0"))
+    dots = (
+        tb.join(F.broadcast(q0), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("c0")).alias("_dot"))
+    )
+    return (
+        dots.join(norms, "doc_id").crossJoin(F.broadcast(n0))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("_dot").cast("double")
+                / (F.sqrt(F.col("_n2").cast("double"))
+                   * F.sqrt(F.col("_n0").cast("double"))),
+                6,
+            ).alias("cosine_r"),
+        )
+        .orderBy(F.desc("cosine_r"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_HASHED_TF_KNN = f"""
+WITH ex AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('htf:' || w), 1, 8) AS BIGINT) % 256 AS b
+  FROM (SELECT doc_id, unnest({_WORDS_WS_SQL}) AS w FROM documents)
+),
+tb AS (SELECT doc_id, b, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+norms AS (SELECT doc_id, SUM(c * c) AS n2 FROM tb GROUP BY 1),
+q0 AS (SELECT b, c AS c0 FROM tb WHERE doc_id = 0),
+n0 AS (SELECT n2 AS nn0 FROM norms WHERE doc_id = 0),
+dots AS (
+  SELECT tb.doc_id, SUM(tb.c * q0.c0) AS dot
+  FROM tb JOIN q0 ON tb.b = q0.b GROUP BY tb.doc_id
+)
+SELECT d.doc_id,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(nn0 AS DOUBLE))), 6)
+         AS cosine_r
+FROM dots d JOIN norms USING (doc_id) CROSS JOIN n0
+ORDER BY cosine_r DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12469,6 +12572,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_join": q_stream_stream_join,
     "stream_left_join": q_stream_left_join,
     "lsh_recall_eval": q_lsh_recall_eval,
+    "split_by_cluster": q_split_by_cluster,
+    "hashed_tf_knn": q_hashed_tf_knn,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12671,6 +12776,8 @@ def oracle_map() -> dict[str, str]:
         "stream_stream_join": SQL_STREAM_STREAM_JOIN,
         "stream_left_join": SQL_STREAM_LEFT_JOIN,
         "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
+        "split_by_cluster": SQL_SPLIT_BY_CLUSTER,
+        "hashed_tf_knn": SQL_HASHED_TF_KNN,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
