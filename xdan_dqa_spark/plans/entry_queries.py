@@ -12352,6 +12352,149 @@ ORDER BY cosine_r DESC, doc_id LIMIT 10
 """
 
 
+def q_slot_apportionment(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of a 1000-slot crawl /
+    sampling budget across sources, weighted by kept-doc count under
+    the Gopher rule — the quota-allocation primitive behind politeness
+    budgets and mixture quotas, done EXACTLY: base = floor(w·B/W) via
+    integer division, the B − Σbase leftover slots go to the largest
+    remainders (ties → source asc), so the slot column sums to B
+    precisely — no float rounding drift ever leaves slots unassigned.
+    All-integer; the remainder rank is a window over the ≤#sources
+    aggregate, never the corpus."""
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    keep = (
+        (F.round(h["symbol_ratio"], 9) <= 0.1)
+        & (h["n_words"].cast("long") >= 5)
+        & (F.round(h["dup_line_frac"], 9) <= 0.3)
+    )
+    B = 1000
+    per = d.groupBy("source").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).alias("w")
+    )
+    tot = per.agg(F.sum("w").alias("wtot"), F.count("*").alias("_g"))
+    j = per.crossJoin(F.broadcast(tot))
+    j = j.select(
+        "source", "w",
+        F.expr(f"(w * {B}) DIV wtot").alias("base"),
+        F.expr(f"(w * {B}) % wtot").alias("rem"),
+    )
+    used = j.agg(F.sum("base").alias("_used")).collect()[0]["_used"]
+    leftover = B - int(used)
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        j.withColumn("_rk", F.row_number().over(wr))
+        .select(
+            "source", "w", "base", "rem",
+            (F.col("base")
+             + F.when(F.col("_rk") <= leftover, 1).otherwise(0)).alias("slots"),
+        )
+    )
+
+
+SQL_SLOT_APPORTIONMENT = f"""
+WITH base AS (
+  SELECT source, coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws
+  FROM documents
+),
+ln_t AS (
+  SELECT source, t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+),
+g AS (
+  SELECT source,
+         CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+               ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                         AS DOUBLE) / len(ws) END) <= 0.1
+          AND len(ws) >= 5
+          AND (CASE WHEN len(lines) <= 1 THEN 0.0
+               ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                    / len(lines) END) <= 0.3
+         THEN 1 ELSE 0 END AS kp
+  FROM ln_t
+),
+per AS (SELECT source, SUM(kp) AS w FROM g GROUP BY source),
+tot AS (SELECT SUM(w) AS ww FROM per),
+j AS (
+  SELECT source, w, (w * 1000) // ww AS base, (w * 1000) % ww AS rem
+  FROM per CROSS JOIN tot
+),
+lo AS (SELECT 1000 - SUM(base) AS leftover FROM j)
+SELECT source, w, base, rem,
+       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS slots
+FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM j)
+CROSS JOIN lo
+"""
+
+
+def q_dedup_family_kappa(spark, sf_dir):
+    """Inter-family agreement on keep/drop decisions: the exact 2×2
+    contingency between MinHash-Jaccard and SimHash verdicts plus
+    Cohen's kappa — the one-number answer to "are my two near-dup
+    detectors measuring the same thing", computed on top of the
+    dedup-provenance flags. Counts are exact integers; kappa is one
+    fixed IEEE sequence (po − pe)/(1 − pe) rounded 6 dp."""
+    from ..operators.dedup import dedup_provenance
+
+    prov = dedup_provenance(_t(spark, sf_dir, "documents"))
+    a = F.col("kept_minhash").cast("long")
+    b = F.col("kept_simhash").cast("long")
+    ct = prov.agg(
+        F.count("*").alias("n"),
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        ((F.col("n11") + F.col("n10")).cast("double") / nd)
+        * ((F.col("n11") + F.col("n01")).cast("double") / nd)
+        + ((F.col("n01") + F.col("n00")).cast("double") / nd)
+        * ((F.col("n10") + F.col("n00")).cast("double") / nd)
+    )
+    return ct.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def _sql_dedup_family_kappa() -> str:
+    prov = _sql_dedup_provenance()
+    return f"""
+WITH prov AS ({prov}),
+ct AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN kept_minhash AND kept_simhash THEN 1 ELSE 0 END) AS n11,
+         SUM(CASE WHEN kept_minhash AND NOT kept_simhash THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN NOT kept_minhash AND kept_simhash THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN NOT kept_minhash AND NOT kept_simhash THEN 1 ELSE 0 END) AS n00
+  FROM prov
+)
+SELECT n, n11, n10, n01, n00,
+       round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+                 * CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)
+                 + CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                   * CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+                 * CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)
+                 + CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                   * CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS kappa
+FROM ct
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12574,6 +12717,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_recall_eval": q_lsh_recall_eval,
     "split_by_cluster": q_split_by_cluster,
     "hashed_tf_knn": q_hashed_tf_knn,
+    "slot_apportionment": q_slot_apportionment,
+    "dedup_family_kappa": q_dedup_family_kappa,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12778,6 +12923,8 @@ def oracle_map() -> dict[str, str]:
         "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
         "split_by_cluster": SQL_SPLIT_BY_CLUSTER,
         "hashed_tf_knn": SQL_HASHED_TF_KNN,
+        "slot_apportionment": SQL_SLOT_APPORTIONMENT,
+        "dedup_family_kappa": _sql_dedup_family_kappa(),
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
