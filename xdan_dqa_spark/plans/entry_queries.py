@@ -12495,6 +12495,184 @@ FROM ct
 """
 
 
+def q_filter_cascade_plan(spark, sf_dir):
+    """Filter-cascade ORDERING plan: per Gopher rule, the measured
+    solo drop count and selectivity, ranked cheapest-first-most-
+    selective-first — the predicate-ordering decision a 100 TB filter
+    stack makes once per corpus profile (run the rule that kills the
+    most docs per unit cost first; later rules see fewer rows). Cost
+    weights are the documented static proxies (translate=1, split=2,
+    line-split+distinct=3); the efficiency rank is
+    drop_count·1000 DIV cost — integer, so the ordering never rides a
+    float ULP. One scan computes every rule's flag; counts fold
+    map-side."""
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    rules = [
+        ("min_words", h["n_words"].cast("long") < 5, 2),
+        ("symbol_ratio", F.round(h["symbol_ratio"], 9) > 0.1, 1),
+        ("dup_lines", F.round(h["dup_line_frac"], 9) > 0.3, 3),
+    ]
+    flags = d.select(*[
+        F.when(cond, 1).otherwise(0).alias(f"_f_{name}")
+        for name, cond, _ in rules
+    ])
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"_f_{name}").alias(f"_d_{name}") for name, _, _ in rules],
+    )
+    rows = []
+    for name, _, cost in rules:
+        rows.append(
+            agg.select(
+                F.lit(name).alias("rule"),
+                F.lit(cost).alias("cost"),
+                F.col(f"_d_{name}").alias("n_dropped_alone"),
+                F.round(
+                    F.col(f"_d_{name}").cast("double")
+                    / F.col("n").cast("double"), 6
+                ).alias("selectivity"),
+                F.expr(f"(_d_{name} * 1000) DIV {cost}").alias("efficiency"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    wnd = Window.orderBy(F.desc("efficiency"), F.asc("rule"))
+    return out.withColumn("run_order", F.row_number().over(wnd))
+
+
+SQL_FILTER_CASCADE_PLAN = f"""
+WITH base AS (
+  SELECT coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws FROM documents
+),
+ln_t AS (
+  SELECT t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+),
+fl AS (
+  SELECT CASE WHEN len(ws) < 5 THEN 1 ELSE 0 END AS f_min_words,
+         CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+               ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                         AS DOUBLE) / len(ws) END) > 0.1 THEN 1 ELSE 0 END
+           AS f_symbol_ratio,
+         CASE WHEN (CASE WHEN len(lines) <= 1 THEN 0.0
+               ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                    / len(lines) END) > 0.3 THEN 1 ELSE 0 END AS f_dup_lines
+  FROM ln_t
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(f_min_words) AS d_min_words,
+         SUM(f_symbol_ratio) AS d_symbol_ratio,
+         SUM(f_dup_lines) AS d_dup_lines
+  FROM fl
+),
+rules AS (
+  SELECT 'min_words' AS rule, 2 AS cost, d_min_words AS n_dropped_alone,
+         round(CAST(d_min_words AS DOUBLE) / n, 6) AS selectivity,
+         (d_min_words * 1000) // 2 AS efficiency FROM agg
+  UNION ALL
+  SELECT 'symbol_ratio', 1, d_symbol_ratio,
+         round(CAST(d_symbol_ratio AS DOUBLE) / n, 6),
+         (d_symbol_ratio * 1000) // 1 FROM agg
+  UNION ALL
+  SELECT 'dup_lines', 3, d_dup_lines,
+         round(CAST(d_dup_lines AS DOUBLE) / n, 6),
+         (d_dup_lines * 1000) // 3 FROM agg
+)
+SELECT rule, cost, n_dropped_alone, selectivity, efficiency,
+       row_number() OVER (ORDER BY efficiency DESC, rule) AS run_order
+FROM rules
+"""
+
+
+def q_keep_rate_wilson(spark, sf_dir):
+    """Per-source keep rate under the Gopher rule with the 95% WILSON
+    score interval — the honest uncertainty band small sources need
+    (a 10-doc source's 0.9 keep rate means far less than a 10⁶-doc
+    source's; normal-approximation intervals collapse near 0/1 where
+    web keep rates live). Counts are exact integers; the interval is
+    one fixed IEEE sequence per source (z = 1.96 literal) rounded 6
+    dp."""
+    from ..functions.heuristics import heuristic_columns, words_col
+
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    h = heuristic_columns(F.col("text"), w)
+    keep = (
+        (F.round(h["symbol_ratio"], 9) <= 0.1)
+        & (h["n_words"].cast("long") >= 5)
+        & (F.round(h["dup_line_frac"], 9) <= 0.3)
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z2 = F.lit(1.96 * 1.96)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    return per.select(
+        "source", "n", "k",
+        F.round(p, 6).alias("keep_rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+SQL_KEEP_RATE_WILSON = f"""
+WITH base AS (
+  SELECT source, coalesce(text, '') AS t, {_WORDS_WS_SQL} AS ws
+  FROM documents
+),
+ln_t AS (
+  SELECT source, t, ws,
+         list_filter(regexp_split_to_array(t, '{_WS_CLASS_SQL}*\n{_WS_CLASS_SQL}*'),
+                     x -> x <> '') AS lines
+  FROM base
+),
+g AS (
+  SELECT source,
+         CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+               ELSE CAST(length(t) - length(translate(t, {_SYM_TRANSLATE_SQL}, ''))
+                         AS DOUBLE) / len(ws) END) <= 0.1
+          AND len(ws) >= 5
+          AND (CASE WHEN len(lines) <= 1 THEN 0.0
+               ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                    / len(lines) END) <= 0.3
+         THEN 1 ELSE 0 END AS kp
+  FROM ln_t
+),
+per AS (SELECT source, COUNT(*) AS n, SUM(kp) AS k FROM g GROUP BY source)
+SELECT source, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS keep_rate,
+       round(((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n))
+              / (1.0 + 3.8416 / n))
+             - (1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * n))
+                / (1.0 + 3.8416 / n)), 6) AS wilson_lo,
+       round(((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n))
+              / (1.0 + 3.8416 / n))
+             + (1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * n))
+                / (1.0 + 3.8416 / n)), 6) AS wilson_hi
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12719,6 +12897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_tf_knn": q_hashed_tf_knn,
     "slot_apportionment": q_slot_apportionment,
     "dedup_family_kappa": q_dedup_family_kappa,
+    "filter_cascade_plan": q_filter_cascade_plan,
+    "keep_rate_wilson": q_keep_rate_wilson,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -12925,6 +13105,8 @@ def oracle_map() -> dict[str, str]:
         "hashed_tf_knn": SQL_HASHED_TF_KNN,
         "slot_apportionment": SQL_SLOT_APPORTIONMENT,
         "dedup_family_kappa": _sql_dedup_family_kappa(),
+        "filter_cascade_plan": SQL_FILTER_CASCADE_PLAN,
+        "keep_rate_wilson": SQL_KEEP_RATE_WILSON,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
