@@ -12673,6 +12673,73 @@ FROM per
 """
 
 
+def q_term_burstiness(spark, sf_dir):
+    """Term BURSTINESS by the Fano factor (variance-to-mean ratio of
+    per-day counts): stable function words sit near Poisson (F ≈ 1),
+    event-driven vocabulary spikes (F ≫ 1) — the dispersion signal
+    that separates topical bursts from steady background where raw
+    frequency ranks can't. Top-20 over events.props-free text? No —
+    over the documents corpus keyed by doc_id-derived synthetic days
+    (doc_id DIV 50: deterministic, 10 days), since documents carry no
+    timestamp; the estimator is the point. Counts are exact integers;
+    the variance numerator n·Σx² − (Σx)² is integer products whose
+    magnitudes stay far inside double's 2^53 exact range, so the whole
+    statistic is two exact divisions. Terms below 30 total
+    occurrences are excluded (tiny-sample Fano is noise; documented
+    floor, not silent)."""
+    from ..functions.tokenize import WS_PLUS
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), WS_PLUS),
+                     lambda x: F.length(x) > 0)
+    ex = d.select(
+        (F.col("doc_id") / 50).cast("long").alias("day"),
+        F.explode(words).alias("term"),
+    )
+    daily = ex.groupBy("term", "day").agg(F.count("*").alias("c"))
+    days = daily.agg(F.count_distinct("day").alias("_nd"))
+    per = daily.groupBy("term").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("_s2"),
+    )
+    j = per.crossJoin(F.broadcast(days)).filter(F.col("total") >= 30)
+    nd = F.col("_nd").cast("double")
+    mean = F.col("total").cast("double") / nd
+    var = (
+        F.col("_nd").cast("double") * F.col("_s2").cast("double")
+        - F.col("total").cast("double") * F.col("total").cast("double")
+    ) / (nd * nd)
+    fano = F.round(var / mean, 6)
+    wnd = Window.orderBy(F.desc("fano"), F.asc("term"))
+    return (
+        j.select("term", "total", fano.alias("fano"))
+        .withColumn("_rk", F.row_number().over(wnd))
+        .filter(F.col("_rk") <= 20)
+        .drop("_rk")
+    )
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH ex AS (
+  SELECT doc_id // 50 AS day, unnest({_WORDS_WS_SQL}) AS term
+  FROM documents
+),
+daily AS (SELECT term, day, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+days AS (SELECT COUNT(DISTINCT day) AS nd FROM daily),
+per AS (
+  SELECT term, SUM(c) AS total, SUM(c * c) AS s2 FROM daily GROUP BY term
+),
+f AS (
+  SELECT term, total,
+         round(((CAST(nd AS DOUBLE) * s2 - CAST(total AS DOUBLE) * total)
+                / (CAST(nd AS DOUBLE) * nd))
+               / (CAST(total AS DOUBLE) / nd), 6) AS fano
+  FROM per CROSS JOIN days WHERE total >= 30
+)
+SELECT term, total, fano FROM f ORDER BY fano DESC, term LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12899,6 +12966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_family_kappa": q_dedup_family_kappa,
     "filter_cascade_plan": q_filter_cascade_plan,
     "keep_rate_wilson": q_keep_rate_wilson,
+    "term_burstiness": q_term_burstiness,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -13107,6 +13175,7 @@ def oracle_map() -> dict[str, str]:
         "dedup_family_kappa": _sql_dedup_family_kappa(),
         "filter_cascade_plan": SQL_FILTER_CASCADE_PLAN,
         "keep_rate_wilson": SQL_KEEP_RATE_WILSON,
+        "term_burstiness": SQL_TERM_BURSTINESS,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
