@@ -786,3 +786,30 @@ def test_cc_dedup_best_collapse_value_identity(spark):
     b = sorted(r["doc_id"]
                for r in cc_dedup_best(df, "score", collapse_exact=False).collect())
     assert a == b and len(a) > 0
+
+
+def test_cc_incremental_bridges_and_fixed_points(spark):
+    """New edges that BRIDGE two old components merge them to the
+    global min label; untouched components pass through unchanged; new
+    nodes join existing components; a batch with no relevant edges is
+    a fixed point."""
+    from xdan_dqa_spark.operators.dedup import cc_incremental
+
+    old = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (50, 50)],
+        "node long, comp long",
+    )
+    new_pairs = spark.createDataFrame(
+        [(2, 10),      # bridges comp 1 and comp 10
+         (11, 99)],    # attaches a brand-new node
+        "a long, b long",
+    )
+    got = {r["node"]: r["comp"] for r in cc_incremental(old, new_pairs).collect()}
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 99: 1, 50: 50}
+
+    empty = spark.createDataFrame([], "a long, b long")
+    again = {r["node"]: r["comp"]
+             for r in cc_incremental(
+                 spark.createDataFrame(list(got.items()), "node long, comp long"),
+                 empty).collect()}
+    assert again == got

@@ -1183,3 +1183,31 @@ def cc_dedup_best(df: DataFrame, score_col: str, text_col: str = "text",
                        (-F.col(id_col)).alias("_ni"))).alias("_m")
     ).select((-F.col("_m._ni")).alias(id_col))
     return base.join(best, id_col, "left_semi")
+
+
+def cc_incremental(old_labels: DataFrame, new_pairs: DataFrame,
+                   max_iters: int = 25) -> DataFrame:
+    """Incrementally maintain connected-component labels when NEW edges
+    arrive — the steady-state shape of a persisted dedup-cluster table
+    under continuous ingestion (full CC over a 100 TB corpus per batch
+    is the thing you never want to redo). ``old_labels`` is a prior
+    (node, comp) table; ``new_pairs`` the batch's verified (a, b)
+    edges. Returns the updated (node, comp) covering every node seen.
+
+    Correctness shape: a component's labels form a STAR (every node →
+    its min id), so the old state is equivalent to its label edges
+    (node, comp); union those stars with the new edges and re-run
+    min-label propagation. Stars re-converge in O(1) rounds unless new
+    edges actually bridge components, and propagation cost is bounded
+    by the AFFECTED subgraph's diameter — untouched components pass
+    through as fixed points (their min never changes). The ≡-to-full-
+    recompute guarantee is pinned by the oracle query, whose twin
+    computes CC over the ENTIRE corpus from scratch."""
+    star = old_labels.select(F.col("node").alias("a"),
+                             F.col("comp").alias("b"))
+    edges = star.unionByName(new_pairs.select("a", "b"))
+    labels = connected_components(edges, max_iters=max_iters)
+    # nodes can be isolated in old_labels (comp == node, no other member):
+    # connected_components keeps them (self-edge from the star), so the
+    # union covers every previously-seen node plus both ends of new pairs.
+    return labels

@@ -12740,6 +12740,37 @@ SELECT term, total, fano FROM f ORDER BY fano DESC, term LIMIT 20
 """
 
 
+def q_dedup_cc_incr(spark, sf_dir):
+    """Incremental connected-component maintenance proven ≡ full
+    recompute (operators/dedup.py:cc_incremental): labels built from
+    the first half of the corpus (doc_id < 250) are UPDATED with the
+    second half's verified edges — old components ride in as star
+    edges, only affected subgraphs re-propagate — and the oracle twin
+    computes CC over the ENTIRE corpus from scratch, so the hash check
+    itself is the incremental-equals-full theorem. (Pairs are a
+    pairwise property: banding restricted to old docs yields exactly
+    the full corpus's old-old pairs, which is what makes the split
+    faithful.)"""
+    from ..operators.dedup import (
+        cc_incremental,
+        connected_components,
+        jaccard_verify,
+        minhash_candidate_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_verify(d, minhash_candidate_pairs(d), threshold=0.7)
+    old_pairs = pairs.filter((F.col("a") < 250) & (F.col("b") < 250))
+    new_pairs = pairs.filter((F.col("a") >= 250) | (F.col("b") >= 250))
+    labels_old = connected_components(old_pairs.select("a", "b"))
+    return cc_incremental(labels_old, new_pairs)
+
+
+SQL_DEDUP_CC_INCR = f"""{_CC_COMP_SQL}
+SELECT node, comp FROM comp
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12967,6 +12998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_cascade_plan": q_filter_cascade_plan,
     "keep_rate_wilson": q_keep_rate_wilson,
     "term_burstiness": q_term_burstiness,
+    "dedup_cc_incr": q_dedup_cc_incr,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -13176,6 +13208,7 @@ def oracle_map() -> dict[str, str]:
         "filter_cascade_plan": SQL_FILTER_CASCADE_PLAN,
         "keep_rate_wilson": SQL_KEEP_RATE_WILSON,
         "term_burstiness": SQL_TERM_BURSTINESS,
+        "dedup_cc_incr": SQL_DEDUP_CC_INCR,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
