@@ -12771,6 +12771,128 @@ SELECT node, comp FROM comp
 """
 
 
+def q_ivf_recall_curve(spark, sf_dir):
+    """IVF recall@10 as a FUNCTION of n_probe (1, 2, 4, 8 of 8 lists) —
+    the measured accuracy/IO tradeoff curve an ANN rollout tunes
+    before picking its probe budget: each row is (n_probe, n_hits,
+    recall) vs the exact cosine top-10, and n_probe = n_lists must
+    read back recall 1.0 (full probe ≡ exact, which the last row
+    checks by construction). Centroids are the deterministic
+    smallest-md5 seeds shared by every probe level, so the curve
+    isolates the probe knob; at scale each level's scan reads
+    n_probe/n_lists of the partitioned index bytes (partition-pruning
+    proven in tests/test_similarity.py)."""
+    from ..operators.similarity import brute_force_topk, ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in row[0][0]] if row else [0.0] * 64
+    cents = ivf_centroids(emb, 8)
+    exact = brute_force_topk(emb, query, k=10).select("vec_id")
+    out = None
+    for np_ in (1, 2, 4, 8):
+        approx = ivf_topk(emb, query, k=10, n_lists=8, n_probe=np_,
+                          centroids=cents).select("vec_id")
+        hits = approx.join(exact, "vec_id", "left_semi").agg(
+            F.count("*").alias("n_hits")
+        ).select(F.lit(np_).alias("n_probe"), "n_hits")
+        out = hits if out is None else out.unionByName(hits)
+    return out.select(
+        "n_probe", "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+    )
+
+
+SQL_IVF_RECALL_CURVE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))) - 1 AS li,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, c.li,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.li) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, li FROM scored WHERE rn = 1),
+pr AS (
+  SELECT c.li,
+         ROW_NUMBER() OVER (ORDER BY
+           list_dot_product(c.cv, q.qv)
+           / (sqrt(list_dot_product(c.cv, c.cv))
+              * sqrt(list_dot_product(q.qv, q.qv))) DESC, c.li) AS prn
+  FROM cents c, q
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+  LIMIT 10
+),
+curve AS (
+SELECT 1 AS n_probe,
+       (SELECT COUNT(*) FROM (
+          SELECT e.vec_id
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          WHERE a.li IN (SELECT li FROM pr WHERE prn <= 1)
+          ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+          LIMIT 10) iv
+        WHERE iv.vec_id IN (SELECT vec_id FROM exact)) AS n_hits
+UNION ALL
+SELECT 2 AS n_probe,
+       (SELECT COUNT(*) FROM (
+          SELECT e.vec_id
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          WHERE a.li IN (SELECT li FROM pr WHERE prn <= 2)
+          ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+          LIMIT 10) iv
+        WHERE iv.vec_id IN (SELECT vec_id FROM exact)) AS n_hits
+UNION ALL
+SELECT 4 AS n_probe,
+       (SELECT COUNT(*) FROM (
+          SELECT e.vec_id
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          WHERE a.li IN (SELECT li FROM pr WHERE prn <= 4)
+          ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+          LIMIT 10) iv
+        WHERE iv.vec_id IN (SELECT vec_id FROM exact)) AS n_hits
+UNION ALL
+SELECT 8 AS n_probe,
+       (SELECT COUNT(*) FROM (
+          SELECT e.vec_id
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          WHERE a.li IN (SELECT li FROM pr WHERE prn <= 8)
+          ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+          LIMIT 10) iv
+        WHERE iv.vec_id IN (SELECT vec_id FROM exact)) AS n_hits
+)
+SELECT n_probe, n_hits,
+       round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall
+FROM curve
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -12999,6 +13121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keep_rate_wilson": q_keep_rate_wilson,
     "term_burstiness": q_term_burstiness,
     "dedup_cc_incr": q_dedup_cc_incr,
+    "ivf_recall_curve": q_ivf_recall_curve,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -13209,6 +13332,7 @@ def oracle_map() -> dict[str, str]:
         "keep_rate_wilson": SQL_KEEP_RATE_WILSON,
         "term_burstiness": SQL_TERM_BURSTINESS,
         "dedup_cc_incr": SQL_DEDUP_CC_INCR,
+        "ivf_recall_curve": SQL_IVF_RECALL_CURVE,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
