@@ -12893,6 +12893,105 @@ FROM curve
 """
 
 
+def q_lsh_candidate_forecast(spark, sf_dir):
+    """Candidate-pair VOLUME forecast from the band-bucket histogram —
+    the cost model a dedup run consults BEFORE paying the self-join:
+    per band, the bucket count, the hottest bucket, and the exact
+    pair output Σ n(n−1)/2 the join would emit (the join-OUTPUT
+    number AQE cannot shrink — this is how you decide max_bucket and
+    predict shuffle write ahead of time). One aggregate over the band
+    table; no join is executed."""
+    from ..operators.dedup import minhash_bands
+
+    d = _t(spark, sf_dir, "documents")
+    b = minhash_bands(d)
+    per = b.groupBy("band_id", "band_key").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket_size"),
+            F.sum(
+                (F.col("n") * (F.col("n") - 1)).cast("long") / F.lit(2)
+            ).cast("long").alias("predicted_pairs"),
+        )
+        .orderBy("band_id")
+    )
+
+
+SQL_LSH_CANDIDATE_FORECAST = f"""
+WITH sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS ({_BANDS_SQL}),
+per AS (
+  SELECT band_id, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2
+)
+SELECT band_id, COUNT(*) AS n_buckets, MAX(n) AS max_bucket_size,
+       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS predicted_pairs
+FROM per GROUP BY band_id ORDER BY band_id
+"""
+
+
+def q_dedup_audit_sample(spark, sf_dir):
+    """Stratified human-audit sample of near-dup pairs: up to 3 pairs
+    per Jaccard decile, picked by md5 order — the labeling-queue
+    builder a dedup threshold review feeds (auditors must see pairs
+    ACROSS the similarity range, not the head a similarity-ranked list
+    would give; md5 keying keeps the queue stable across reruns so
+    labels attach durably). Verified pairs only — candidates, never
+    all-pairs — and the per-decile rank window runs over the bounded
+    pair table."""
+    from ..operators.dedup import jaccard_verify, minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_verify(d, minhash_candidate_pairs(d), threshold=0.0)
+    dec = F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+    keyed = pairs.select(
+        "a", "b", F.round(F.col("jaccard"), 6).alias("jaccard"),
+        dec.alias("decile"),
+        F.md5(F.concat_ws(":", F.col("a"), F.col("b"))).alias("_h"),
+    )
+    w = Window.partitionBy("decile").orderBy("_h")
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+        .select("decile", "a", "b", "jaccard")
+    )
+
+
+def _sql_dedup_audit_sample() -> str:
+    return f"""
+WITH sigs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+shd AS (SELECT doc_id,
+               list_distinct([CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                              FOR x IN sh]) AS s
+        FROM sigs),
+vals AS (
+  SELECT c.a, c.b,
+         CASE WHEN len(list_distinct(list_cat(sa.s, sb.s))) > 0
+              THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE)
+              ELSE 0.0 END AS j
+  FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b
+),
+keyed AS (
+  SELECT a, b, round(j, 6) AS jaccard,
+         least(CAST(FLOOR(j * 10) AS INT), 9) AS decile,
+         md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS h
+  FROM vals
+)
+SELECT decile, a, b, jaccard
+FROM (SELECT *, row_number() OVER (PARTITION BY decile ORDER BY h) AS rk
+      FROM keyed)
+WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -13122,6 +13221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_burstiness": q_term_burstiness,
     "dedup_cc_incr": q_dedup_cc_incr,
     "ivf_recall_curve": q_ivf_recall_curve,
+    "lsh_candidate_forecast": q_lsh_candidate_forecast,
+    "dedup_audit_sample": q_dedup_audit_sample,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -13333,6 +13434,8 @@ def oracle_map() -> dict[str, str]:
         "term_burstiness": SQL_TERM_BURSTINESS,
         "dedup_cc_incr": SQL_DEDUP_CC_INCR,
         "ivf_recall_curve": SQL_IVF_RECALL_CURVE,
+        "lsh_candidate_forecast": SQL_LSH_CANDIDATE_FORECAST,
+        "dedup_audit_sample": _sql_dedup_audit_sample(),
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
