@@ -559,3 +559,25 @@ def test_bpe_merges_repartition_invariant(spark):
     a = sorted(map(tuple, bpe_merge_train(df, n_merges=3).collect()))
     b = sorted(map(tuple, bpe_merge_train(df.repartition(13), n_merges=3).collect()))
     assert a == b
+
+
+# ----------------------------------------------------------- winnowing
+
+def test_winnow_guarantee_fires_on_copied_passage(spark):
+    """The winnowing theorem: any shared run of >= n+w-1 (= 6) words
+    yields at least one shared fingerprint — a copied passage inside
+    otherwise-disjoint documents must produce a pair, while fully
+    disjoint docs must not."""
+    from xdan_dqa_spark.operators.textstats import winnow_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, "totally unrelated header " + passage + " trailing words one"),
+        (2, "different prefix entirely " + passage + " other suffix here"),
+        (3, " ".join(f"disjoint{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["n_shared_fp"]
+             for r in winnow_overlap_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1020,3 +1020,60 @@ def bpe_merge_train(df: DataFrame, text_col: str = "text",
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def winnow_word_fingerprints(text_col: str, n: int = 3, w: int = 4) -> F.Column:
+    """Winnowing fingerprints (Schleimer et al. 2003) over WORD n-gram
+    shingle hashes with an md5-derived 60-bit hash — the oracle-
+    portable variant of :func:`winnowing_fingerprints` (whose xxhash64
+    is Spark-only): take the min hash in each sliding window of ``w``
+    consecutive shingles, distinct the mins. Winnowing GUARANTEES any
+    shared run of ≥ n+w−1 words yields at least one shared
+    fingerprint, while selecting only ~2/(w+1) of the shingles — the
+    MOSS partial-overlap detector: bounded fingerprints per doc,
+    robust to surrounding edits."""
+    from ..operators.dedup import shingles
+
+    h = F.transform(
+        shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    n_win = F.greatest(F.size(h) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(h, i, w)),
+    )
+    return F.array_distinct(mins)
+
+
+def winnow_overlap_pairs(df: DataFrame, min_shared: int = 2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Partial-overlap pairs by shared winnowing fingerprints — the
+    MOSS-style plagiarism/quotation detector: (a, b, n_shared_fp) for
+    doc pairs sharing ≥ ``min_shared`` fingerprints. Complements the
+    Jaccard family: winnowing fires on a single COPIED PASSAGE inside
+    otherwise-different documents, where whole-doc Jaccard reads ~0.
+
+    Scale shape: fingerprints are ~2/(w+1) of the shingles, built
+    map-side; the detector is an equi-self-join on the fingerprint key
+    — a hot fingerprint (boilerplate sentence shared by K docs) has
+    the standard quadratic-bucket geometry, with the standard fix
+    (cap or drop fingerprints with document frequency above a bound;
+    here min_shared prunes the pair table after one combinable
+    count)."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_word_fingerprints(text_col)).alias("_fp"),
+    )
+    left = fps.select(F.col("_fp"), F.col(id_col).alias("a"))
+    right = fps.select(F.col("_fp"), F.col(id_col).alias("b"))
+    return (
+        left.join(right, "_fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )

@@ -12992,6 +12992,44 @@ WHERE rk <= 3
 """
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS-style partial-overlap pairs by shared winnowing
+    fingerprints (operators/textstats.py:winnow_overlap_pairs): doc
+    pairs sharing ≥2 of their winnowed word-shingle fingerprints — the
+    copied-PASSAGE detector whole-doc Jaccard reads as ~0 (a single
+    shared run of ≥ n+w−1 words is guaranteed to fire by the winnowing
+    theorem, while only ~2/(w+1) of shingles are kept). Fingerprints
+    are md5-derived 60-bit mins, so the whole selection is
+    oracle-checkable; the detector is an equi-self-join with the
+    standard hot-key discipline."""
+    from ..operators.textstats import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"),
+                                min_shared=2)
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+h AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN s] AS hs
+  FROM sh
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                          i -> list_min(hs[i:i+3]))) AS fps
+  FROM h
+),
+ex AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared_fp
+FROM ex l JOIN ex r ON l.f = r.f AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -13223,6 +13261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_curve": q_ivf_recall_curve,
     "lsh_candidate_forecast": q_lsh_candidate_forecast,
     "dedup_audit_sample": q_dedup_audit_sample,
+    "winnow_overlap": q_winnow_overlap,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -13436,6 +13475,7 @@ def oracle_map() -> dict[str, str]:
         "ivf_recall_curve": SQL_IVF_RECALL_CURVE,
         "lsh_candidate_forecast": SQL_LSH_CANDIDATE_FORECAST,
         "dedup_audit_sample": _sql_dedup_audit_sample(),
+        "winnow_overlap": SQL_WINNOW_OVERLAP,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
