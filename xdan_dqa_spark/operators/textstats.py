@@ -1077,3 +1077,81 @@ def winnow_overlap_pairs(df: DataFrame, min_shared: int = 2,
         .agg(F.count("*").alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= min_shared)
     )
+
+
+def bpe_fertility(df: DataFrame, text_col: str = "text",
+                  n_merges: int = 3) -> DataFrame:
+    """Apply the first ``n_merges`` trained BPE merges and report the
+    corpus TOKEN FERTILITY change — the number a tokenizer rollout
+    actually cares about: ONE row (n_distinct_words,
+    tokens_before, tokens_after, compression), where tokens_* are
+    frequency-weighted symbol counts across the corpus (before =
+    characters, after = symbols post-merge) and compression =
+    after/before. Shares :func:`bpe_merge_train`'s exact training loop
+    (vocab-grain reprs, freq-weighted integer pair counts,
+    boundary-safe literal replace), then folds the final symbol table
+    once — all integer until the one terminal division."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), WS_PLUS),
+        lambda w: F.length(w) > 0,
+    )
+    wf = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: F.length(c) > 0)
+    cur = wf.select(
+        "freq",
+        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("_repr"),
+    )
+    for _ in range(n_merges):
+        toks = F.split(F.trim(F.col("_repr")), "  ")
+        pairs = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, y: F.when(
+                    y.isNotNull(), F.struct(x.alias("lhs"), y.alias("rhs"))
+                ),
+            ),
+            lambda p: p.isNotNull(),
+        )
+        counts = (
+            cur.select("freq", F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p.lhs").alias("lhs"), F.col("_p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = counts.orderBy(
+            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1)
+        cur = (
+            cur.crossJoin(F.broadcast(top.select(
+                F.col("lhs").alias("_ml"), F.col("rhs").alias("_mr"))))
+            .select(
+                "freq",
+                F.replace(
+                    F.col("_repr"),
+                    F.concat(F.lit(" "), F.col("_ml"), F.lit("  "),
+                             F.col("_mr"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("_ml"), F.col("_mr"), F.lit(" ")),
+                ).alias("_repr"),
+            )
+        )
+    # tokens_before = per-word CHARACTER count: stripping the separator
+    # spaces from the final repr recovers exactly the original characters
+    # (merges only remove inter-symbol spaces), so one column serves both.
+    n_after = F.size(F.split(F.trim(F.col("_repr")), "  "))
+    n_chars = F.length(F.regexp_replace(F.col("_repr"), " ", ""))
+    return cur.agg(
+        F.count("*").alias("n_distinct_words"),
+        F.sum(F.col("freq") * n_chars).alias("tokens_before"),
+        F.sum(F.col("freq") * n_after).alias("tokens_after"),
+    ).select(
+        "n_distinct_words", "tokens_before", "tokens_after",
+        F.round(
+            F.col("tokens_after").cast("double")
+            / F.col("tokens_before").cast("double"), 6
+        ).alias("compression"),
+    )

@@ -13030,6 +13030,93 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Token-fertility change after applying the 3 trained BPE merges
+    (operators/textstats.py:bpe_fertility) — the train→APPLY lifecycle
+    number a tokenizer rollout reads: frequency-weighted corpus symbol
+    counts before (characters) and after the merges, plus the
+    compression ratio. Same exact training loop as bpe_merges; all
+    integer until the one terminal division."""
+    from ..operators.textstats import bpe_fertility
+
+    return bpe_fertility(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+SQL_BPE_FERTILITY = f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest({_WORDS_WS_SQL}) AS w FROM documents) GROUP BY w
+),
+r0 AS (
+  SELECT freq,
+         ' ' || array_to_string(
+           list_filter(regexp_split_to_array(w, ''), c -> c <> ''), '  ')
+         || ' ' AS r
+  FROM wf
+),
+p1 AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_filter(
+             list_transform(t, (x, i) ->
+               CASE WHEN i < len(t) THEN [x, t[i + 1]] END),
+             q -> q IS NOT NULL)) AS p
+    FROM (SELECT freq, regexp_split_to_array(trim(r), '  ') AS t FROM r0)
+  ) GROUP BY 1, 2
+),
+m1 AS (SELECT lhs, rhs, pair_count FROM p1
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+r1 AS (SELECT freq,
+                replace(r, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ') AS r
+         FROM r0 CROSS JOIN m1 m),
+p2 AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_filter(
+             list_transform(t, (x, i) ->
+               CASE WHEN i < len(t) THEN [x, t[i + 1]] END),
+             q -> q IS NOT NULL)) AS p
+    FROM (SELECT freq, regexp_split_to_array(trim(r), '  ') AS t FROM r1)
+  ) GROUP BY 1, 2
+),
+m2 AS (SELECT lhs, rhs, pair_count FROM p2
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+r2 AS (SELECT freq,
+                replace(r, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ') AS r
+         FROM r1 CROSS JOIN m2 m),
+p3 AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_filter(
+             list_transform(t, (x, i) ->
+               CASE WHEN i < len(t) THEN [x, t[i + 1]] END),
+             q -> q IS NOT NULL)) AS p
+    FROM (SELECT freq, regexp_split_to_array(trim(r), '  ') AS t FROM r2)
+  ) GROUP BY 1, 2
+),
+m3 AS (SELECT lhs, rhs, pair_count FROM p3
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+r3 AS (SELECT freq,
+                replace(r, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ') AS r
+         FROM r2 CROSS JOIN m3 m)
+SELECT COUNT(*) AS n_distinct_words,
+       SUM(freq * length(replace(r, ' ', ''))) AS tokens_before,
+       SUM(freq * len(regexp_split_to_array(trim(r), '  ')))
+         AS tokens_after,
+       round(CAST(SUM(freq * len(regexp_split_to_array(trim(r), '  ')))
+                  AS DOUBLE)
+             / CAST(SUM(freq * length(replace(r, ' ', ''))) AS DOUBLE), 6)
+         AS compression
+FROM r3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_validation_filter": q_p1_validation_filter,
     "s7_field_mapping": q_s7_field_mapping,
@@ -13262,6 +13349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_candidate_forecast": q_lsh_candidate_forecast,
     "dedup_audit_sample": q_dedup_audit_sample,
     "winnow_overlap": q_winnow_overlap,
+    "bpe_fertility": q_bpe_fertility,
     "flesch_reading": q_flesch_reading,
     "ks_length_drift": q_ks_length_drift,
     "triangle_census": q_triangle_census,
@@ -13476,6 +13564,7 @@ def oracle_map() -> dict[str, str]:
         "lsh_candidate_forecast": SQL_LSH_CANDIDATE_FORECAST,
         "dedup_audit_sample": _sql_dedup_audit_sample(),
         "winnow_overlap": SQL_WINNOW_OVERLAP,
+        "bpe_fertility": SQL_BPE_FERTILITY,
         "flesch_reading": SQL_FLESCH_READING,
         "ks_length_drift": SQL_KS_LENGTH_DRIFT,
         "triangle_census": SQL_TRIANGLE_CENSUS,
