@@ -581,3 +581,44 @@ def test_winnow_guarantee_fires_on_copied_passage(spark):
              for r in winnow_overlap_pairs(df, min_shared=1).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_window_min_equals_hof_formulation(spark):
+    """The operator's posexplode+sliding-frame fingerprints must equal
+    the array-HOF definition (winnow_word_fingerprints) doc-for-doc,
+    including the <w-shingle single-window edge cases."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xdan_dqa_spark.operators.dedup import shingles
+    from xdan_dqa_spark.operators.textstats import winnow_word_fingerprints
+
+    texts = [
+        " ".join(f"tok{(i * 7) % 31}" for i in range(50)),
+        "one two three",          # 1 shingle -> single window
+        "a b c d e f",            # 4 shingles -> exactly 1 window
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    hof = {r["doc_id"]: sorted(r["f"]) for r in
+           df.select("doc_id",
+                     winnow_word_fingerprints("text").alias("f")).collect()}
+    h = F.transform(
+        shingles("text", 3),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    ex = df.select("doc_id", F.posexplode(h).alias("_pos", "_h"))
+    wf = Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, 3)
+    wp = Window.partitionBy("doc_id")
+    win = (
+        ex.withColumn("_m", F.min("_h").over(wf))
+        .withColumn("_mx", F.max("_pos").over(wp))
+        .filter(F.col("_pos") <= F.greatest(F.col("_mx") - 3, F.lit(0)))
+        .select("doc_id", "_m").distinct().collect()
+    )
+    got: dict[int, list] = {}
+    for r in win:
+        got.setdefault(r["doc_id"], []).append(r["_m"])
+    for k in hof:
+        assert sorted(got.get(k, [])) == hof[k], k
